@@ -1,0 +1,67 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-device sharding tests exercise `jax.sharding.Mesh` layouts without TPU
+hardware (SURVEY.md §4 implication; the driver separately dry-runs the
+multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+class FakeTokenizer:
+    """Minimal HF-protocol tokenizer for unit tests.
+
+    Word-level vocab built on the fly; prepends BOS like Llama's
+    sentencepiece tokenizer does on every encode call.
+    """
+
+    bos_token_id = 1
+    eos_token_id = 2
+    pad_token_id = 0
+
+    def __init__(self, add_bos: bool = True):
+        self.add_bos = add_bos
+        self.vocab = {"<pad>": 0, "<s>": 1, "</s>": 2}
+        self.inv = {0: "<pad>", 1: "<s>", 2: "</s>"}
+
+    def _id(self, word: str) -> int:
+        if word not in self.vocab:
+            idx = len(self.vocab)
+            self.vocab[word] = idx
+            self.inv[idx] = word
+        return self.vocab[word]
+
+    def __call__(self, text: str):
+        ids = [self._id(w) for w in text.split()]
+        if self.add_bos:
+            ids = [self.bos_token_id] + ids
+
+        class _Out:
+            pass
+
+        out = _Out()
+        out.input_ids = ids
+        return out
+
+    def decode(self, ids, skip_special_tokens=True):
+        words = []
+        for i in ids:
+            w = self.inv.get(int(i), f"<unk{int(i)}>")
+            if skip_special_tokens and w in ("<s>", "</s>", "<pad>"):
+                continue
+            words.append(w)
+        return " ".join(words)
+
+
+@pytest.fixture
+def fake_tokenizer():
+    return FakeTokenizer()

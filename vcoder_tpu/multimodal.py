@@ -1,0 +1,294 @@
+"""Static-shape multimodal embedding splice.
+
+The reference implementation splices vision features into the token stream
+with a per-sample Python loop over dynamic-length tensors inside ``forward``
+(reference: vcoder_llava/model/llava_arch.py:99-200,
+vcoder_llava_arch.py:185-296, vcoder_ds_llava_arch.py:126-314). That pattern
+cannot compile to a single XLA graph. Here the splice is split into:
+
+1. :func:`build_splice_plan` — **host-side**, pure Python/numpy: walks the
+   sentinel ids exactly like the reference loops and produces fixed-shape
+   index/mask arrays (a :class:`SplicePlan`).
+2. ``models/vcoder.py::assemble_embeddings`` — **on-device**: one gather from
+   the text-embedding table + one gather from the concatenated vision-feature
+   table + a select. Fully static shapes, fuses into the prefill graph.
+
+Reference-fidelity notes (verified against the reference by simulation):
+
+* ``tokenizer_seg_token`` puts the image sentinel *before* the seg sentinel
+  (cluster ``[-200, -300]``), so the stream order is
+  ``[text, image×N, seg×N, text]``.
+* In the **DS** arch the seg-splice loop runs *before* the depth loop and
+  appends only the seg features — never the text preceding the seg sentinel
+  (vcoder_ds_llava_arch.py:238). With the standard cluster
+  ``[-200, -400, -300]`` this silently consumes the depth sentinel, so
+  **depth features never reach the LM** in the reference (training or
+  inference). We reproduce this exactly by default
+  (``ds_mode=True``); the depth loop is still implemented for the
+  (reference-reachable) case of a ``-400`` appearing after the last
+  ``-300``.
+* Labels covering spliced feature spans become ``IGNORE_INDEX``; in DS mode
+  the labels of the text preceding a seg sentinel are *dropped*
+  (vcoder_ds_llava_arch.py:241), exactly like the reference.
+* Rows without sentinels pass through as pure text (the reference's
+  zero-width-feature DeepSpeed hack, llava_arch.py:121-133, is a no-op in
+  functional JAX).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from vcoder_tpu.constants import (
+    DEPTH_TOKEN_INDEX,
+    IGNORE_INDEX,
+    IMAGE_TOKEN_INDEX,
+    SEG_TOKEN_INDEX,
+)
+
+# Per-row vision-feature table layout: enabled modalities are concatenated in
+# this fixed order; sentinel occurrence k of a modality maps to rows
+# [base + k*num_patches, base + (k+1)*num_patches).
+_MODALITY_ORDER = ("image", "seg", "depth")
+
+
+@dataclasses.dataclass
+class SplicePlan:
+    """Fixed-shape gather plan for one batch of multimodal prompts.
+
+    All arrays have shape ``[B, T]`` where ``T`` is the (bucketed) expanded
+    sequence length.
+    """
+
+    safe_ids: np.ndarray  # int32; sentinels/padding -> pad_id (embeddable)
+    is_text: np.ndarray  # bool; True where the position is a text token
+    vis_idx: np.ndarray  # int32; row index into the per-sample vision table
+    attn_mask: np.ndarray  # bool; True over real content
+    position_ids: np.ndarray  # int32; 0..len-1 over real content
+    labels: Optional[np.ndarray]  # int32 with IGNORE_INDEX, or None
+    seq_lens: np.ndarray  # int32 [B]; true expanded lengths
+    # Static (trace-time) metadata:
+    use_vcoder_emb: bool  # route text embeds through vcoder_lm_emb
+    vis_table_size: int  # rows in the per-sample vision feature table
+
+    @property
+    def batch(self) -> int:
+        return self.safe_ids.shape[0]
+
+    @property
+    def seq_len(self) -> int:
+        return self.safe_ids.shape[1]
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return -(-n // multiple) * multiple
+
+
+def build_splice_plan(
+    input_ids: Sequence[Sequence[int]],
+    *,
+    num_patches: int,
+    has_image: bool = True,
+    has_seg: bool = False,
+    has_depth: bool = False,
+    ds_mode: bool = False,
+    is_depth_zero: Optional[Sequence[bool]] = None,
+    labels: Optional[Sequence[Sequence[int]]] = None,
+    pad_to: Optional[int] = None,
+    pad_multiple: int = 128,
+    pad_id: int = 0,
+) -> SplicePlan:
+    """Build the static splice plan for a batch of sentinel-bearing id rows.
+
+    Args:
+      input_ids: per-row *unpadded* token ids (sentinels are negative).
+      num_patches: vision tokens per modality occurrence (576 in production).
+      has_image/has_seg/has_depth: which feature tensors the caller will
+        provide (mirrors ``images=/segs=/depths=`` being non-None).
+      ds_mode: use the VCoder-DS splice asymmetry (seg loop emits no
+        preceding text). False reproduces the plain VCoder / LLaVA loops.
+      is_depth_zero: per-row flag for the all-black depth placeholder skip
+        (reference: vcoder_ds_llava_arch.py:160-171). Defaults to all-True
+        when no depth provided, all-False otherwise.
+      labels: optional per-row label ids aligned with input_ids.
+      pad_to: expanded sequence length; default rounds the max row up to
+        ``pad_multiple`` (TPU lane alignment).
+    """
+    batch = len(input_ids)
+    if is_depth_zero is None:
+        is_depth_zero = [not has_depth] * batch
+
+    n_modalities = 1 + int(has_seg) + int(has_depth and ds_mode)
+    vis_table_size = max(num_patches * n_modalities, 1)
+    base = {"image": 0}
+    off = num_patches
+    if has_seg:
+        base["seg"] = off
+        off += num_patches
+    if has_depth and ds_mode:
+        base["depth"] = off
+
+    rows = []
+    for b in range(batch):
+        row_labels = list(labels[b]) if labels is not None else None
+        rows.append(
+            _splice_row(
+                list(input_ids[b]),
+                row_labels,
+                num_patches=num_patches,
+                base=base,
+                has_seg=has_seg,
+                ds_mode=ds_mode,
+                depth_zero=bool(is_depth_zero[b]),
+            )
+        )
+
+    max_len = max(len(r[0]) for r in rows)
+    if pad_to is None:
+        pad_to = _round_up(max_len, pad_multiple)
+    if pad_to < max_len:
+        raise ValueError(f"pad_to={pad_to} < expanded length {max_len}")
+
+    T = pad_to
+    safe_ids = np.full((batch, T), pad_id, dtype=np.int32)
+    is_text = np.zeros((batch, T), dtype=bool)
+    vis_idx = np.zeros((batch, T), dtype=np.int32)
+    attn = np.zeros((batch, T), dtype=bool)
+    pos = np.zeros((batch, T), dtype=np.int32)
+    lab = (
+        np.full((batch, T), IGNORE_INDEX, dtype=np.int32)
+        if labels is not None
+        else None
+    )
+    seq_lens = np.zeros((batch,), dtype=np.int32)
+
+    for b, (kinds, values, row_lab) in enumerate(rows):
+        L = len(kinds)
+        seq_lens[b] = L
+        attn[b, :L] = True
+        pos[b, :L] = np.arange(L, dtype=np.int32)
+        k = np.asarray(kinds, dtype=bool)
+        v = np.asarray(values, dtype=np.int32)
+        is_text[b, :L] = k
+        # Sentinels never survive _splice_row; any raw negative id (possible
+        # only via the reference's pure-text hack path) is mapped to pad_id.
+        text_vals = np.where(k & (v >= 0), v, pad_id)
+        safe_ids[b, :L] = np.where(k, text_vals, pad_id)
+        vis_idx[b, :L] = np.where(~k, v, 0)
+        if lab is not None:
+            lab[b, :L] = np.asarray(row_lab, dtype=np.int32)
+
+    return SplicePlan(
+        safe_ids=safe_ids,
+        is_text=is_text,
+        vis_idx=vis_idx,
+        attn_mask=attn,
+        position_ids=pos,
+        labels=lab,
+        seq_lens=seq_lens,
+        use_vcoder_emb=has_seg,
+        vis_table_size=vis_table_size,
+    )
+
+
+def _splice_row(
+    ids: List[int],
+    labels: Optional[List[int]],
+    *,
+    num_patches: int,
+    base: dict,
+    has_seg: bool,
+    ds_mode: bool,
+    depth_zero: bool,
+):
+    """Replicate the reference splice loops for one row.
+
+    Returns (kinds, values, labels_out) where kinds[i] is True for text and
+    values[i] is the token id (text) or vision-table row (feature).
+    """
+    kinds: List[bool] = []
+    values: List[int] = []
+    lab_out: Optional[List[int]] = [] if labels is not None else None
+
+    has_img_tok = IMAGE_TOKEN_INDEX in ids
+    has_seg_tok = SEG_TOKEN_INDEX in ids
+    # Reference hack-path conditions (pure-text passthrough):
+    #   vcoder arch: no image OR no seg  (vcoder_llava_arch.py:187)
+    #   ds arch:     no image AND no seg (vcoder_ds_llava_arch.py:181)
+    #   llava arch:  no image            (llava_arch.py:121)
+    if has_seg:
+        if ds_mode:
+            passthrough = not has_img_tok and not has_seg_tok
+        else:
+            passthrough = not has_img_tok or not has_seg_tok
+    else:
+        passthrough = not has_img_tok
+
+    if passthrough:
+        for i, t in enumerate(ids):
+            kinds.append(True)
+            values.append(t)
+            if lab_out is not None:
+                lab_out.append(labels[i])
+        return kinds, values, lab_out
+
+    def emit_text(tokens: List[int], labs: Optional[List[int]]):
+        for j, t in enumerate(tokens):
+            kinds.append(True)
+            values.append(t)
+            if lab_out is not None:
+                lab_out.append(labs[j])
+
+    def emit_features(modality: str):
+        # One feature block per modality per row; multiple sentinel
+        # occurrences in a row reuse the same block (the production prompts
+        # of the reference contain at most one occurrence per modality).
+        start = base[modality]
+        for p in range(num_patches):
+            kinds.append(False)
+            values.append(start + p)
+            if lab_out is not None:
+                lab_out.append(IGNORE_INDEX)
+
+    cur = ids
+    cur_lab = labels
+
+    # --- image loop (llava_arch.py:141-162 / ds:217-231) ---
+    while IMAGE_TOKEN_INDEX in cur:
+        i = cur.index(IMAGE_TOKEN_INDEX)
+        emit_text(cur[:i], cur_lab[:i] if cur_lab is not None else None)
+        emit_features("image")
+        cur = cur[i + 1:]
+        if cur_lab is not None:
+            cur_lab = cur_lab[i + 1:]
+
+    # --- seg loop ---
+    if has_seg:
+        while SEG_TOKEN_INDEX in cur:
+            i = cur.index(SEG_TOKEN_INDEX)
+            if not ds_mode:
+                # vcoder arch emits preceding text (vcoder_llava_arch.py:236)
+                emit_text(cur[:i], cur_lab[:i] if cur_lab is not None else None)
+            # ds arch drops the preceding text AND its labels
+            # (vcoder_ds_llava_arch.py:238,241)
+            emit_features("seg")
+            cur = cur[i + 1:]
+            if cur_lab is not None:
+                cur_lab = cur_lab[i + 1:]
+
+    # --- depth loop (ds arch only; vcoder_ds_llava_arch.py:246-262) ---
+    if ds_mode and not depth_zero and "depth" in base:
+        while DEPTH_TOKEN_INDEX in cur:
+            i = cur.index(DEPTH_TOKEN_INDEX)
+            emit_text(cur[:i], cur_lab[:i] if cur_lab is not None else None)
+            emit_features("depth")
+            cur = cur[i + 1:]
+            if cur_lab is not None:
+                cur_lab = cur_lab[i + 1:]
+
+    # --- tail ---
+    emit_text(cur, cur_lab)
+    return kinds, values, lab_out
