@@ -7,12 +7,19 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The environment's sitecustomize registers the axon TPU platform and
+# force-updates jax_platforms, overriding the env var — undo that so tests
+# run on the virtual 8-device CPU mesh with exact f32 matmuls.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,193 @@
+"""End-to-end generation tests on tiny random models (all variants).
+
+The oracle: greedily generated tokens must equal the argmax chain obtained
+by re-running the *full* spliced sequence through the decoder without a KV
+cache — validating prefill/decode/cache consistency through the public
+``generate`` API (the reference's quality gate is greedy COST eval,
+SURVEY.md §4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcoder_tpu.config import VCoderConfig
+from vcoder_tpu.constants import (
+    DEPTH_TOKEN_INDEX as DEP,
+    IMAGE_TOKEN_INDEX as IMG,
+    SEG_TOKEN_INDEX as SEG,
+)
+from vcoder_tpu.generation import generate
+from vcoder_tpu.models import llama as llama_mod
+from vcoder_tpu.models import vcoder as model_mod
+from vcoder_tpu.multimodal import build_splice_plan
+
+
+def _tiny(model_type):
+    cfg = VCoderConfig.tiny(model_type)
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _pixels(cfg, batch, seed):
+    rng = np.random.default_rng(seed)
+    s = cfg.vision.image_size
+    return jnp.asarray(
+        rng.standard_normal((batch, s, s, 3)).astype(np.float32)
+    )
+
+
+def _oracle_chain(cfg, params, input_ids, images, segs, depths, n_steps):
+    """Greedy chain via full forward (no cache) re-run each step."""
+    ds_mode = cfg.model_type == "vcoder_ds_llava"
+    ids = list(input_ids[0])
+    generated = []
+    for _ in range(n_steps):
+        plan = build_splice_plan(
+            [ids],
+            num_patches=cfg.vision.num_patches,
+            has_seg=segs is not None,
+            has_depth=depths is not None,
+            ds_mode=ds_mode,
+            is_depth_zero=[False] if depths is not None else None,
+            pad_multiple=8,
+        )
+        pa = model_mod.plan_to_arrays(plan)
+        vis = None
+        if images is not None:
+            vis = model_mod.encode_vision(
+                params, cfg, images, segs, depths, attn_impl="xla"
+            )
+        embeds = model_mod.assemble_embeddings(
+            params,
+            cfg,
+            pa["safe_ids"],
+            pa["is_text"],
+            pa["vis_idx"],
+            vis,
+            use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
+        )
+        hidden, _ = llama_mod.llama_forward(
+            params["lm"],
+            cfg.text,
+            embeds,
+            attn_mask=pa["attn_mask"],
+            position_ids=pa["position_ids"],
+            attn_impl="xla",
+        )
+        last = int(plan.seq_lens[0]) - 1
+        logits = llama_mod.lm_head(params["lm"], hidden[:, last : last + 1])
+        tok = int(jnp.argmax(logits[0, 0]))
+        generated.append(tok)
+        # Feed the sampled token back as a *text* token. Sentinel splice
+        # keeps vision features in the same positions, so appending to the
+        # raw id list reproduces the full spliced sequence.
+        ids = ids + [tok]
+    return generated
+
+
+@pytest.mark.parametrize(
+    "model_type,with_seg,with_depth",
+    [
+        ("llava", False, False),
+        ("vcoder_llava", True, False),
+        ("vcoder_ds_llava", True, True),
+        ("vcoder_it_llava", True, False),
+    ],
+)
+def test_greedy_generate_matches_full_forward(model_type, with_seg, with_depth):
+    cfg, params = _tiny(model_type)
+    images = _pixels(cfg, 1, 0)
+    segs = _pixels(cfg, 1, 1) if with_seg else None
+    depths = _pixels(cfg, 1, 2) if with_depth else None
+
+    ids = [5, 6, 7, IMG]
+    if with_seg:
+        ids = [5, 6, 7, IMG, SEG]
+    if with_depth:
+        ids = [5, 6, 7, IMG, DEP, SEG]
+    ids = ids + [8, 9]
+    input_ids = [ids]
+
+    n = 4
+    result = generate(
+        params,
+        cfg,
+        input_ids,
+        images,
+        segs,
+        depths,
+        max_new_tokens=n,
+        temperature=0.0,
+        attn_impl="xla",
+        is_depth_zero=[False] if with_depth else None,
+    )
+    oracle = _oracle_chain(cfg, params, input_ids, images, segs, depths, n)
+    got = result.sequences[0, : result.num_generated[0]].tolist()
+    # Trim oracle at EOS the same way generate does.
+    if cfg.text.eos_token_id in oracle:
+        oracle = oracle[: oracle.index(cfg.text.eos_token_id)]
+    assert got == oracle[: len(got)] and len(got) > 0
+
+
+def test_batch_generation_ragged():
+    """Two rows with different lengths generate independently."""
+    cfg, params = _tiny("llava")
+    images = _pixels(cfg, 2, 3)
+    rows = [[5, 6, 7, IMG, 8], [5, IMG, 9]]
+    result = generate(
+        params, cfg, rows, images, max_new_tokens=3, temperature=0.0,
+        attn_impl="xla",
+    )
+    # Each row must match its own single-row generation.
+    for b, row in enumerate(rows):
+        solo = generate(
+            params,
+            cfg,
+            [row],
+            images[b : b + 1],
+            max_new_tokens=3,
+            temperature=0.0,
+            attn_impl="xla",
+        )
+        np.testing.assert_array_equal(
+            result.sequences[b, : result.num_generated[b]],
+            solo.sequences[0, : solo.num_generated[0]],
+        )
+
+
+def test_sampling_seeds_differ():
+    cfg, params = _tiny("llava")
+    images = _pixels(cfg, 1, 4)
+    ids = [[5, IMG, 8]]
+    r1 = generate(
+        params, cfg, ids, images, max_new_tokens=8, temperature=1.0,
+        seed=0, attn_impl="xla",
+    )
+    r2 = generate(
+        params, cfg, ids, images, max_new_tokens=8, temperature=1.0,
+        seed=1, attn_impl="xla",
+    )
+    assert not np.array_equal(r1.sequences, r2.sequences)
+
+
+def test_train_forward_loss_finite():
+    cfg, params = _tiny("vcoder_llava")
+    images = _pixels(cfg, 2, 5)
+    segs = _pixels(cfg, 2, 6)
+    ids = [[1, 5, IMG, SEG, 8, 9], [1, 6, IMG, SEG, 10, 11]]
+    labels = [[-100, -100, -100, -100, 8, 9], [-100, -100, -100, -100, 10, 11]]
+    plan = build_splice_plan(
+        ids,
+        num_patches=cfg.vision.num_patches,
+        has_seg=True,
+        labels=labels,
+        pad_multiple=8,
+    )
+    pa = model_mod.plan_to_arrays(plan, include_labels=True)
+    loss = model_mod.train_forward(
+        params, cfg, pa, images, segs,
+        use_vcoder_emb=True, attn_impl="xla", remat=False,
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0

@@ -1,0 +1,249 @@
+"""Checkpoint interop: HuggingFace safetensors -> vcoder_tpu param pytrees.
+
+Imports the published checkpoints (``shi-labs/vcoder_*_llava-v1.5-*``,
+``liuhaotian/llava-v1.5-*``) into the framework's layer-stacked pytree
+layout. Key transforms:
+
+* HF ``nn.Linear`` stores ``[out, in]``; we store ``[in, out]`` -> transpose.
+* Per-layer tensors are stacked along a new leading ``num_layers`` axis.
+* The CLIP patch-embedding Conv2d kernel ``[D, C, P, P]`` flattens to a
+  ``[C*P*P, D]`` matmul weight (see models/clip.py::patchify for the
+  matching patch flattening order).
+
+Weight-name map of the reference checkpoints (reference:
+vcoder_llava/model/vcoder_ds_llava_arch.py:30-49 module attributes and HF
+Llama/CLIP conventions):
+
+    model.embed_tokens.weight                     model.layers.{i}.*
+    model.norm.weight                             lm_head.weight
+    model.vision_tower.vision_tower.vision_model.*   (CLIPVisionModel)
+    model.mm_projector.{0,2}.{weight,bias}        (mlp2x_gelu Sequential)
+    model.mm2_projector.{0,2}.{weight,bias}
+    model.seg_mm_projector.{0,2}.{weight,bias}
+    model.depth_mm_projector.{0,2}.{weight,bias}
+    model.vcoder_lm_emb.weight
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from vcoder_tpu.config import TextConfig, VCoderConfig, VisionConfig, projector_depth
+
+Array = np.ndarray
+StateDict = Dict[str, Array]
+
+
+def _t(x: Array) -> Array:
+    return np.ascontiguousarray(x.T)
+
+
+def _stack(state: StateDict, fmt: str, n: int, transpose: bool) -> jnp.ndarray:
+    mats = [state[fmt.format(i=i)] for i in range(n)]
+    if transpose:
+        mats = [_t(m) for m in mats]
+    return jnp.asarray(np.stack(mats, axis=0))
+
+
+def import_llama(
+    state: StateDict, cfg: TextConfig, prefix: str = "model."
+) -> dict:
+    """HF LlamaForCausalLM state dict -> llama params pytree."""
+    L = cfg.num_layers
+    p = prefix
+
+    def lay(name, transpose=True):
+        return _stack(state, p + "layers.{i}." + name, L, transpose)
+
+    params = {
+        "embed_tokens": jnp.asarray(state[p + "embed_tokens.weight"]),
+        "layers": {
+            "input_layernorm": lay("input_layernorm.weight", transpose=False),
+            "post_attention_layernorm": lay(
+                "post_attention_layernorm.weight", transpose=False
+            ),
+            "q_proj": lay("self_attn.q_proj.weight"),
+            "k_proj": lay("self_attn.k_proj.weight"),
+            "v_proj": lay("self_attn.v_proj.weight"),
+            "o_proj": lay("self_attn.o_proj.weight"),
+            "gate_proj": lay("mlp.gate_proj.weight"),
+            "up_proj": lay("mlp.up_proj.weight"),
+            "down_proj": lay("mlp.down_proj.weight"),
+        },
+        "norm": jnp.asarray(state[p + "norm.weight"]),
+        "lm_head": jnp.asarray(_t(state["lm_head.weight"])),
+    }
+    return params
+
+
+def import_clip(
+    state: StateDict, cfg: VisionConfig, prefix: str = "vision_model."
+) -> dict:
+    """HF CLIPVisionModel state dict -> clip params pytree.
+
+    Note HF's historical typo: the pre-layernorm is ``pre_layrnorm``.
+    """
+    L = cfg.num_layers
+    D = cfg.hidden_size
+    p = prefix
+
+    conv = state[p + "embeddings.patch_embedding.weight"]  # [D, C, P, P]
+    patch_w = _t(conv.reshape(D, -1))  # [C*P*P, D]
+
+    pre_key = (
+        p + "pre_layrnorm.weight"
+        if p + "pre_layrnorm.weight" in state
+        else p + "pre_layernorm.weight"
+    )
+    pre_bias_key = pre_key.replace("weight", "bias")
+
+    def lay(name, transpose=True):
+        return _stack(state, p + "encoder.layers.{i}." + name, L, transpose)
+
+    return {
+        "class_embedding": jnp.asarray(
+            state[p + "embeddings.class_embedding"].reshape(D)
+        ),
+        "patch_embedding": jnp.asarray(patch_w),
+        "position_embedding": jnp.asarray(
+            state[p + "embeddings.position_embedding.weight"]
+        ),
+        "pre_layernorm": {
+            "scale": jnp.asarray(state[pre_key]),
+            "bias": jnp.asarray(state[pre_bias_key]),
+        },
+        "layers": {
+            "ln1_scale": lay("layer_norm1.weight", transpose=False),
+            "ln1_bias": lay("layer_norm1.bias", transpose=False),
+            "ln2_scale": lay("layer_norm2.weight", transpose=False),
+            "ln2_bias": lay("layer_norm2.bias", transpose=False),
+            "q_proj": lay("self_attn.q_proj.weight"),
+            "q_bias": lay("self_attn.q_proj.bias", transpose=False),
+            "k_proj": lay("self_attn.k_proj.weight"),
+            "k_bias": lay("self_attn.k_proj.bias", transpose=False),
+            "v_proj": lay("self_attn.v_proj.weight"),
+            "v_bias": lay("self_attn.v_proj.bias", transpose=False),
+            "out_proj": lay("self_attn.out_proj.weight"),
+            "out_bias": lay("self_attn.out_proj.bias", transpose=False),
+            "fc1": lay("mlp.fc1.weight"),
+            "fc1_bias": lay("mlp.fc1.bias", transpose=False),
+            "fc2": lay("mlp.fc2.weight"),
+            "fc2_bias": lay("mlp.fc2.bias", transpose=False),
+        },
+    }
+
+
+def import_projector(
+    state: StateDict, prefix: str, projector_type: str = "mlp2x_gelu"
+) -> dict:
+    """HF Sequential(Linear, GELU, Linear, ...) -> projector pytree.
+
+    Sequential indices go 0, 2, 4, ... for the Linears. A bare Linear
+    projector stores ``{prefix}.weight`` directly.
+    """
+    depth = projector_depth(projector_type)
+    if depth == 0:
+        return {"w": [], "b": []}
+    if prefix + ".weight" in state:  # plain Linear module
+        return {
+            "w": [jnp.asarray(_t(state[prefix + ".weight"]))],
+            "b": [jnp.asarray(state[prefix + ".bias"])],
+        }
+    ws, bs = [], []
+    for i in range(depth):
+        idx = 2 * i
+        ws.append(jnp.asarray(_t(state[f"{prefix}.{idx}.weight"])))
+        bs.append(jnp.asarray(state[f"{prefix}.{idx}.bias"]))
+    return {"w": ws, "b": bs}
+
+
+def import_vcoder(state: StateDict, cfg: VCoderConfig) -> dict:
+    """Full VCoder/LLaVA checkpoint state dict -> model params pytree."""
+    params = {
+        "lm": import_llama(state, cfg.text, prefix="model."),
+        "mm_projector": import_projector(
+            state, "model.mm_projector", cfg.mm_projector_type
+        ),
+    }
+    vt_prefix = None
+    for cand in (
+        "model.vision_tower.vision_tower.vision_model.",
+        "model.vision_tower.vision_model.",
+        "vision_model.",
+    ):
+        if cand + "embeddings.class_embedding" in state:
+            vt_prefix = cand
+            break
+    if vt_prefix is not None:
+        params["vision_tower"] = import_clip(state, cfg.vision, vt_prefix)
+
+    if cfg.use_mm2_proj and "model.mm2_projector.0.weight" in state:
+        params["mm2_projector"] = import_projector(
+            state, "model.mm2_projector", cfg.mm_projector_type
+        )
+    if cfg.use_seg and "model.seg_mm_projector.0.weight" in state:
+        params["seg_projector"] = import_projector(
+            state, "model.seg_mm_projector", cfg.seg_mm_projector_type
+        )
+    if cfg.use_depth and "model.depth_mm_projector.0.weight" in state:
+        params["depth_projector"] = import_projector(
+            state, "model.depth_mm_projector", cfg.depth_mm_projector_type
+        )
+    if cfg.use_vcoder_lm_emb:
+        key = "model.vcoder_lm_emb.weight"
+        emb = state.get(key, state["model.embed_tokens.weight"])
+        params["vcoder_lm_emb"] = jnp.asarray(emb)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# File-level loading
+# ---------------------------------------------------------------------------
+
+
+def load_safetensors_state(model_dir: str) -> StateDict:
+    """Load all *.safetensors shards in a checkpoint directory as numpy."""
+    from safetensors import safe_open
+
+    state: StateDict = {}
+    files = sorted(
+        f for f in os.listdir(model_dir) if f.endswith(".safetensors")
+    )
+    if not files:
+        raise FileNotFoundError(f"No .safetensors files in {model_dir}")
+    for fname in files:
+        with safe_open(os.path.join(model_dir, fname), framework="np") as f:
+            for key in f.keys():
+                state[key] = f.get_tensor(key)
+    return state
+
+
+def load_hf_checkpoint(
+    model_dir: str,
+    dtype=jnp.bfloat16,
+    config_override: Optional[VCoderConfig] = None,
+):
+    """Load a local HF-format VCoder/LLaVA checkpoint directory.
+
+    Returns (config, params). Mirrors the role of the reference's
+    ``load_pretrained_model`` weight-loading core (reference:
+    vcoder_llava/model/builder.py:93-143); tokenizer/processor assembly
+    lives in vcoder_tpu/builder.py.
+    """
+    if config_override is None:
+        with open(os.path.join(model_dir, "config.json")) as f:
+            cfg = VCoderConfig.from_hf_config(json.load(f))
+    else:
+        cfg = config_override
+    state = load_safetensors_state(model_dir)
+    params = import_vcoder(state, cfg)
+    if dtype is not None:
+        import jax
+
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return cfg, params

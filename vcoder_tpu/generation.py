@@ -1,0 +1,223 @@
+"""Autoregressive generation: fused prefill + on-device decode loop.
+
+Replaces the reference's HF ``GenerationMixin`` loop (reference:
+vcoder_llava/serve/cli.py:121-132, eval/model_seg_loader.py:127-149) with a
+TPU-native design: prefill is one compiled graph, decode is a
+``lax.while_loop`` that stays on device until every row hits EOS or the
+token budget — no per-token host round-trips. Stop-*strings* (the
+reference's ``KeywordsStoppingCriteria``) are applied host-side on the
+decoded text afterwards, which is equivalent for the reference's stop
+criteria (the conversation separator) because generation also stops at EOS.
+
+Sampling matches HF semantics: temperature scaling then top-p nucleus
+filtering (reference serve path uses temperature 0.2; eval uses greedy).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcoder_tpu.config import VCoderConfig
+from vcoder_tpu.models import vcoder as model_mod
+from vcoder_tpu.models.llama import KVCache
+from vcoder_tpu.multimodal import SplicePlan, build_splice_plan
+
+
+def sample_token(
+    logits: jnp.ndarray,  # [B, V] f32
+    rng: jax.Array,
+    *,
+    temperature: float,
+    top_p: float,
+) -> jnp.ndarray:
+    """Greedy when temperature == 0, else temperature + nucleus sampling."""
+    if temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cumprobs = jnp.cumsum(sorted_probs, axis=-1)
+        # Keep tokens until cumulative prob exceeds top_p (the first token
+        # crossing the threshold is kept — HF convention).
+        keep = cumprobs - sorted_probs < top_p
+        threshold = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits >= threshold, logits, -jnp.inf)
+    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    sequences: np.ndarray  # [B, max_new_tokens] generated ids (pad after EOS)
+    num_generated: np.ndarray  # [B]
+    texts: Optional[list] = None
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "max_new_tokens",
+        "temperature",
+        "top_p",
+        "eos_id",
+        "use_vcoder_emb",
+        "attn_impl",
+        "has_images",
+        "has_segs",
+        "has_depths",
+    ),
+)
+def _generate_jit(
+    params,
+    cfg: VCoderConfig,
+    plan_arrays,
+    images,
+    segs,
+    depths,
+    rng,
+    *,
+    max_new_tokens: int,
+    temperature: float,
+    top_p: float,
+    eos_id: int,
+    use_vcoder_emb: bool,
+    attn_impl: str,
+    has_images: bool,
+    has_segs: bool,
+    has_depths: bool,
+):
+    B, T = plan_arrays["safe_ids"].shape
+    cache = KVCache.create(
+        cfg.text,
+        B,
+        T + max_new_tokens,
+        dtype=params["lm"]["embed_tokens"].dtype,
+    )
+    logits, cache = model_mod.prefill(
+        params,
+        cfg,
+        plan_arrays,
+        images if has_images else None,
+        segs if has_segs else None,
+        depths if has_depths else None,
+        cache=cache,
+        use_vcoder_emb=use_vcoder_emb,
+        attn_impl=attn_impl,
+    )
+
+    rng0, rng = jax.random.split(rng)
+    first_tok = sample_token(
+        logits, rng0, temperature=temperature, top_p=top_p
+    )
+
+    out_buf = jnp.zeros((B, max_new_tokens), jnp.int32)
+    out_buf = out_buf.at[:, 0].set(first_tok)
+    done = first_tok == eos_id
+
+    def cond(state):
+        step, _, _, done, _, _ = state
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(state):
+        step, tok, cache, done, out_buf, rng = state
+        positions = plan_arrays["seq_lens"] + step - 1
+        logits, cache = model_mod.decode_step(
+            params, cfg, tok, positions, cache, attn_impl=attn_impl
+        )
+        rng, sub = jax.random.split(rng)
+        nxt = sample_token(logits, sub, temperature=temperature, top_p=top_p)
+        nxt = jnp.where(done, eos_id, nxt)
+        out_buf = jax.lax.dynamic_update_slice_in_dim(
+            out_buf, nxt[:, None], step, axis=1
+        )
+        done = done | (nxt == eos_id)
+        return step + 1, nxt, cache, done, out_buf, rng
+
+    step, _, cache, done, out_buf, _ = jax.lax.while_loop(
+        cond, body, (1, first_tok, cache, done, out_buf, rng)
+    )
+    return out_buf, step
+
+
+def generate(
+    params: dict,
+    cfg: VCoderConfig,
+    input_ids: Sequence[Sequence[int]],
+    images: Optional[jnp.ndarray] = None,
+    segs: Optional[jnp.ndarray] = None,
+    depths: Optional[jnp.ndarray] = None,
+    *,
+    max_new_tokens: int = 512,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    seed: int = 0,
+    tokenizer=None,
+    stopping_criteria=None,
+    is_depth_zero: Optional[Sequence[bool]] = None,
+    attn_impl: str = "auto",
+    pad_to: Optional[int] = None,
+) -> GenerationResult:
+    """High-level generate mirroring ``model.generate(input_ids, images=,
+    segs=, depths=, ...)`` of the reference (llava_llama.py forward kwargs).
+
+    input_ids contain sentinel tokens; the splice plan is built here.
+    """
+    ds_mode = cfg.model_type == "vcoder_ds_llava"
+    plan = build_splice_plan(
+        input_ids,
+        num_patches=cfg.vision.num_patches,
+        has_image=images is not None,
+        has_seg=segs is not None,
+        has_depth=depths is not None,
+        ds_mode=ds_mode,
+        is_depth_zero=is_depth_zero,
+        pad_to=pad_to,
+    )
+    plan_arrays = model_mod.plan_to_arrays(plan)
+
+    dummy = jnp.zeros((0,), jnp.float32)
+    out_buf, steps = _generate_jit(
+        params,
+        cfg,
+        plan_arrays,
+        images if images is not None else dummy,
+        segs if segs is not None else dummy,
+        depths if depths is not None else dummy,
+        jax.random.PRNGKey(seed),
+        max_new_tokens=max_new_tokens,
+        temperature=float(temperature),
+        top_p=float(top_p),
+        eos_id=cfg.text.eos_token_id,
+        use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
+        attn_impl=attn_impl,
+        has_images=images is not None,
+        has_segs=segs is not None,
+        has_depths=depths is not None,
+    )
+    seqs = np.asarray(out_buf)
+    eos = cfg.text.eos_token_id
+
+    num_gen = np.zeros((seqs.shape[0],), np.int64)
+    texts = [] if tokenizer is not None else None
+    for b in range(seqs.shape[0]):
+        row = seqs[b]
+        stop = np.nonzero(row == eos)[0]
+        n = int(stop[0]) if stop.size else int(steps)
+        num_gen[b] = n
+        if tokenizer is not None:
+            text = tokenizer.decode(row[:n].tolist(), skip_special_tokens=True)
+            if stopping_criteria is not None:
+                for kw in getattr(stopping_criteria, "keywords", []):
+                    if text.endswith(kw):
+                        text = text[: -len(kw)]
+            texts.append(text.strip())
+    return GenerationResult(sequences=seqs, num_generated=num_gen, texts=texts)

@@ -1,0 +1,167 @@
+"""CLIP ViT vision tower in functional JAX.
+
+Replaces the reference's frozen HF ``CLIPVisionModel`` wrapper
+(reference: vcoder_llava/model/multimodal_encoder/clip_encoder.py). TPU-first
+choices:
+
+* The patch embedding is a **matmul, not a conv**: images are rearranged to
+  ``[B, num_patches, patch_size²·C]`` and multiplied by a ``[P²C, D]``
+  matrix — this maps straight onto the MXU with no conv lowering.
+* ``select_layer=-2`` (the production setting) means the output is the
+  hidden state *entering* the last transformer block, so we simply run
+  ``num_layers - 1`` blocks and skip both the final block and the
+  post-layernorm — the reference computes the full tower and throws the
+  last layer away (clip_encoder.py:29-45).
+* Attention is bidirectional flash attention on TPU.
+
+Numerics match HF ``CLIPVisionModel`` (quick-GELU, pre-LN) — validated in
+tests/test_clip_parity.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vcoder_tpu.config import VisionConfig
+from vcoder_tpu.ops.attention import multi_head_attention
+
+
+def init_clip_params(
+    rng: jax.Array, cfg: VisionConfig, dtype=jnp.float32
+) -> dict:
+    L, D, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    P, C = cfg.patch_size, cfg.num_channels
+    keys = jax.random.split(rng, 10)
+
+    def nrm(key, shape):
+        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+
+    return {
+        "class_embedding": nrm(keys[0], (D,)),
+        "patch_embedding": nrm(keys[1], (P * P * C, D)),
+        "position_embedding": nrm(keys[2], (cfg.num_positions, D)),
+        "pre_layernorm": {
+            "scale": jnp.ones((D,), dtype),
+            "bias": jnp.zeros((D,), dtype),
+        },
+        "layers": {
+            "ln1_scale": jnp.ones((L, D), dtype),
+            "ln1_bias": jnp.zeros((L, D), dtype),
+            "ln2_scale": jnp.ones((L, D), dtype),
+            "ln2_bias": jnp.zeros((L, D), dtype),
+            "q_proj": nrm(keys[3], (L, D, D)),
+            "q_bias": jnp.zeros((L, D), dtype),
+            "k_proj": nrm(keys[4], (L, D, D)),
+            "k_bias": jnp.zeros((L, D), dtype),
+            "v_proj": nrm(keys[5], (L, D, D)),
+            "v_bias": jnp.zeros((L, D), dtype),
+            "out_proj": nrm(keys[6], (L, D, D)),
+            "out_bias": jnp.zeros((L, D), dtype),
+            "fc1": nrm(keys[7], (L, D, I)),
+            "fc1_bias": jnp.zeros((L, I), dtype),
+            "fc2": nrm(keys[8], (L, I, D)),
+            "fc2_bias": jnp.zeros((L, D), dtype),
+        },
+    }
+
+
+def layer_norm(x, scale, bias, eps):
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (x * scale + bias).astype(dtype)
+
+
+def quick_gelu(x):
+    """CLIP's activation: x * sigmoid(1.702 x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def patchify(images: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, (H/P)*(W/P), P*P*C] in conv-equivalent order.
+
+    The flattening order per patch is (C, ph, pw) to match HF's Conv2d
+    weight layout [D, C, P, P] flattened — the importer flattens the conv
+    kernel the same way, so patchify(x) @ W == Conv2d(x).
+    """
+    B, H, W, C = images.shape
+    P = patch_size
+    x = images.reshape(B, H // P, P, W // P, P, C)
+    # -> [B, H/P, W/P, C, P, P] so each patch flattens as (C, ph, pw)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(B, (H // P) * (W // P), C * P * P)
+
+
+def clip_encode(
+    params: dict,
+    cfg: VisionConfig,
+    images: jnp.ndarray,
+    *,
+    attn_impl: str = "auto",
+) -> jnp.ndarray:
+    """Encode images to patch features at ``cfg.select_layer``.
+
+    Args:
+      images: [B, H, W, C] — already preprocessed (resized, normalized),
+        channel-last (TPU-friendly layout; the preprocessing pipeline emits
+        this directly).
+
+    Returns: [B, num_patches(+1), D] — CLS dropped iff
+      ``cfg.select_feature == 'patch'`` (reference: clip_encoder.py:29-37).
+    """
+    B = images.shape[0]
+    D = cfg.hidden_size
+    H, HD = cfg.num_heads, cfg.head_dim
+    eps = cfg.layer_norm_eps
+
+    patches = patchify(images, cfg.patch_size)
+    x = patches @ params["patch_embedding"]  # [B, N, D]
+    cls = jnp.broadcast_to(params["class_embedding"], (B, 1, D)).astype(x.dtype)
+    x = jnp.concatenate([cls, x], axis=1)  # [B, N+1, D]
+    x = x + params["position_embedding"][None, :, :]
+    x = layer_norm(
+        x, params["pre_layernorm"]["scale"], params["pre_layernorm"]["bias"], eps
+    )
+
+    # select_layer=-L_off means "hidden state after num_layers - L_off + 1
+    # blocks" in HF terms (hidden_states has num_layers+1 entries, entry 0
+    # being the embeddings). -2 -> run num_layers-1 blocks.
+    sl = cfg.select_layer
+    if sl < 0:
+        n_blocks = cfg.num_layers + 1 + sl
+    else:
+        n_blocks = sl
+    if not (0 <= n_blocks <= cfg.num_layers):
+        raise ValueError(f"select_layer {sl} out of range")
+
+    T = x.shape[1]
+
+    def block(x, lp):
+        residual = x
+        h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], eps)
+        q = (h @ lp["q_proj"] + lp["q_bias"]).reshape(B, T, H, HD)
+        k = (h @ lp["k_proj"] + lp["k_bias"]).reshape(B, T, H, HD)
+        v = (h @ lp["v_proj"] + lp["v_bias"]).reshape(B, T, H, HD)
+        attn = multi_head_attention(q, k, v, causal=False, impl=attn_impl)
+        x = residual + (attn.reshape(B, T, D) @ lp["out_proj"] + lp["out_bias"])
+        residual = x
+        h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], eps)
+        x = residual + (
+            quick_gelu(h @ lp["fc1"] + lp["fc1_bias"]) @ lp["fc2"]
+            + lp["fc2_bias"]
+        )
+        return x, None
+
+    sliced = jax.tree.map(lambda a: a[:n_blocks], params["layers"])
+    x, _ = jax.lax.scan(block, x, sliced)
+
+    if cfg.select_feature == "patch":
+        return x[:, 1:, :]
+    if cfg.select_feature == "cls_patch":
+        return x
+    raise ValueError(f"Unexpected select feature: {cfg.select_feature}")

@@ -1,0 +1,278 @@
+"""Llama (Vicuna v1.5) decoder in functional JAX.
+
+Replaces the reference's HF ``LlamaForCausalLM`` + CUDA flash-attn stack
+(reference: vcoder_llava/model/language_model/llava_llama.py:75-103 and
+train/llama_flash_attn_monkey_patch.py) with a TPU-first design:
+
+* Parameters are a plain pytree with **layer-stacked** weights (leading axis
+  = num_layers) so the decoder runs as a single ``lax.scan`` — one compiled
+  block regardless of depth, with optional per-layer rematerialization.
+* Matrices are stored ``[in, out]`` (``x @ W``); the checkpoint importer
+  transposes HF's ``[out, in]`` Linear layout.
+* KV cache is a preallocated static-size pytree updated with
+  ``dynamic_update_slice`` — no dynamic shapes anywhere, decode compiles to
+  one step graph.
+* RoPE/RMSNorm/SwiGLU match HF Llama numerics exactly (validated by the
+  parity tests in tests/test_llama_parity.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vcoder_tpu.config import TextConfig
+from vcoder_tpu.ops.attention import multi_head_attention
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization
+# ---------------------------------------------------------------------------
+
+
+def init_llama_params(
+    rng: jax.Array, cfg: TextConfig, dtype=jnp.float32
+) -> dict:
+    """Random-normal init (scale 0.02), layer-stacked. For tests/training
+    from scratch; production weights come from the checkpoint importer."""
+    L, D, I = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    H, KH, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    V = cfg.vocab_size
+    keys = jax.random.split(rng, 8)
+
+    def nrm(key, shape):
+        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+
+    return {
+        "embed_tokens": nrm(keys[0], (V, D)),
+        "layers": {
+            "input_layernorm": jnp.ones((L, D), dtype),
+            "post_attention_layernorm": jnp.ones((L, D), dtype),
+            "q_proj": nrm(keys[1], (L, D, H * HD)),
+            "k_proj": nrm(keys[2], (L, D, KH * HD)),
+            "v_proj": nrm(keys[3], (L, D, KH * HD)),
+            "o_proj": nrm(keys[4], (L, H * HD, D)),
+            "gate_proj": nrm(keys[5], (L, D, I)),
+            "up_proj": nrm(keys[6], (L, D, I)),
+            "down_proj": nrm(keys[7], (L, I, D)),
+        },
+        "norm": jnp.ones((D,), dtype),
+        "lm_head": nrm(jax.random.fold_in(rng, 99), (D, V)),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """HF LlamaRMSNorm: normalize in f32, scale in input dtype."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    return (x.astype(dtype)) * weight
+
+
+def rope_cos_sin(
+    positions: jnp.ndarray, head_dim: int, theta: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HF-convention rotary tables. positions: [B, T] -> [B, T, head_dim]."""
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [B,T,hd/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """x: [B, T, H, D]; cos/sin: [B, T, D] (HF rotate-half convention)."""
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    out = x * cos[:, :, None, :] + rotated * sin[:, :, None, :]
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class KVCache:
+    """Static-size per-layer KV cache (pytree).
+
+    k, v: [L, B, S_max, KH, HD]; kv_mask: [B, S_max] validity of each slot;
+    length: [B] number of populated slots per row (ragged batches supported).
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    kv_mask: jnp.ndarray
+    length: jnp.ndarray
+
+    @staticmethod
+    def create(
+        cfg: TextConfig, batch: int, max_len: int, dtype=jnp.float32
+    ) -> "KVCache":
+        L, KH, HD = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+        return KVCache(
+            k=jnp.zeros((L, batch, max_len, KH, HD), dtype),
+            v=jnp.zeros((L, batch, max_len, KH, HD), dtype),
+            kv_mask=jnp.zeros((batch, max_len), bool),
+            length=jnp.zeros((batch,), jnp.int32),
+        )
+
+
+jax.tree_util.register_dataclass(
+    KVCache, data_fields=["k", "v", "kv_mask", "length"], meta_fields=[]
+)
+
+
+# ---------------------------------------------------------------------------
+# Decoder forward
+# ---------------------------------------------------------------------------
+
+
+def llama_forward(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,
+    *,
+    attn_mask: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    cache: Optional[KVCache] = None,
+    write_offset: Optional[jnp.ndarray] = None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Optional[KVCache]]:
+    """Run the decoder stack.
+
+    Args:
+      inputs_embeds: [B, T, D] (the multimodal splice provides these; token
+        embedding happens upstream, mirroring the reference where
+        ``prepare_inputs_labels_for_multimodal`` returns embeddings).
+      attn_mask: [B, T] validity of the *current* positions.
+      position_ids: [B, T] absolute positions (RoPE + causal masking).
+      cache: optional KV cache. With a cache, keys/values are written at
+        ``write_offset + arange(T)`` per row and attention spans the whole
+        cache; without one, self-attention is over the T positions.
+      write_offset: [B] starting slot per row; defaults to ``cache.length``.
+
+    Returns: (hidden_states [B, T, D], updated cache or None)
+    """
+    B, T, D = inputs_embeds.shape
+    H, KH, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+
+    cos, sin = rope_cos_sin(position_ids, HD, cfg.rope_theta)
+
+    use_cache = cache is not None
+    if use_cache and write_offset is None:
+        write_offset = cache.length
+
+    if use_cache:
+        s_max = cache.k.shape[2]
+        slot = jnp.arange(T, dtype=jnp.int32)[None, :] + write_offset[:, None]
+        # One-hot scatter matrix [B, T, S_max]; masked-out positions write
+        # nothing (their K/V stay zero and their slot stays invalid).
+        scatter_oh = jax.nn.one_hot(
+            slot, s_max, dtype=inputs_embeds.dtype
+        ) * attn_mask[:, :, None].astype(inputs_embeds.dtype)
+        new_kv_mask = cache.kv_mask | (scatter_oh.sum(axis=1) > 0)
+
+    def layer(carry_x, layer_params_and_cache):
+        lp = layer_params_and_cache["p"]
+        x = carry_x
+        residual = x
+        h = rms_norm(x, lp["input_layernorm"], eps)
+        q = (h @ lp["q_proj"]).reshape(B, T, H, HD)
+        k = (h @ lp["k_proj"]).reshape(B, T, KH, HD)
+        v = (h @ lp["v_proj"]).reshape(B, T, KH, HD)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        out_cache = None
+        if use_cache:
+            ck, cv = layer_params_and_cache["ck"], layer_params_and_cache["cv"]
+            # Scatter new K/V into their slots: [B,T,S]x[B,T,KH,HD] -> [B,S,KH,HD]
+            ck = ck + jnp.einsum("bts,bthd->bshd", scatter_oh, k.astype(ck.dtype))
+            cv = cv + jnp.einsum("bts,bthd->bshd", scatter_oh, v.astype(cv.dtype))
+            out_cache = (ck, cv)
+            attn_out = multi_head_attention(
+                q,
+                ck,
+                cv,
+                causal=True,
+                q_positions=position_ids,
+                kv_mask=new_kv_mask,
+                impl=attn_impl,
+            )
+        else:
+            attn_out = multi_head_attention(
+                q,
+                k,
+                v,
+                causal=True,
+                q_positions=position_ids,
+                kv_mask=attn_mask,
+                impl=attn_impl,
+            )
+        attn_out = attn_out.reshape(B, T, H * HD) @ lp["o_proj"]
+        x = residual + attn_out
+
+        residual = x
+        h = rms_norm(x, lp["post_attention_layernorm"], eps)
+        mlp = (jax.nn.silu(h @ lp["gate_proj"]) * (h @ lp["up_proj"])) @ lp[
+            "down_proj"
+        ]
+        x = residual + mlp
+        return x, out_cache
+
+    if remat:
+        layer = jax.checkpoint(layer)
+
+    def scan_body(x, per_layer):
+        return layer(x, per_layer)
+
+    per_layer_inputs = {"p": params["layers"]}
+    if use_cache:
+        # Append-only cache contract: target slots are zero (fresh cache or
+        # monotonically growing length), so scatter-add == write.
+        per_layer_inputs["ck"] = cache.k
+        per_layer_inputs["cv"] = cache.v
+
+    x, stacked_cache = jax.lax.scan(scan_body, inputs_embeds, per_layer_inputs)
+
+    new_cache = None
+    if use_cache:
+        new_len = write_offset + attn_mask.astype(jnp.int32).sum(axis=1)
+        new_cache = KVCache(
+            k=stacked_cache[0],
+            v=stacked_cache[1],
+            kv_mask=new_kv_mask,
+            length=new_len,
+        )
+
+    x = rms_norm(x, params["norm"], eps)
+    return x, new_cache
+
+
+def lm_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, D] -> [B, T, V] logits (f32 for stable softmax/sampling)."""
+    return jnp.asarray(
+        hidden @ params["lm_head"], dtype=jnp.float32
+    )
+
+
+def embed_tokens(params: dict, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params["embed_tokens"], ids, axis=0)

@@ -1,0 +1,118 @@
+"""Attention entry points.
+
+One public function, :func:`multi_head_attention`, dispatches between:
+
+* ``xla``    — plain jnp reference path (works on any backend; used for CPU
+               tests and as the numerical oracle for the kernels).
+* ``pallas`` — fused flash-attention TPU kernel (ops/flash_attention.py),
+               the production path replacing the reference's CUDA flash-attn
+               dependency (reference: vcoder_llava/train/
+               llama_flash_attn_monkey_patch.py:79-91).
+
+Layout convention throughout the framework: ``[batch, seq, heads, head_dim]``
+(BTHD). Grouped-query attention is supported by passing fewer KV heads.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # large-but-finite; avoids NaNs from (-inf) - (-inf)
+
+
+def _backend() -> str:
+    return jax.default_backend()
+
+
+def repeat_kv(x: jnp.ndarray, n_rep: int) -> jnp.ndarray:
+    """[B, S, KH, D] -> [B, S, KH*n_rep, D] by head repetition (GQA)."""
+    if n_rep == 1:
+        return x
+    b, s, kh, d = x.shape
+    x = jnp.broadcast_to(x[:, :, :, None, :], (b, s, kh, n_rep, d))
+    return x.reshape(b, s, kh * n_rep, d)
+
+
+def xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Reference attention in pure jnp.
+
+    Args:
+      q: [B, T, H, D]
+      k, v: [B, S, KH, D] with H % KH == 0
+      causal: apply causal masking; query at position p attends keys <= p.
+      q_positions: [B, T] absolute positions of the queries (needed when
+        attending a KV cache where T != S). Defaults to arange(T) offset so
+        that the last query aligns with the last key.
+      kv_mask: [B, S] validity of each key/value slot.
+    Returns: [B, T, H, D]
+    """
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    kh = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+
+    k = repeat_kv(k, h // kh)
+    v = repeat_kv(v, h // kh)
+
+    # [B, H, T, S] logits with f32 accumulation.
+    logits = jnp.einsum(
+        "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+
+    mask = jnp.ones((b, t, s), dtype=bool)
+    if causal:
+        if q_positions is None:
+            q_pos = jnp.arange(t)[None, :] + (s - t)
+            q_pos = jnp.broadcast_to(q_pos, (b, t))
+        else:
+            q_pos = q_positions
+        k_pos = jnp.arange(s)[None, :]
+        mask = mask & (k_pos[:, None, :] <= q_pos[:, :, None])
+    if kv_mask is not None:
+        mask = mask & kv_mask[:, None, :].astype(bool)
+
+    logits = jnp.where(mask[:, None, :, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v)
+    return out.astype(q.dtype)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool,
+    q_positions: Optional[jnp.ndarray] = None,
+    kv_mask: Optional[jnp.ndarray] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatching attention. See :func:`xla_attention` for semantics."""
+    if impl == "auto":
+        impl = "pallas" if _backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from vcoder_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v, causal=causal, q_positions=q_positions, kv_mask=kv_mask
+        )
+    if impl == "xla":
+        return xla_attention(
+            q, k, v, causal=causal, q_positions=q_positions, kv_mask=kv_mask
+        )
+    raise ValueError(f"Unknown attention impl: {impl}")
