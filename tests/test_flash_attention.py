@@ -1,0 +1,110 @@
+"""Flash-attention kernel vs the XLA oracle (interpret mode on CPU).
+
+The Pallas kernel runs in interpreter mode here; on TPU the same code path
+compiles via Mosaic (exercised by bench.py / __graft_entry__ on hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcoder_tpu.ops.attention import xla_attention
+from vcoder_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(key, shape, dtype=jnp.float32):
+    return jax.random.normal(jax.random.PRNGKey(key), shape, dtype)
+
+
+def _check(q, k, v, *, causal, q_positions=None, kv_mask=None, atol=2e-5):
+    ref = xla_attention(
+        q, k, v, causal=causal, q_positions=q_positions, kv_mask=kv_mask
+    )
+    out = flash_attention(
+        q,
+        k,
+        v,
+        causal=causal,
+        q_positions=q_positions,
+        kv_mask=kv_mask,
+        block_q=128,
+        block_k=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=atol, rtol=1e-4
+    )
+
+
+def test_bidirectional_self_attention():
+    # CLIP-like: 577 tokens (not block-aligned), head_dim 64.
+    q = _rand(0, (2, 130, 4, 64))
+    k = _rand(1, (2, 130, 4, 64))
+    v = _rand(2, (2, 130, 4, 64))
+    _check(q, k, v, causal=False)
+
+
+def test_causal_self_attention():
+    q = _rand(3, (2, 256, 4, 32))
+    k = _rand(4, (2, 256, 4, 32))
+    v = _rand(5, (2, 256, 4, 32))
+    _check(q, k, v, causal=True)
+
+
+def test_causal_unaligned_with_padding_mask():
+    B, T = 2, 200
+    q = _rand(6, (B, T, 2, 32))
+    k = _rand(7, (B, T, 2, 32))
+    v = _rand(8, (B, T, 2, 32))
+    lens = jnp.array([150, 200])
+    kv_mask = jnp.arange(T)[None, :] < lens[:, None]
+    q_positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    _check(q, k, v, causal=True, q_positions=q_positions, kv_mask=kv_mask)
+
+
+def test_gqa_grouped_kv_heads():
+    q = _rand(9, (1, 128, 8, 32))
+    k = _rand(10, (1, 128, 2, 32))
+    v = _rand(11, (1, 128, 2, 32))
+    _check(q, k, v, causal=True)
+
+
+def test_kv_cache_cross_attention():
+    # Prefill against a larger (partially unwritten) cache: T < S.
+    B, T, S = 2, 128, 384
+    q = _rand(12, (B, T, 4, 32))
+    k = _rand(13, (B, S, 4, 32))
+    v = _rand(14, (B, S, 4, 32))
+    lens = jnp.array([100, 128])
+    kv_mask = jnp.arange(S)[None, :] < lens[:, None]
+    q_positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    _check(q, k, v, causal=True, q_positions=q_positions, kv_mask=kv_mask)
+
+
+def test_fully_masked_rows_are_zero_not_nan():
+    B, T = 1, 128
+    q = _rand(15, (B, T, 2, 32))
+    k = _rand(16, (B, T, 2, 32))
+    v = _rand(17, (B, T, 2, 32))
+    kv_mask = jnp.zeros((B, T), bool)
+    out = flash_attention(
+        q, k, v, causal=False, kv_mask=kv_mask, interpret=True
+    )
+    assert not np.any(np.isnan(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_bfloat16_inputs():
+    q = _rand(18, (1, 256, 4, 64)).astype(jnp.bfloat16)
+    k = _rand(19, (1, 256, 4, 64)).astype(jnp.bfloat16)
+    v = _rand(20, (1, 256, 4, 64)).astype(jnp.bfloat16)
+    ref = xla_attention(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32),
+        np.asarray(ref, np.float32),
+        atol=0.06,
+        rtol=0.05,
+    )

@@ -105,6 +105,12 @@ def multi_head_attention(
     """Dispatching attention. See :func:`xla_attention` for semantics."""
     if impl == "auto":
         impl = "pallas" if _backend() == "tpu" else "xla"
+    if impl == "pallas" and q.shape[1] == 1:
+        # Single-query decode step: the fused-softmax XLA path is a plain
+        # matvec chain that XLA schedules optimally; decode cost is dominated
+        # by weight streaming, not attention. (A dedicated flash-decode
+        # kernel is unnecessary at the reference's 2048+1728-token scale.)
+        impl = "xla"
     if impl == "pallas":
         from vcoder_tpu.ops.flash_attention import flash_attention
 
