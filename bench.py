@@ -1,0 +1,168 @@
+"""Headline benchmark: VCoder-DS-7B time-to-first-token on one TPU chip.
+
+Measures the p50 latency of the full fused prefill graph — shared CLIP
+tower over [RGB; seg; depth], three projector heads, static multimodal
+splice, 7B Llama prefill (Pallas flash attention), next-token argmax —
+against the BASELINE.json north-star of <250 ms p50 TTFT for VCoder-DS-7b
+(target is v5e-8; this measures a single chip, so vs_baseline >= 1 beats
+the target with 8x less hardware).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary metrics (vision-encode images/sec/chip, decode tok/s) go to
+stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+
+def _window(fn, args, iters):
+    """Queue ``iters`` async dispatches back-to-back, then fetch the last
+    result (in-order device execution fences the whole window). Amortizes
+    per-dispatch host/tunnel latency out of the device-time measurement."""
+    r = None
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    jax_block(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def _p50(fn, *args, warmup=2, iters=5, windows=5):
+    """Median per-call device time over pipelined windows. The benched fn
+    must return a SMALL array; the window fetches it via device_get —
+    block_until_ready alone does not reliably fence on the tunneled axon
+    TPU platform."""
+    for _ in range(warmup):
+        r = fn(*args)
+    jax_block(r)
+    return float(
+        np.median([_window(fn, args, iters) for _ in range(windows)])
+    )
+
+
+def jax_block(x):
+    import jax
+
+    jax.device_get(x)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from vcoder_tpu.config import VCoderConfig
+    from vcoder_tpu.models import vcoder as model_mod
+    from vcoder_tpu.models.llama import KVCache
+    from vcoder_tpu.models import clip as clip_mod
+
+    cfg = VCoderConfig.standard("vcoder_ds_llava", "7b")
+    params = model_mod.init_vcoder_params(
+        jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16
+    )
+    batch = _example_batch(cfg, batch_size=1)
+
+    # --- TTFT: fused prefill -> first token ---
+    @jax.jit
+    def ttft_step(params, batch):
+        logits, _ = model_mod.prefill(
+            params,
+            cfg,
+            batch,
+            batch["images"],
+            batch["segs"],
+            batch["depths"],
+            use_vcoder_emb=cfg.use_vcoder_lm_emb,
+        )
+        return jnp.argmax(logits, axis=-1)
+
+    ttft_s = _p50(ttft_step, params, batch)
+    ttft_ms = ttft_s * 1e3
+
+    # --- secondary: vision encode throughput (stderr) ---
+    enc_batch = 16
+
+    @jax.jit
+    def encode(params, px):
+        # Tiny reduction so the host fetch in _p50 is cheap but still
+        # forces the whole encode.
+        return clip_mod.clip_encode(
+            params["vision_tower"], cfg.vision, px
+        ).mean()
+
+    px = jax.random.normal(
+        jax.random.PRNGKey(1),
+        (enc_batch, cfg.vision.image_size, cfg.vision.image_size, 3),
+        jnp.bfloat16,
+    )
+    enc_s = _p50(encode, params, px, iters=10)
+    img_per_s = enc_batch / enc_s
+
+    # --- secondary: decode tok/s (stderr) ---
+    # Decode against a synthetic populated cache: identical compute and
+    # memory traffic to a real post-prefill cache, without holding a second
+    # prefill executable + workspace in HBM. 704 slots (not the full 1344)
+    # so params (14.5 GB) + cache + donated-update workspace fit the single
+    # 16 GB chip; decode cost is weight-streaming dominated, so the
+    # difference is <2%.
+    T = 640
+    S_cache = T + 64
+    cache = KVCache.create(cfg.text, 1, S_cache, dtype=jnp.bfloat16)
+    cache = KVCache(
+        k=cache.k,
+        v=cache.v,
+        kv_mask=(jnp.arange(S_cache) < T)[None, :],
+        length=jnp.full((1,), T, jnp.int32),
+    )
+
+    n_steps = 32
+
+    @partial(jax.jit, donate_argnums=(3,))
+    def decode_n(params, tok, pos, cache):
+        # On-device decode loop: one dispatch for n_steps tokens, so the
+        # tunnel's per-dispatch latency doesn't masquerade as decode time.
+        def body(i, carry):
+            tok, cache = carry
+            logits, cache = model_mod.decode_step(
+                params, cfg, tok, pos + i, cache
+            )
+            return jnp.argmax(logits, -1).astype(jnp.int32), cache
+
+        return jax.lax.fori_loop(0, n_steps, body, (tok, cache))
+
+    tok = jnp.zeros((1,), jnp.int32)
+    pos = jnp.full((1,), T, jnp.int32)
+    tok, cache = decode_n(params, tok, pos, cache)  # compile
+    jax_block(tok)
+    t0 = time.perf_counter()
+    tok, cache = decode_n(params, tok, pos, cache)
+    jax_block(tok)
+    tok_per_s = n_steps / (time.perf_counter() - t0)
+
+    print(
+        f"secondary: vision_encode={img_per_s:.1f} img/s/chip  "
+        f"decode={tok_per_s:.1f} tok/s (7B bf16, B=1)",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "vcoder_ds_7b_prefill_ttft_p50_single_chip",
+                "value": round(ttft_ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(250.0 / ttft_ms, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

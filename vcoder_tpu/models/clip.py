@@ -37,7 +37,7 @@ def init_clip_params(
     keys = jax.random.split(rng, 10)
 
     def nrm(key, shape):
-        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(0.02, dtype)
 
     return {
         "class_embedding": nrm(keys[0], (D,)),

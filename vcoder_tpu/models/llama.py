@@ -45,7 +45,9 @@ def init_llama_params(
     keys = jax.random.split(rng, 8)
 
     def nrm(key, shape):
-        return (jax.random.normal(key, shape) * 0.02).astype(dtype)
+        # Sample directly in the target dtype: a [L, D, I] f32 intermediate
+        # would transiently cost ~6 GB at 7B scale (OOM on one 16 GB chip).
+        return jax.random.normal(key, shape, dtype) * jnp.asarray(0.02, dtype)
 
     return {
         "embed_tokens": nrm(keys[0], (V, D)),

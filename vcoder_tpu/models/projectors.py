@@ -32,7 +32,8 @@ def init_projector_params(
         d_in = in_dim if i == 0 else out_dim
         key = jax.random.fold_in(rng, i)
         ws.append(
-            (jax.random.normal(key, (d_in, out_dim)) * 0.02).astype(dtype)
+            jax.random.normal(key, (d_in, out_dim), dtype)
+            * jnp.asarray(0.02, dtype)
         )
         bs.append(jnp.zeros((out_dim,), dtype))
     return {"w": ws, "b": bs}

@@ -1,0 +1,132 @@
+"""Parameter and activation sharding rules.
+
+Declarative path→PartitionSpec rules over the model pytree. The layout is
+Megatron-style tensor parallelism on the ``model`` axis (column-parallel
+up-projections, row-parallel down-projections, head-sharded attention)
+combined with ZeRO-3-style parameter sharding on the ``fsdp`` axis — XLA's
+SPMD partitioner materializes the all-gathers/reduce-scatters that DeepSpeed
+performs explicitly in the reference (reference: scripts/zero3.json,
+train/train.py:113-124).
+
+Layer-stacked weights have a leading ``num_layers`` axis (axis 0 of every
+``layers/*`` rule below) that is never sharded — it is the ``lax.scan``
+carrier dimension.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path regex, PartitionSpec). First match wins. Paths are '/'-joined key
+# sequences, e.g. "lm/layers/q_proj" or "mm_projector/w/0".
+PARAM_RULES = [
+    # --- Llama decoder ---
+    (r"^lm/embed_tokens$", P("fsdp", "model")),
+    (r"^lm/layers/(input|post_attention)_layernorm$", P()),
+    (r"^lm/layers/[qkv]_proj$", P(None, "fsdp", "model")),
+    (r"^lm/layers/o_proj$", P(None, "model", "fsdp")),
+    (r"^lm/layers/(gate|up)_proj$", P(None, "fsdp", "model")),
+    (r"^lm/layers/down_proj$", P(None, "model", "fsdp")),
+    (r"^lm/norm$", P()),
+    (r"^lm/lm_head$", P("fsdp", "model")),
+    (r"^vcoder_lm_emb$", P("fsdp", "model")),
+    # --- CLIP tower ---
+    (r"^vision_tower/class_embedding$", P()),
+    (r"^vision_tower/patch_embedding$", P("fsdp", "model")),
+    (r"^vision_tower/position_embedding$", P(None, "model")),
+    (r"^vision_tower/pre_layernorm/.*$", P()),
+    (r"^vision_tower/layers/ln[12]_(scale|bias)$", P()),
+    (r"^vision_tower/layers/[qkv]_proj$", P(None, "fsdp", "model")),
+    (r"^vision_tower/layers/[qkv]_bias$", P(None, "model")),
+    (r"^vision_tower/layers/out_proj$", P(None, "model", "fsdp")),
+    (r"^vision_tower/layers/out_bias$", P()),
+    (r"^vision_tower/layers/fc1$", P(None, "fsdp", "model")),
+    (r"^vision_tower/layers/fc1_bias$", P(None, "model")),
+    (r"^vision_tower/layers/fc2$", P(None, "model", "fsdp")),
+    (r"^vision_tower/layers/fc2_bias$", P()),
+    # --- projectors (mm / mm2 / seg / depth): small MLPs, fsdp-shard the
+    # matrices, replicate biases ---
+    (r"^(mm|mm2|seg|depth)_projector/w/\d+$", P("fsdp", None)),
+    (r"^(mm|mm2|seg|depth)_projector/b/\d+$", P()),
+]
+
+# Batch-bearing activations shard their leading axis over (data, fsdp) —
+# fsdp devices process distinct samples, their parameter shards are gathered
+# at use (ZeRO-3 semantics).
+BATCH_AXES = ("data", "fsdp")
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def spec_for_path(path_str: str) -> P:
+    for pattern, spec in PARAM_RULES:
+        if re.match(pattern, path_str):
+            return spec
+    return P()  # replicate by default
+
+
+def _shrink_to_fit(spec: P, shape, mesh: Mesh) -> P:
+    """Drop mesh axes from a spec when the dimension isn't divisible by the
+    axis size (tiny test configs) or the spec has more dims than the leaf."""
+    if len(spec) > len(shape):
+        return P()
+    out = []
+    for dim, names in zip(shape, tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if names is None:
+            out.append(None)
+            continue
+        names_t = names if isinstance(names, tuple) else (names,)
+        size = 1
+        for nm in names_t:
+            size *= mesh.shape[nm]
+        out.append(names if dim % size == 0 else None)
+    while out and out[-1] is None:
+        out.pop()
+    return P(*out)
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """Pytree of NamedSharding mirroring ``params``."""
+
+    def leaf(path, x):
+        spec = spec_for_path(_path_str(path))
+        spec = _shrink_to_fit(spec, x.shape, mesh)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place ``params`` on the mesh according to the rules."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Leading-axis batch sharding for inputs of rank ``ndim``."""
+    return NamedSharding(mesh, P(BATCH_AXES, *([None] * (ndim - 1))))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Shard every array in a batch pytree over its leading axis."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim)), batch
+    )
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,161 @@
+"""FSDP-sharded training step with stage-based trainable masks.
+
+The reference trains in stages with most parameters frozen (reference:
+scripts/v1_5/*.sh + the freeze logic in train drivers):
+
+* ``pretrain``   — mm_projector only (train/train.py ``tune_mm_mlp_adapter``).
+* ``vcoder``     — seg projector + vcoder_lm_emb
+                   (train/vcoder_train.py:643-649; mm2_projector frozen).
+* ``vcoder_ds``  — seg + depth projectors + vcoder_lm_emb
+                   (train/vcoder_ds_train.py:1030-1040).
+* ``it``         — seg projector + the full LLM (train/vcoder_it.py).
+* ``full``       — LLM + mm_projector, vision tower frozen
+                   (scripts/v1_5/finetune.sh).
+
+Instead of DeepSpeed's runtime ZeRO machinery, gradients are computed only
+w.r.t. the trainable sub-pytree (frozen params are closed over), and
+parameter/optimizer shardings are plain NamedShardings — XLA emits the
+ZeRO-3 gather/scatter collectives (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import re
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vcoder_tpu.config import VCoderConfig
+from vcoder_tpu.models import vcoder as model_mod
+from vcoder_tpu.parallel.sharding import _path_str
+
+STAGE_TRAINABLE = {
+    "pretrain": [r"^mm_projector/"],
+    "vcoder": [r"^seg_projector/", r"^vcoder_lm_emb$"],
+    "vcoder_ds": [
+        r"^seg_projector/",
+        r"^depth_projector/",
+        r"^vcoder_lm_emb$",
+    ],
+    "it": [r"^seg_projector/", r"^lm/"],
+    "full": [r"^lm/", r"^mm_projector/"],
+    "all": [r".*"],
+}
+
+
+def trainable_mask(params: Any, stage: str) -> Any:
+    """Bool pytree: True where the stage trains the parameter."""
+    patterns = [re.compile(p) for p in STAGE_TRAINABLE[stage]]
+
+    def leaf(path, x):
+        s = _path_str(path)
+        return any(p.match(s) for p in patterns)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def partition(params: Any, mask: Any) -> Tuple[Any, Any]:
+    """Split params into (trainable, frozen) trees with None placeholders."""
+    t = jax.tree.map(lambda p, m: p if m else None, params, mask)
+    f = jax.tree.map(lambda p, m: None if m else p, params, mask)
+    return t, f
+
+
+def combine(a: Any, b: Any) -> Any:
+    """Inverse of :func:`partition`."""
+    return jax.tree.map(
+        lambda x, y: y if x is None else x,
+        a,
+        b,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def make_optimizer(
+    lr: float,
+    total_steps: int,
+    *,
+    warmup_ratio: float = 0.03,
+    weight_decay: float = 0.0,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    max_grad_norm: Optional[float] = 1.0,
+) -> optax.GradientTransformation:
+    """Cosine schedule + linear warmup AdamW, the reference recipe
+    (scripts/v1_5/vcoder_train.sh: cosine, warmup 0.03, wd 0)."""
+    warmup = max(int(total_steps * warmup_ratio), 1)
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=lr,
+        warmup_steps=warmup,
+        decay_steps=max(total_steps, warmup + 1),
+        end_value=0.0,
+    )
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(
+        optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay)
+    )
+    return optax.chain(*chain)
+
+
+def make_train_step(
+    cfg: VCoderConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    stage: str = "vcoder_ds",
+    attn_impl: str = "auto",
+    remat: bool = True,
+) -> Callable:
+    """Build the jitted train step.
+
+    The returned function has signature
+        ``step(params, opt_state, batch) -> (params, opt_state, metrics)``
+    where ``batch`` is a dict with the SplicePlan arrays (incl. ``labels``)
+    plus optional ``images``/``segs``/``depths`` pixel arrays. Donation keeps
+    HBM flat across steps.
+    """
+    use_seg = cfg.use_seg
+    use_depth = cfg.use_depth
+
+    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
+    def step(params, opt_state, batch):
+        mask = trainable_mask(params, stage)
+        t_params, f_params = partition(params, mask)
+
+        def loss_fn(tp):
+            p = combine(tp, f_params)
+            return model_mod.train_forward(
+                p,
+                cfg,
+                batch,
+                batch.get("images"),
+                batch.get("segs") if use_seg else None,
+                batch.get("depths") if use_depth else None,
+                use_vcoder_emb=cfg.use_vcoder_lm_emb and use_seg,
+                attn_impl=attn_impl,
+                remat=remat,
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(t_params)
+        updates, opt_state = optimizer.update(grads, opt_state, t_params)
+        t_params = optax.apply_updates(t_params, updates)
+        params = combine(t_params, f_params)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    return step
+
+
+def init_opt_state(
+    params: Any, optimizer: optax.GradientTransformation, stage: str
+) -> Any:
+    """Optimizer state over the trainable sub-pytree only (the ZeRO win:
+    no Adam moments for the frozen 7B decoder)."""
+    mask = trainable_mask(params, stage)
+    t_params, _ = partition(params, mask)
+    return optimizer.init(t_params)
