@@ -1,0 +1,177 @@
+"""COST scorer tests: NLP core, extraction, CS/HS/DS math."""
+
+import numpy as np
+import pytest
+
+from vcoder_tpu.data_utils import generate_qa_pairs
+from vcoder_tpu.eval import nlp
+from vcoder_tpu.eval.extraction import (
+    build_word_to_com,
+    get_num_nouns,
+    obtain_nouns,
+    remove_specific_word,
+)
+from vcoder_tpu.eval.depth_accuracy import calculate_depth_score, score_pair
+from vcoder_tpu.eval.seg_accuracy import (
+    calculate_accuracy_hallucination,
+    extract_conversations,
+    obtain_seg_texts,
+)
+
+
+def test_word_to_num():
+    assert nlp.word_to_num("two") == 2
+    assert nlp.word_to_num("eighteen") == 18
+    assert nlp.word_to_num("twenty five") == 25
+    assert nlp.word_to_num("twenty-five") == 25
+    assert nlp.word_to_num("7") == 7
+    with pytest.raises(ValueError):
+        nlp.word_to_num("banana")
+
+
+def test_num_to_words():
+    assert nlp.num_to_words(1) == "one"
+    assert nlp.num_to_words(18) == "eighteen"
+    assert nlp.num_to_words(25) == "twenty-five"
+    assert nlp.num_to_words(40) == "forty"
+
+
+def test_plural_singular():
+    assert nlp.plural("person") == "people"
+    assert nlp.plural("car") == "cars"
+    assert nlp.plural("bench") == "benches"
+    assert nlp.plural("knife") == "knives"
+    assert nlp.plural("wine glass") == "wine glasses"
+    assert nlp.singular_noun("people") == "person"
+    assert nlp.singular_noun("cars") == "car"
+    assert nlp.singular_noun("benches") == "bench"
+    assert nlp.singular_noun("car") is False
+    assert nlp.singular_noun("grass") is False
+    assert nlp.singular_noun("bus") is False
+
+
+def test_remove_specific_word_dedup():
+    text = "wall, person, wall, window, car, window"
+    out = remove_specific_word(text, "wall")
+    out = remove_specific_word(out, "window")
+    assert out.count("wall") == 1
+    assert out.count("window") == 1
+    assert "person" in out and "car" in out
+
+
+def test_get_num_nouns():
+    text = (
+        "The objects present in the image are: two people, a car, "
+        "three buses, eighteen bottles."
+    )
+    out = get_num_nouns(text)
+    assert out == {"people": 2, "buses": 3, "bottles": 18}
+
+
+def test_obtain_nouns_counts_and_merge():
+    text = (
+        "The objects present in the image are: wall, dining table, "
+        "two people, car"
+    )
+    out = obtain_nouns(text)
+    assert out["people"] == 2
+    assert out["wall"] == 1
+    assert out["dining table"] == 1
+    assert out["car"] == 1
+    assert "image" not in out and "objects" not in out
+
+
+def test_word_to_com_canonicalization():
+    w2c = build_word_to_com(include_plurals=True)
+    assert w2c["man"] == "person"
+    assert w2c["men"] == "people"
+    assert w2c["automobile"] == "car"
+    # man + kid both canonicalize to person; count 2 -> pluralized
+    # (same as the reference's p.plural on multi-count nouns).
+    out = obtain_nouns("a man and a kid near an automobile", w2c)
+    assert out == {"people": 2, "car": 1}
+
+
+def _write_cost_files(tmp_path):
+    gt_dir = tmp_path / "gt"
+    pred_dir = tmp_path / "pred"
+    gt_dir.mkdir()
+    pred_dir.mkdir()
+    for task in ("semantic", "instance", "panoptic"):
+        (gt_dir / f"{task}.txt").write_text(
+            "<IMG>img1.jpg<IMG>The objects present in the image are: "
+            "two people, a car, wall\n"
+            "<IMG>img2.jpg<IMG>The objects present in the image are: "
+            "three dogs\n"
+        )
+        (pred_dir / f"output_{task}.txt").write_text(
+            "Image: img1.jpg\n"
+            "<<QUESTION>>: What objects can be seen in the image?\n"
+            "<<ANSWER>>: The objects present in the image are: "
+            "two people, a car, wall</s>\n"
+            "--------\n"
+            "Image: img2.jpg\n"
+            "<<QUESTION>>: What objects can be seen in the image?\n"
+            "<<ANSWER>>: The objects present in the image are: "
+            "two dogs, a cat</s>\n"
+            "--------\n"
+        )
+    return gt_dir, pred_dir
+
+
+def test_cs_hs_scoring_end_to_end(tmp_path):
+    gt_dir, pred_dir = _write_cost_files(tmp_path)
+    acc, hall = calculate_accuracy_hallucination(
+        str(gt_dir), str(pred_dir), write_json=False
+    )
+    for task in ("semantic", "instance", "panoptic"):
+        # img1: perfect -> acc 1.0, hall 0.0
+        # img2: gt {dogs:3}; pred {dogs:2, cat:1} -> acc = min/max = 2/3;
+        #        hall = mean(1-2/3, 1.0) = 2/3
+        np.testing.assert_allclose(acc[task][0], 1.0)
+        np.testing.assert_allclose(hall[task][0], 0.0)
+        np.testing.assert_allclose(acc[task][1], 2 / 3, atol=1e-6)
+        np.testing.assert_allclose(hall[task][1], 2 / 3, atol=1e-6)
+
+
+def test_ds_scoring(tmp_path):
+    gt = tmp_path / "gt.txt"
+    pred = tmp_path / "pred.txt"
+    gt.write_text(
+        "<IMG>img1.jpg<IMG>The depth order for the objects present in the "
+        "image is: person, car, tree\n"
+    )
+    pred.write_text(
+        "Image: img1.jpg\n"
+        "<<QUESTION>>: q\n"
+        "<<ANSWER>>: The depth order for the objects present in the image "
+        "is: car, person, tree</s>\n"
+    )
+    scores = calculate_depth_score(str(gt), str(pred))
+    # person |1-2|=1, car |2-1|=1, tree |3-3|=0 -> 2/3
+    np.testing.assert_allclose(scores[0], 2 / 3, atol=1e-6)
+
+
+def test_ds_missing_object_penalty():
+    s = score_pair(
+        "order: person, car",
+        "order: person",
+    )
+    # person |1-1|=0; car missing -> 100; /2 objects
+    np.testing.assert_allclose(s, 50.0)
+
+
+def test_generate_qa_pairs():
+    np.random.seed(0)
+    import random
+
+    random.seed(0)
+    text = (
+        "The objects present in the image are: wall, dining table, "
+        "two people, eighteen bottles"
+    )
+    pairs = generate_qa_pairs(text)
+    assert 1 <= len(pairs) <= 6
+    for q, a in pairs:
+        assert q.endswith("in the image?")
+        assert a in ("Yes.", "No.") or a.endswith("in the image.")

@@ -223,6 +223,150 @@ def load_safetensors_state(model_dir: str) -> StateDict:
     return state
 
 
+# ---------------------------------------------------------------------------
+# Export (pytree -> HF layout)
+# ---------------------------------------------------------------------------
+
+
+def _unstack(
+    out: StateDict, fmt: str, stacked: Array, transpose: bool
+) -> None:
+    for i in range(stacked.shape[0]):
+        m = np.asarray(stacked[i])
+        out[fmt.format(i=i)] = _t(m) if transpose else m
+
+
+def export_llama(params: dict, prefix: str = "model.") -> StateDict:
+    out: StateDict = {
+        prefix + "embed_tokens.weight": np.asarray(params["embed_tokens"]),
+        prefix + "norm.weight": np.asarray(params["norm"]),
+        "lm_head.weight": _t(np.asarray(params["lm_head"])),
+    }
+    lay = params["layers"]
+    name_map = [
+        ("input_layernorm.weight", "input_layernorm", False),
+        ("post_attention_layernorm.weight", "post_attention_layernorm", False),
+        ("self_attn.q_proj.weight", "q_proj", True),
+        ("self_attn.k_proj.weight", "k_proj", True),
+        ("self_attn.v_proj.weight", "v_proj", True),
+        ("self_attn.o_proj.weight", "o_proj", True),
+        ("mlp.gate_proj.weight", "gate_proj", True),
+        ("mlp.up_proj.weight", "up_proj", True),
+        ("mlp.down_proj.weight", "down_proj", True),
+    ]
+    for hf_name, ours, tr in name_map:
+        _unstack(out, prefix + "layers.{i}." + hf_name, lay[ours], tr)
+    return out
+
+
+def export_clip(
+    params: dict, cfg: VisionConfig, prefix: str
+) -> StateDict:
+    D = cfg.hidden_size
+    P, C = cfg.patch_size, cfg.num_channels
+    out: StateDict = {
+        prefix + "embeddings.class_embedding": np.asarray(
+            params["class_embedding"]
+        ),
+        prefix + "embeddings.patch_embedding.weight": _t(
+            np.asarray(params["patch_embedding"])
+        ).reshape(D, C, P, P),
+        prefix + "embeddings.position_embedding.weight": np.asarray(
+            params["position_embedding"]
+        ),
+        prefix + "pre_layrnorm.weight": np.asarray(
+            params["pre_layernorm"]["scale"]
+        ),
+        prefix + "pre_layrnorm.bias": np.asarray(
+            params["pre_layernorm"]["bias"]
+        ),
+    }
+    lay = params["layers"]
+    name_map = [
+        ("layer_norm1.weight", "ln1_scale", False),
+        ("layer_norm1.bias", "ln1_bias", False),
+        ("layer_norm2.weight", "ln2_scale", False),
+        ("layer_norm2.bias", "ln2_bias", False),
+        ("self_attn.q_proj.weight", "q_proj", True),
+        ("self_attn.q_proj.bias", "q_bias", False),
+        ("self_attn.k_proj.weight", "k_proj", True),
+        ("self_attn.k_proj.bias", "k_bias", False),
+        ("self_attn.v_proj.weight", "v_proj", True),
+        ("self_attn.v_proj.bias", "v_bias", False),
+        ("self_attn.out_proj.weight", "out_proj", True),
+        ("self_attn.out_proj.bias", "out_bias", False),
+        ("mlp.fc1.weight", "fc1", True),
+        ("mlp.fc1.bias", "fc1_bias", False),
+        ("mlp.fc2.weight", "fc2", True),
+        ("mlp.fc2.bias", "fc2_bias", False),
+    ]
+    for hf_name, ours, tr in name_map:
+        _unstack(out, prefix + "encoder.layers.{i}." + hf_name, lay[ours], tr)
+    return out
+
+
+def export_projector(params: dict, prefix: str) -> StateDict:
+    out: StateDict = {}
+    for i, (w, b) in enumerate(zip(params["w"], params["b"])):
+        idx = 2 * i
+        out[f"{prefix}.{idx}.weight"] = _t(np.asarray(w))
+        out[f"{prefix}.{idx}.bias"] = np.asarray(b)
+    return out
+
+
+def export_vcoder(params: dict, cfg: VCoderConfig) -> StateDict:
+    """Inverse of :func:`import_vcoder` (HF-layout state dict)."""
+    state = export_llama(params["lm"], prefix="model.")
+    state.update(
+        export_projector(params["mm_projector"], "model.mm_projector")
+    )
+    if "vision_tower" in params:
+        state.update(
+            export_clip(
+                params["vision_tower"],
+                cfg.vision,
+                "model.vision_tower.vision_tower.vision_model.",
+            )
+        )
+    if "mm2_projector" in params:
+        state.update(
+            export_projector(params["mm2_projector"], "model.mm2_projector")
+        )
+    if "seg_projector" in params:
+        state.update(
+            export_projector(
+                params["seg_projector"], "model.seg_mm_projector"
+            )
+        )
+    if "depth_projector" in params:
+        state.update(
+            export_projector(
+                params["depth_projector"], "model.depth_mm_projector"
+            )
+        )
+    if "vcoder_lm_emb" in params:
+        state["model.vcoder_lm_emb.weight"] = np.asarray(
+            params["vcoder_lm_emb"]
+        )
+    return state
+
+
+def save_pretrained(model_dir: str, params: dict, cfg: VCoderConfig) -> None:
+    """Write an HF-format checkpoint directory (config.json +
+    model.safetensors) loadable by :func:`load_hf_checkpoint` — and by the
+    reference's ``from_pretrained`` for the overlapping weight names."""
+    from safetensors.numpy import save_file
+
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(cfg.to_hf_config(), f, indent=2)
+    state = export_vcoder(params, cfg)
+    # safetensors requires contiguous arrays; bf16 numpy arrays come out of
+    # jax as ml_dtypes and serialize fine.
+    state = {k: np.ascontiguousarray(v) for k, v in state.items()}
+    save_file(state, os.path.join(model_dir, "model.safetensors"))
+
+
 def load_hf_checkpoint(
     model_dir: str,
     dtype=jnp.bfloat16,

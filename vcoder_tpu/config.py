@@ -219,6 +219,55 @@ class VCoderConfig:
     def from_json(s: str) -> "VCoderConfig":
         return VCoderConfig.from_dict(json.loads(s))
 
+    def to_hf_config(self) -> dict:
+        """Emit a HuggingFace-style ``config.json`` dict (the inverse of
+        :meth:`from_hf_config`; field names follow what the reference
+        persists in its ``initialize_*_modules``)."""
+        hf = {
+            "model_type": self.model_type,
+            "architectures": [
+                {
+                    "llava": "LlavaLlamaForCausalLM",
+                    "vcoder_llava": "VCoderLlavaLlamaForCausalLM",
+                    "vcoder_ds_llava": "VCoderDSLlavaLlamaForCausalLM",
+                    "vcoder_it_llava": "VCoderITLlavaLlamaForCausalLM",
+                }[self.model_type]
+            ],
+            "vocab_size": self.text.vocab_size,
+            "hidden_size": self.text.hidden_size,
+            "intermediate_size": self.text.intermediate_size,
+            "num_hidden_layers": self.text.num_layers,
+            "num_attention_heads": self.text.num_heads,
+            "num_key_value_heads": self.text.num_kv_heads,
+            "rope_theta": self.text.rope_theta,
+            "rms_norm_eps": self.text.rms_norm_eps,
+            "max_position_embeddings": self.text.max_position_embeddings,
+            "bos_token_id": self.text.bos_token_id,
+            "eos_token_id": self.text.eos_token_id,
+            "pad_token_id": self.text.pad_token_id,
+            "mm_vision_tower": "openai/clip-vit-large-patch14-336",
+            "mm_vision_select_layer": self.vision.select_layer,
+            "mm_vision_select_feature": self.vision.select_feature,
+            "mm_hidden_size": self.vision.hidden_size,
+            "mm_projector_type": self.mm_projector_type,
+            "image_aspect_ratio": self.image_aspect_ratio,
+            "model_max_length": self.model_max_length,
+            # Non-standard (ours): full vision geometry so tiny test
+            # checkpoints round-trip exactly.
+            "vcoder_tpu_vision": dataclasses.asdict(self.vision),
+        }
+        if self.use_seg:
+            hf["seg_mm_projector_type"] = self.seg_mm_projector_type
+            hf["seg_mm_hidden_size"] = self.vision.hidden_size
+        if self.use_depth:
+            hf["depth_mm_projector_type"] = self.depth_mm_projector_type
+            hf["depth_mm_hidden_size"] = self.vision.hidden_size
+        if self.use_mm2_proj:
+            hf["use_mm2_proj"] = True
+        if self.use_vcoder_lm_emb:
+            hf["mm_vcoder_lm_emb"] = True
+        return hf
+
     @staticmethod
     def from_hf_config(hf: dict) -> "VCoderConfig":
         """Build from a HuggingFace ``config.json`` dict of the published
@@ -241,10 +290,13 @@ class VCoderConfig:
             eos_token_id=hf.get("eos_token_id", 2),
             pad_token_id=hf.get("pad_token_id", 0) or 0,
         )
-        vision = VisionConfig(
-            select_layer=hf.get("mm_vision_select_layer", -2),
-            select_feature=hf.get("mm_vision_select_feature", "patch"),
-        )
+        if "vcoder_tpu_vision" in hf:
+            vision = VisionConfig(**hf["vcoder_tpu_vision"])
+        else:
+            vision = VisionConfig(
+                select_layer=hf.get("mm_vision_select_layer", -2),
+                select_feature=hf.get("mm_vision_select_feature", "patch"),
+            )
         flags = _variant_flags(model_type)
         # Explicit config fields override variant defaults.
         if "use_mm2_proj" in hf:

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from vcoder_tpu.config import VisionConfig
 from vcoder_tpu.ops.attention import multi_head_attention
+from vcoder_tpu.ops.quant import qmatmul as qm
 
 
 def init_clip_params(
@@ -144,15 +145,15 @@ def clip_encode(
     def block(x, lp):
         residual = x
         h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"], eps)
-        q = (h @ lp["q_proj"] + lp["q_bias"]).reshape(B, T, H, HD)
-        k = (h @ lp["k_proj"] + lp["k_bias"]).reshape(B, T, H, HD)
-        v = (h @ lp["v_proj"] + lp["v_bias"]).reshape(B, T, H, HD)
+        q = (qm(h, lp["q_proj"]) + lp["q_bias"]).reshape(B, T, H, HD)
+        k = (qm(h, lp["k_proj"]) + lp["k_bias"]).reshape(B, T, H, HD)
+        v = (qm(h, lp["v_proj"]) + lp["v_bias"]).reshape(B, T, H, HD)
         attn = multi_head_attention(q, k, v, causal=False, impl=attn_impl)
-        x = residual + (attn.reshape(B, T, D) @ lp["out_proj"] + lp["out_bias"])
+        x = residual + (qm(attn.reshape(B, T, D), lp["out_proj"]) + lp["out_bias"])
         residual = x
         h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"], eps)
         x = residual + (
-            quick_gelu(h @ lp["fc1"] + lp["fc1_bias"]) @ lp["fc2"]
+            qm(quick_gelu(qm(h, lp["fc1"]) + lp["fc1_bias"]), lp["fc2"])
             + lp["fc2_bias"]
         )
         return x, None

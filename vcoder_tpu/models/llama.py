@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from vcoder_tpu.config import TextConfig
 from vcoder_tpu.ops.attention import multi_head_attention
+from vcoder_tpu.ops.quant import qmatmul as qm
 
 
 # ---------------------------------------------------------------------------
@@ -197,9 +198,9 @@ def llama_forward(
         x = carry_x
         residual = x
         h = rms_norm(x, lp["input_layernorm"], eps)
-        q = (h @ lp["q_proj"]).reshape(B, T, H, HD)
-        k = (h @ lp["k_proj"]).reshape(B, T, KH, HD)
-        v = (h @ lp["v_proj"]).reshape(B, T, KH, HD)
+        q = qm(h, lp["q_proj"]).reshape(B, T, H, HD)
+        k = qm(h, lp["k_proj"]).reshape(B, T, KH, HD)
+        v = qm(h, lp["v_proj"]).reshape(B, T, KH, HD)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -229,14 +230,15 @@ def llama_forward(
                 kv_mask=attn_mask,
                 impl=attn_impl,
             )
-        attn_out = attn_out.reshape(B, T, H * HD) @ lp["o_proj"]
+        attn_out = qm(attn_out.reshape(B, T, H * HD), lp["o_proj"])
         x = residual + attn_out
 
         residual = x
         h = rms_norm(x, lp["post_attention_layernorm"], eps)
-        mlp = (jax.nn.silu(h @ lp["gate_proj"]) * (h @ lp["up_proj"])) @ lp[
-            "down_proj"
-        ]
+        mlp = qm(
+            jax.nn.silu(qm(h, lp["gate_proj"])) * qm(h, lp["up_proj"]),
+            lp["down_proj"],
+        )
         x = residual + mlp
         return x, out_cache
 
@@ -271,9 +273,7 @@ def llama_forward(
 
 def lm_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """[B, T, D] -> [B, T, V] logits (f32 for stable softmax/sampling)."""
-    return jnp.asarray(
-        hidden @ params["lm_head"], dtype=jnp.float32
-    )
+    return jnp.asarray(qm(hidden, params["lm_head"]), dtype=jnp.float32)
 
 
 def embed_tokens(params: dict, ids: jnp.ndarray) -> jnp.ndarray:

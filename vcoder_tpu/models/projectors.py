@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from vcoder_tpu.config import projector_depth
+from vcoder_tpu.ops.quant import qmatmul as qm
 
 
 def init_projector_params(
@@ -48,5 +49,5 @@ def apply_projector(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     for i, (w, b) in enumerate(zip(ws, bs)):
         if i > 0:
             x = jax.nn.gelu(x, approximate=False)
-        x = x @ w + b
+        x = qm(x, w) + b
     return x

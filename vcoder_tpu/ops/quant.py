@@ -1,0 +1,71 @@
+"""Weight-only int8/int4 quantization.
+
+TPU-native replacement for the reference's bitsandbytes 8-bit/NF4 loading
+(reference: vcoder_llava/model/builder.py:28-37). Symmetric per-output-
+channel scales: ``W ~= q * scale`` with the scale factored out of the
+matmul, so dequantization is a fused epilogue multiply —
+
+    x @ W  ==  (x @ q) * scale
+
+Weights stream from HBM at 1/2 (int8) or 1/4 (int4) the bf16 byte count;
+the MXU consumes them upcast in-register. NF4 double-quantization has no
+TPU analog; deltas vs the CUDA path are documented in SURVEY.md §7.3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class QuantizedTensor:
+    """q: [..., in, out] int8/int4; scale: [..., 1, out] f32."""
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+
+jax.tree_util.register_dataclass(
+    QuantizedTensor, data_fields=["q", "scale"], meta_fields=[]
+)
+
+
+def quantize(w: jnp.ndarray, bits: int = 8) -> QuantizedTensor:
+    """Symmetric per-output-channel quantization over the input axis."""
+    if bits == 8:
+        qmax, dtype = 127.0, jnp.int8
+    elif bits == 4:
+        qmax, dtype = 7.0, jnp.int4
+    else:
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / qmax
+    q = jnp.clip(jnp.round(w32 / scale), -qmax, qmax).astype(dtype)
+    return QuantizedTensor(q=q, scale=scale)
+
+
+def dequantize(w: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
+    return (w.q.astype(jnp.float32) * w.scale).astype(dtype)
+
+
+def qmatmul(
+    x: jnp.ndarray, w: Union[jnp.ndarray, QuantizedTensor]
+) -> jnp.ndarray:
+    """``x @ w`` for plain or quantized weights (scale as epilogue)."""
+    if isinstance(w, QuantizedTensor):
+        y = x @ w.q.astype(x.dtype)
+        return y * jnp.squeeze(w.scale, axis=-2).astype(x.dtype)
+    return x @ w

@@ -73,6 +73,10 @@ def _path_str(path) -> str:
 
 
 def spec_for_path(path_str: str) -> P:
+    # Quantized weights carry '/q' and '/scale' leaf suffixes; they shard
+    # like the weight itself (the scale's singleton in-dim drops any axis
+    # via _shrink_to_fit).
+    path_str = re.sub(r"/(q|scale)$", "", path_str)
     for pattern, spec in PARAM_RULES:
         if re.match(pattern, path_str):
             return spec
