@@ -111,6 +111,10 @@ class VCoderForCausalLM:
 
 
 def _load_tokenizer(model_path: str):
+    from vcoder_tpu import simple_tokenizer
+
+    if os.path.exists(os.path.join(model_path, simple_tokenizer.FILENAME)):
+        return simple_tokenizer.SimpleTokenizer.from_pretrained(model_path)
     try:
         from transformers import AutoTokenizer
 

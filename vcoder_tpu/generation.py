@@ -148,6 +148,160 @@ def _generate_jit(
     return out_buf, step
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
+        "cache_len",
+        "use_vcoder_emb",
+        "attn_impl",
+        "has_images",
+        "has_segs",
+        "has_depths",
+    ),
+)
+def _prefill_jit(
+    params,
+    cfg: VCoderConfig,
+    plan_arrays,
+    images,
+    segs,
+    depths,
+    *,
+    cache_len: int,
+    use_vcoder_emb: bool,
+    attn_impl: str,
+    has_images: bool,
+    has_segs: bool,
+    has_depths: bool,
+):
+    B = plan_arrays["safe_ids"].shape[0]
+    cache = KVCache.create(
+        cfg.text, B, cache_len, dtype=params["lm"]["embed_tokens"].dtype
+    )
+    logits, cache = model_mod.prefill(
+        params,
+        cfg,
+        plan_arrays,
+        images if has_images else None,
+        segs if has_segs else None,
+        depths if has_depths else None,
+        cache=cache,
+        use_vcoder_emb=use_vcoder_emb,
+        attn_impl=attn_impl,
+    )
+    return logits, cache
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "temperature", "top_p", "attn_impl"),
+    donate_argnums=(3,),
+)
+def _decode_one_jit(
+    params,
+    cfg: VCoderConfig,
+    tok,
+    cache,
+    positions,
+    rng,
+    *,
+    temperature: float,
+    top_p: float,
+    attn_impl: str,
+):
+    logits, cache = model_mod.decode_step(
+        params, cfg, tok, positions, cache, attn_impl=attn_impl
+    )
+    nxt = sample_token(logits, rng, temperature=temperature, top_p=top_p)
+    return nxt, cache
+
+
+def generate_stream(
+    params: dict,
+    cfg: VCoderConfig,
+    input_ids: Sequence[Sequence[int]],
+    images: Optional[jnp.ndarray] = None,
+    segs: Optional[jnp.ndarray] = None,
+    depths: Optional[jnp.ndarray] = None,
+    *,
+    tokenizer,
+    max_new_tokens: int = 512,
+    temperature: float = 0.2,
+    top_p: float = 1.0,
+    seed: int = 0,
+    stop_str: Optional[str] = None,
+    is_depth_zero: Optional[Sequence[bool]] = None,
+    attn_impl: str = "auto",
+):
+    """Token-streaming generation (batch 1): yields accumulated text after
+    each decode step. Replaces the reference's HF ``TextStreamer`` /
+    ``TextIteratorStreamer`` paths (reference: serve/cli.py:121-132,
+    serve/chat.py:133-159). The fused :func:`generate` loop stays on
+    device; this host loop trades ~1 dispatch/token for streaming UX.
+    """
+    ds_mode = cfg.model_type == "vcoder_ds_llava"
+    plan = build_splice_plan(
+        input_ids,
+        num_patches=cfg.vision.num_patches,
+        has_image=images is not None,
+        has_seg=segs is not None,
+        has_depth=depths is not None,
+        ds_mode=ds_mode,
+        is_depth_zero=is_depth_zero,
+    )
+    plan_arrays = model_mod.plan_to_arrays(plan)
+    T = plan.seq_len
+    dummy = jnp.zeros((0,), jnp.float32)
+    logits, cache = _prefill_jit(
+        params,
+        cfg,
+        plan_arrays,
+        images if images is not None else dummy,
+        segs if segs is not None else dummy,
+        depths if depths is not None else dummy,
+        cache_len=T + max_new_tokens,
+        use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
+        attn_impl=attn_impl,
+        has_images=images is not None,
+        has_segs=segs is not None,
+        has_depths=depths is not None,
+    )
+    rng = jax.random.PRNGKey(seed)
+    rng, sub = jax.random.split(rng)
+    tok = sample_token(
+        logits, sub, temperature=float(temperature), top_p=float(top_p)
+    )
+    eos = cfg.text.eos_token_id
+    generated = []
+    seq_lens = jnp.asarray(plan.seq_lens)
+    for step in range(max_new_tokens):
+        t = int(np.asarray(tok)[0])
+        if t == eos:
+            break
+        generated.append(t)
+        text = tokenizer.decode(generated, skip_special_tokens=True)
+        if stop_str and text.endswith(stop_str):
+            text = text[: -len(stop_str)]
+            yield text
+            break
+        yield text
+        if step == max_new_tokens - 1:
+            break
+        rng, sub = jax.random.split(rng)
+        tok, cache = _decode_one_jit(
+            params,
+            cfg,
+            tok,
+            cache,
+            seq_lens + step,
+            sub,
+            temperature=float(temperature),
+            top_p=float(top_p),
+            attn_impl=attn_impl,
+        )
+
+
 def generate(
     params: dict,
     cfg: VCoderConfig,
