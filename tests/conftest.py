@@ -48,7 +48,10 @@ class FakeTokenizer:
         return self.vocab[word]
 
     def __call__(self, text: str):
-        ids = [self._id(w) for w in text.split()]
+        # "</s>" tokenizes to the single EOS id, like Llama sentencepiece —
+        # the preprocess masking arithmetic depends on this.
+        words = text.replace("</s>", " </s> ").split()
+        ids = [self._id(w) for w in words]
         if self.add_bos:
             ids = [self.bos_token_id] + ids
 

@@ -1,0 +1,277 @@
+"""Training pipeline tests: preprocessing masks, COST streams on a
+synthetic data tree, collation, and a short end-to-end Trainer run with
+checkpoint resume."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vcoder_tpu.config import VCoderConfig
+from vcoder_tpu.constants import (
+    DEPTH_TOKEN_INDEX,
+    IGNORE_INDEX,
+    IMAGE_TOKEN_INDEX,
+    SEG_TOKEN_INDEX,
+)
+from vcoder_tpu.models import vcoder as model_mod
+from vcoder_tpu.train.collator import collate_batch
+from vcoder_tpu.train.datasets import (
+    VCoderDataset,
+    build_seg_cost_entries,
+    get_depth_data_split,
+    get_extra_count_data_split,
+    obtain_seg_texts,
+)
+from vcoder_tpu.train.preprocess import (
+    preprocess,
+    preprocess_plain,
+    preprocess_v1,
+    relocate_sentinels,
+)
+from vcoder_tpu.train.sampler import LengthGroupedSampler
+from vcoder_tpu.train.trainer import TrainArgs, Trainer
+
+
+def test_relocate_sentinels():
+    sources = [[
+        {"from": "human", "value": "What is this?\n<image>\n<seg>"},
+        {"from": "gpt", "value": "A dog."},
+    ]]
+    out = relocate_sentinels(sources, use_seg=True)
+    assert out[0][0]["value"] == "<seg>\n<image>\nWhat is this?"
+
+
+def test_preprocess_v1_masks_instructions(fake_tokenizer):
+    sources = [[
+        {"from": "human", "value": "<seg>\n<image>\nWhat objects are there?"},
+        {"from": "gpt", "value": "two people and a car"},
+    ]]
+    out = preprocess_v1(sources, fake_tokenizer, mode="seg")
+    ids, labels = out["input_ids"][0], out["labels"][0]
+    assert len(ids) == len(labels)
+    assert IMAGE_TOKEN_INDEX in ids and SEG_TOKEN_INDEX in ids
+    # Instruction + sentinels masked; answer visible.
+    n_vis = sum(1 for l in labels if l != IGNORE_INDEX)
+    assert 0 < n_vis < len(labels)
+    # The visible span ends with the answer tokens + EOS. (The -2 offset is
+    # exact for Llama sentencepiece; with the word-level test tokenizer it
+    # leaves one extra boundary token visible, same as the reference would.)
+    ans_ids = fake_tokenizer("two people and a car").input_ids[1:]
+    vis = [l for l in labels if l != IGNORE_INDEX]
+    assert vis[-len(ans_ids) - 1 : -1] == ans_ids
+    assert vis[-1] == fake_tokenizer.eos_token_id
+
+
+def test_preprocess_depth_offset(fake_tokenizer):
+    sources = [[
+        {
+            "from": "human",
+            "value": "<depth>\n<seg>\n<image>\nWhat objects are there?",
+        },
+        {"from": "gpt", "value": "a car"},
+    ]]
+    out = preprocess_v1(sources, fake_tokenizer, mode="depth_seg")
+    ids = out["input_ids"][0]
+    assert DEPTH_TOKEN_INDEX in ids
+    # depth rounds use the -3 instruction offset: one extra visible token
+    # vs the -2 variant on identical text.
+    out_seg = preprocess_v1(
+        [[
+            {"from": "human", "value": "<seg>\n<image>\nWhat objects are there?"},
+            {"from": "gpt", "value": "a car"},
+        ]],
+        fake_tokenizer,
+        mode="seg",
+    )
+    vis_depth = sum(1 for l in out["labels"][0] if l != IGNORE_INDEX)
+    vis_seg = sum(1 for l in out_seg["labels"][0] if l != IGNORE_INDEX)
+    assert vis_depth == vis_seg + 1
+
+
+def test_preprocess_plain(fake_tokenizer):
+    sources = [[
+        {"from": "human", "value": "<image>\nrandom stuff"},
+        {"from": "gpt", "value": "a red bus parked"},
+    ]]
+    out = preprocess_plain(sources, fake_tokenizer)
+    ids, labels = out["input_ids"][0], out["labels"][0]
+    assert ids[1] == IMAGE_TOKEN_INDEX
+    assert labels[0] == IGNORE_INDEX and labels[1] == IGNORE_INDEX
+    assert labels[2] != IGNORE_INDEX
+
+
+# ---------------------------------------------------------------------------
+# Synthetic COST tree
+# ---------------------------------------------------------------------------
+
+KEYS = [f"img{i}.jpg" for i in range(6)]
+
+
+def _make_cost_tree(root):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    for bucket in ("train", "unlabeled", "test"):
+        segm = os.path.join(root, "coco_segm_text", bucket)
+        os.makedirs(segm, exist_ok=True)
+        for task in ("panoptic", "semantic", "instance"):
+            with open(os.path.join(segm, f"{task}.txt"), "w") as f:
+                for k in KEYS:
+                    f.write(
+                        f"<IMG>{k}<IMG>The objects present in the image"
+                        f" are: two people, a car, wall ({task})\n"
+                    )
+            inf_dir = os.path.join(segm, f"{task}_inference")
+            os.makedirs(inf_dir, exist_ok=True)
+            for k in KEYS:
+                Image.fromarray(
+                    rng.randint(0, 255, (48, 64, 3), np.uint8)
+                ).save(os.path.join(inf_dir, k))
+        # depth
+        ddir = os.path.join(root, "coco_segm_text", "depth", bucket)
+        os.makedirs(os.path.join(ddir, "depth"), exist_ok=True)
+        with open(os.path.join(ddir, "panoptic_order.txt"), "w") as f:
+            for k in KEYS:
+                f.write(
+                    f"<IMG>{k}<IMG>The depth order for the objects present"
+                    f" in the image is: person, car, wall\n"
+                )
+        for k in KEYS:
+            Image.fromarray(
+                rng.randint(0, 255, (48, 64, 3), np.uint8)
+            ).save(os.path.join(ddir, "depth", k))
+        # rgb images
+        img_dir = os.path.join(root, "coco", f"{bucket}2017")
+        os.makedirs(img_dir, exist_ok=True)
+        for k in KEYS:
+            Image.fromarray(
+                rng.randint(0, 255, (48, 64, 3), np.uint8)
+            ).save(os.path.join(img_dir, k))
+
+
+def test_obtain_seg_texts_dedup(tmp_path):
+    p = tmp_path / "x.txt"
+    p.write_text("<IMG>a.jpg<IMG>wall, person, wall, window, window\n")
+    out = obtain_seg_texts(str(p))
+    assert out["a.jpg"].count("wall") == 1
+    assert out["a.jpg"].count("window") == 1
+
+
+def test_build_seg_cost_entries(tmp_path):
+    _make_cost_tree(str(tmp_path))
+    entries = build_seg_cost_entries(str(tmp_path), seed=0)
+    assert len(entries) == len(KEYS) * 3  # 3 buckets
+    e = entries[0]
+    assert set(e) >= {"conversations", "image", "seg", "seg_folder"}
+    assert e["conversations"][0]["value"].endswith("\n<image>\n<seg>")
+    # depth variant
+    d = build_seg_cost_entries(str(tmp_path), seed=0, with_depth=True)
+    assert d[0]["conversations"][0]["value"].endswith(
+        "\n<image>\n<seg>\n<depth>"
+    )
+    assert "depth_folder" in d[0]
+
+
+def test_depth_and_count_streams(tmp_path):
+    _make_cost_tree(str(tmp_path))
+    depth_entries = get_depth_data_split(str(tmp_path), seed=0)
+    assert len(depth_entries) == len(KEYS) * 3
+    assert "depth" in depth_entries[0]
+    count_entries = get_extra_count_data_split(str(tmp_path), seed=0)
+    # 1% gate on 6 keys -> usually 0; just ensure structure when present
+    for e in count_entries:
+        assert "conversations" in e and "seg" in e
+
+
+def _tiny_dataset(tmp_path, fake_tokenizer, cfg):
+    _make_cost_tree(str(tmp_path))
+    entries = build_seg_cost_entries(
+        str(tmp_path), buckets=("train",), seed=0, with_depth=True
+    )
+    return VCoderDataset(
+        entries,
+        fake_tokenizer,
+        image_folder=str(tmp_path),
+        seg_data_path=str(tmp_path),
+        depth_data_path=str(tmp_path),
+        image_size=cfg.vision.image_size,
+        use_seg=True,
+        use_depth=True,
+        model_max_length=cfg.model_max_length,
+    )
+
+
+def test_dataset_getitem_and_collate(tmp_path, fake_tokenizer):
+    cfg = VCoderConfig.tiny("vcoder_ds_llava")
+    ds = _tiny_dataset(tmp_path, fake_tokenizer, cfg)
+    sample = ds[0]
+    assert {"input_ids", "labels", "image", "seg", "depth"} <= set(sample)
+    assert sample["image"].shape == (28, 28, 3)
+
+    batch = collate_batch(
+        [ds[0], ds[1]],
+        num_patches=cfg.vision.num_patches,
+        ds_mode=True,
+        use_seg=True,
+        use_depth=True,
+        image_size=cfg.vision.image_size,
+        pad_multiple=16,
+        as_jnp=False,
+    )
+    assert batch["safe_ids"].shape[0] == 2
+    assert batch["images"].shape == (2, 28, 28, 3)
+    assert (batch["labels"] != IGNORE_INDEX).sum() > 0
+
+
+def test_sampler_covers_all_indices():
+    lengths = [10, -5, 8, -3, 12, 7, -9, 11]
+    s = LengthGroupedSampler(
+        2, 2, lengths, seed=0, group_by_modality=True
+    )
+    idx = list(iter(s))
+    assert sorted(idx) == list(range(len(lengths)))
+
+
+def test_trainer_end_to_end_with_resume(tmp_path, fake_tokenizer):
+    cfg = VCoderConfig.tiny("vcoder_ds_llava")
+    ds = _tiny_dataset(tmp_path / "data", fake_tokenizer, cfg)
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+
+    args = TrainArgs(
+        output_dir=str(tmp_path / "out"),
+        stage="vcoder_ds",
+        learning_rate=1e-3,
+        per_device_train_batch_size=2,
+        num_train_epochs=1,
+        save_steps=2,
+        attn_impl="xla",
+        remat=False,
+    )
+    trainer = Trainer(cfg, params, ds, args)
+    history = trainer.train(max_steps=3)
+    assert len(history) == 3
+    assert all(np.isfinite(h["loss"]) for h in history)
+    assert os.path.exists(str(tmp_path / "out" / "checkpoint-2"))
+    assert os.path.exists(str(tmp_path / "out" / "metrics.jsonl"))
+
+    # Adapter-only export contains exactly the stage's trainables.
+    path = trainer.save_adapters()
+    from safetensors import safe_open
+
+    with safe_open(path, framework="np") as f:
+        keys = list(f.keys())
+    assert any("seg_projector" in k for k in keys)
+    assert not any("embed_tokens" in k and "vcoder" not in k for k in keys)
+
+    # Resume restores the step counter and params.
+    params2 = model_mod.init_vcoder_params(jax.random.PRNGKey(1), cfg)
+    trainer2 = Trainer(cfg, params2, ds, args)
+    assert trainer2.maybe_resume()
+    assert trainer2.step == 2
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.params["seg_projector"]["w"][0]).shape,
+        np.asarray(trainer.params["seg_projector"]["w"][0]).shape,
+    )

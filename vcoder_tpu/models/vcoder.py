@@ -71,7 +71,10 @@ def init_vcoder_params(
             keys[5], cfg.depth_mm_projector_type, D_v, D_t, dtype
         )
     if cfg.use_vcoder_lm_emb:
-        params["vcoder_lm_emb"] = params["lm"]["embed_tokens"]
+        # A real copy, not an alias: it is an independent trainable in the
+        # reference (cloned from embed_tokens, vcoder_llava_arch.py:180),
+        # and aliased buffers break donation in the jitted train step.
+        params["vcoder_lm_emb"] = params["lm"]["embed_tokens"] + 0
     return params
 
 

@@ -19,7 +19,9 @@ from typing import List, Sequence
 
 FILENAME = "vcoder_tokenizer.json"
 
-_TOKEN_RE = re.compile(r"[a-zA-Z']+|\d|[^\sa-zA-Z\d]")
+# Special tokens lex as single units ("</s>" -> EOS), matching Llama
+# sentencepiece behavior the preprocess masking arithmetic relies on.
+_TOKEN_RE = re.compile(r"</s>|<s>|<pad>|<unk>|[a-zA-Z']+|\d|[^\sa-zA-Z\d]")
 
 
 class Encoding:
