@@ -1,0 +1,224 @@
+"""COST evaluation answer generator (seg + depth variants).
+
+Mirrors the reference loaders' behavior and record format (reference:
+vcoder_llava/eval/model_seg_loader.py, model_depth_loader.py) with TPU-
+first execution: instead of the reference's batch-1 DataLoader over one
+GPU per process, images are generated in **batches** through the fused
+prefill+decode graph, bucketed to a handful of compiled shapes. Chunked
+fan-out (``--num-chunks/--chunk-idx``) is kept for multi-host sharding —
+the filesystem remains the join point (cost.sh:10-40).
+
+Usage:
+    python -m vcoder_tpu.eval.cost_loader --model-path ... \
+        --image-folder .../val2017 --seg-image-folder .../<task>_inference \
+        --output-file output [--use-depth --depth-image-folder ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import math
+import os
+import random
+from typing import List, Optional
+
+import numpy as np
+
+from vcoder_tpu.builder import load_pretrained_model
+from vcoder_tpu.constants import (
+    DEFAULT_DEPTH_TOKEN,
+    DEFAULT_IMAGE_TOKEN,
+    DEFAULT_SEG_TOKEN,
+)
+from vcoder_tpu.conversation import SeparatorStyle, conv_templates
+from vcoder_tpu.mm_tokens import (
+    get_model_name_from_path,
+    tokenizer_depth_seg_token,
+    tokenizer_image_token,
+    tokenizer_seg_token,
+)
+from vcoder_tpu.questions import (
+    DEPTH_PARAGRAPH_SUFFIX,
+    QUESTIONS,
+    SEG_PARAGRAPH_SUFFIX,
+)
+
+
+def split_list(lst, n):
+    """reference: model_seg_loader.py:23-27"""
+    chunk_size = math.ceil(len(lst) / n)
+    return [lst[i : i + chunk_size] for i in range(0, len(lst), chunk_size)]
+
+
+def get_chunk(lst, n, k):
+    return split_list(lst, n)[k]
+
+
+def _round_up(n, m):
+    return -(-n // m) * m
+
+
+def eval_model(args, task: str) -> str:
+    from PIL import Image
+
+    model_name = get_model_name_from_path(args.model_path)
+    (
+        tokenizer,
+        model,
+        image_processor,
+        seg_image_processor,
+        depth_image_processor,
+        _,
+    ) = load_pretrained_model(args.model_path, args.model_base, model_name)
+
+    use_seg = args.use_seg and "vcoder" in model_name.lower()
+    use_depth = args.use_depth and "ds" in model_name.lower()
+
+    images = sorted(glob.glob(os.path.join(args.image_folder, "*.jpg")))
+    images = get_chunk(images, args.num_chunks, args.chunk_idx)
+
+    seg_folder = None
+    if use_seg:
+        seg_folder = args.seg_image_folder.replace("$TASK", task)
+    depth_folder = args.depth_image_folder if use_depth else None
+
+    questions = QUESTIONS["depth"] if task == "depth" else QUESTIONS[task]
+    conv_t = conv_templates[args.conv_mode]
+    stop_str = (
+        conv_t.sep if conv_t.sep_style != SeparatorStyle.TWO else conv_t.sep2
+    )
+
+    rng = random.Random(args.seed + args.chunk_idx)
+    answers_file = f"{args.output_file}_{task}.txt"
+    os.makedirs(os.path.dirname(answers_file) or ".", exist_ok=True)
+    open(answers_file, "w").close()
+
+    B = args.batch_size
+    for start in range(0, len(images), B):
+        batch_files = images[start : start + B]
+        rows, px_i, px_s, px_d, keys, quests = [], [], [], [], [], []
+        for image_file in batch_files:
+            key = os.path.basename(image_file)
+            ques = rng.choice(questions)
+            qs = DEFAULT_IMAGE_TOKEN + "\n" + ques
+            img = Image.open(image_file).convert("RGB")
+            px_i.append(
+                np.asarray(image_processor.preprocess(img)["pixel_values"])[0]
+            )
+            if seg_folder is not None:
+                seg_path = os.path.join(seg_folder, key)
+                seg = Image.open(seg_path).convert("RGB")
+                px_s.append(
+                    np.asarray(
+                        seg_image_processor.preprocess(seg)["pixel_values"]
+                    )[0]
+                )
+                qs = DEFAULT_SEG_TOKEN + "\n" + qs
+                if depth_folder is not None:
+                    d_path = os.path.join(depth_folder, key)
+                    dep = Image.open(d_path).convert("RGB")
+                    px_d.append(
+                        np.asarray(
+                            depth_image_processor.preprocess(dep)[
+                                "pixel_values"
+                            ]
+                        )[0]
+                    )
+                    qs = DEFAULT_DEPTH_TOKEN + "\n" + qs
+            else:
+                # No-seg fallback appends the paragraph-format instruction
+                # (reference: model_seg_loader.py:73, model_depth_loader.py:90).
+                qs = qs + (
+                    DEPTH_PARAGRAPH_SUFFIX
+                    if task == "depth"
+                    else SEG_PARAGRAPH_SUFFIX
+                )
+
+            conv = conv_t.copy()
+            conv.append_message(conv.roles[0], qs)
+            conv.append_message(conv.roles[1], None)
+            prompt = conv.get_prompt()
+            if depth_folder is not None and seg_folder is not None:
+                ids = tokenizer_depth_seg_token(prompt, tokenizer)
+            elif seg_folder is not None:
+                ids = tokenizer_seg_token(prompt, tokenizer)
+            else:
+                ids = tokenizer_image_token(prompt, tokenizer)
+            rows.append(list(ids))
+            keys.append(key)
+            quests.append(ques)
+
+        n_mod = 1 + int(bool(px_s)) + int(bool(px_d))
+        max_len = max(len(r) for r in rows) + n_mod * self_num_patches(model)
+        pad_to = _round_up(max_len, 256)
+
+        result = model.generate(
+            rows,
+            images=np.stack(px_i),
+            segs=np.stack(px_s) if px_s else None,
+            depths=np.stack(px_d) if px_d else None,
+            max_new_tokens=512,
+            temperature=args.temperature,
+            top_p=args.top_p if args.top_p is not None else 1.0,
+            do_sample=args.temperature > 0,
+            tokenizer=tokenizer,
+            pad_to=pad_to,
+        )
+        with open(answers_file, "a") as f:
+            for key, ques, text in zip(keys, quests, result.texts):
+                outputs = text.strip()
+                if stop_str and outputs.endswith(stop_str):
+                    outputs = outputs[: -len(stop_str)]
+                outputs = outputs.strip().strip("\n")
+                f.write(f"Image: {key}\n")
+                f.write(f"<<QUESTION>>: {ques}\n")
+                f.write(f"<<ANSWER>>: {outputs}\n")
+                f.write("-" * 55 + "\n")
+    return answers_file
+
+
+def self_num_patches(model) -> int:
+    return model.config.vision.num_patches
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--model-base", type=str, default=None)
+    parser.add_argument("--image-folder", type=str, default="")
+    parser.add_argument("--use_seg", "--use-seg", dest="use_seg",
+                        action="store_true")
+    parser.add_argument(
+        "--seg-image-folder",
+        type=str,
+        default="",
+        help="Path to <task>_inference dirs; use $TASK as placeholder",
+    )
+    parser.add_argument("--use_depth", "--use-depth", dest="use_depth",
+                        action="store_true")
+    parser.add_argument("--depth-image-folder", type=str, default="")
+    parser.add_argument("--output-file", type=str, default="output")
+    parser.add_argument("--conv-mode", type=str, default="llava_v1")
+    parser.add_argument("--num-chunks", type=int, default=1)
+    parser.add_argument("--chunk-idx", type=int, default=0)
+    parser.add_argument("--temperature", type=float, default=0.0)
+    parser.add_argument("--top_p", type=float, default=None)
+    parser.add_argument("--num_beams", type=int, default=1)
+    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--tasks",
+        type=str,
+        default="semantic,instance,panoptic",
+        help="comma-separated; use 'depth' for the depth-order eval",
+    )
+    args = parser.parse_args()
+
+    for task in args.tasks.split(","):
+        out = eval_model(args, task.strip())
+        print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

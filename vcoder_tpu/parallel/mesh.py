@@ -45,10 +45,18 @@ def make_mesh(
     """
     if devices is None:
         devices = jax.devices()
-    n = len(devices)
     sizes = {"data": data, "fsdp": fsdp, "model": model}
     fixed = {k: v for k, v in sizes.items() if v is not None}
     prod_fixed = int(np.prod(list(fixed.values()))) if fixed else 1
+    if len(fixed) == 3:
+        # Fully specified: take exactly that many devices.
+        if prod_fixed > len(devices):
+            raise ValueError(
+                f"requested {fixed} needs {prod_fixed} devices,"
+                f" have {len(devices)}"
+            )
+        devices = devices[:prod_fixed]
+    n = len(devices)
     if n % prod_fixed != 0:
         raise ValueError(f"{n} devices not divisible by {fixed}")
     free = [k for k in AXES if sizes[k] is None]

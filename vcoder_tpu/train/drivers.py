@@ -1,0 +1,172 @@
+"""Stage training drivers: the ``deepspeed <entry>_mem.py``-equivalents.
+
+Mirrors the flags of the reference launch scripts (reference:
+scripts/v1_5/{pretrain,finetune,vcoder_train,vcoder_ds_train,vcoder_it}.sh
+and the HfArgumentParser dataclasses in train/*.py) as one argparse CLI
+per stage:
+
+    python -m vcoder_tpu.train.vcoder_train    --model-path ... --seg-data-path ...
+    python -m vcoder_tpu.train.vcoder_ds_train --model-path ... ...
+
+Instead of DeepSpeed's process-per-GPU launcher, one process drives the
+whole (data, fsdp, model) mesh; dataset construction happens once, not
+per-rank (the reference re-parses ~5 min of txt per rank,
+SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    # model
+    p.add_argument("--model-path", type=str, required=True,
+                   help="base checkpoint dir (e.g. imported llava-v1.5-7b)")
+    p.add_argument("--version", type=str, default="v1")
+    p.add_argument("--output-dir", type=str, required=True)
+    # data
+    p.add_argument("--data-path", type=str, default=None,
+                   help="LLaVA-mix json (stage-3 streams)")
+    p.add_argument("--image-folder", type=str, default="")
+    p.add_argument("--seg-data-path", type=str, default="",
+                   help="COST root with coco_segm_text/")
+    p.add_argument("--depth-data-path", type=str, default="")
+    p.add_argument("--image-aspect-ratio", type=str, default="pad")
+    p.add_argument("--group-by-modality-length", type=bool, default=True)
+    # optimization (reference: scripts/v1_5/vcoder_train.sh)
+    p.add_argument("--learning-rate", type=float, default=1e-3)
+    p.add_argument("--num-train-epochs", type=int, default=2)
+    p.add_argument("--per-device-train-batch-size", type=int, default=4)
+    p.add_argument("--warmup-ratio", type=float, default=0.03)
+    p.add_argument("--weight-decay", type=float, default=0.0)
+    p.add_argument("--model-max-length", type=int, default=2048)
+    p.add_argument("--save-steps", type=int, default=1100)
+    p.add_argument("--save-total-limit", type=int, default=1)
+    p.add_argument("--logging-steps", type=int, default=1)
+    p.add_argument("--gradient-checkpointing", type=bool, default=True)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--max-steps", type=int, default=None)
+    # mesh
+    p.add_argument("--mesh-data", type=int, default=None)
+    p.add_argument("--mesh-fsdp", type=int, default=None)
+    p.add_argument("--mesh-model", type=int, default=None)
+    return p
+
+
+def run_stage(stage: str, args) -> None:
+    from vcoder_tpu.builder import load_pretrained_model
+    from vcoder_tpu.parallel import make_mesh, use_mesh
+    from vcoder_tpu.train.datasets import (
+        VCoderDataset,
+        build_seg_cost_entries,
+        get_depth_data_split,
+        get_extra_count_data_split,
+        obtain_seg_data_splits,
+        obtain_seg_depth_data_splits,
+    )
+    from vcoder_tpu.train.trainer import TrainArgs, Trainer
+
+    tokenizer, model, *_ = load_pretrained_model(args.model_path)
+    cfg = model.config
+    if tokenizer is None:
+        raise SystemExit(
+            "model-path must contain tokenizer files (or a"
+            " vcoder_tokenizer.json)"
+        )
+
+    seed = args.seed
+    if stage == "vcoder":
+        entries = build_seg_cost_entries(args.seg_data_path, seed=seed)
+        use_seg, use_depth = True, False
+    elif stage == "vcoder_ds":
+        entries = []
+        if args.data_path:
+            entries += obtain_seg_data_splits(
+                args.data_path, args.image_folder, args.seg_data_path,
+                seed=seed,
+            )
+            entries += obtain_seg_depth_data_splits(
+                args.data_path, args.image_folder,
+                args.depth_data_path or args.seg_data_path, seed=seed + 1,
+            )
+        entries += build_seg_cost_entries(
+            args.seg_data_path, seed=seed + 2, with_depth=True
+        )
+        entries += build_seg_cost_entries(
+            args.seg_data_path, seed=seed + 3
+        )
+        entries += get_depth_data_split(
+            args.depth_data_path or args.seg_data_path, seed=seed + 4
+        )
+        entries += get_extra_count_data_split(
+            args.seg_data_path, seed=seed + 5
+        )
+        use_seg, use_depth = True, True
+    elif stage == "it":
+        entries = build_seg_cost_entries(args.seg_data_path, seed=seed)
+        use_seg, use_depth = True, False
+    else:
+        raise ValueError(f"unknown stage {stage}")
+
+    dataset = VCoderDataset(
+        entries,
+        tokenizer,
+        image_folder=args.image_folder,
+        seg_data_path=args.seg_data_path,
+        depth_data_path=args.depth_data_path or args.seg_data_path,
+        image_size=cfg.vision.image_size,
+        image_aspect_ratio=args.image_aspect_ratio,
+        version=args.version,
+        model_max_length=args.model_max_length,
+        use_seg=use_seg,
+        use_depth=use_depth,
+    )
+
+    mesh = make_mesh(
+        jax.devices(),
+        data=args.mesh_data,
+        fsdp=args.mesh_fsdp,
+        model=args.mesh_model,
+    )
+    targs = TrainArgs(
+        output_dir=args.output_dir,
+        stage=stage,
+        learning_rate=args.learning_rate,
+        num_train_epochs=args.num_train_epochs,
+        per_device_train_batch_size=args.per_device_train_batch_size,
+        warmup_ratio=args.warmup_ratio,
+        weight_decay=args.weight_decay,
+        logging_steps=args.logging_steps,
+        save_steps=args.save_steps,
+        save_total_limit=args.save_total_limit,
+        model_max_length=args.model_max_length,
+        group_by_modality_length=args.group_by_modality_length,
+        seed=args.seed,
+        remat=args.gradient_checkpointing,
+    )
+    with use_mesh(mesh):
+        trainer = Trainer(cfg, model.params, dataset, targs, mesh=mesh)
+        if trainer.maybe_resume():
+            print(f"Resumed from step {trainer.step}")
+        trainer.train(max_steps=args.max_steps)
+        trainer.save_checkpoint()
+        trainer.save_adapters()
+
+        from vcoder_tpu.checkpoint import save_pretrained
+
+        save_pretrained(
+            os.path.join(args.output_dir, "final"), trainer.params, cfg
+        )
+        if hasattr(tokenizer, "save_pretrained"):
+            try:
+                tokenizer.save_pretrained(
+                    os.path.join(args.output_dir, "final")
+                )
+            except Exception:
+                pass
+    print("training complete:", args.output_dir)

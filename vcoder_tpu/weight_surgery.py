@@ -1,0 +1,131 @@
+"""Checkpoint weight surgery: delta make/apply, consolidation.
+
+Mirrors the reference tools (reference: vcoder_llava/model/make_delta.py,
+apply_delta.py, consolidate.py) operating directly on HF-layout
+safetensors state dicts:
+
+* ``make_delta``: delta = target - base, with the embed-size mismatch rule
+  (rows beyond the base vocab stay absolute — make_delta.py:23-33).
+* ``apply_delta``: target = base + delta, inverse rule (apply_delta.py).
+* ``consolidate``: re-save a checkpoint directory in consolidated form.
+
+Usage:
+    python -m vcoder_tpu.weight_surgery make-delta --base b --target t --delta d
+    python -m vcoder_tpu.weight_surgery apply-delta --base b --delta d --target t
+    python -m vcoder_tpu.weight_surgery consolidate --src s --dst d
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+from typing import Dict
+
+import numpy as np
+
+from vcoder_tpu.checkpoint import load_safetensors_state
+
+EMBED_KEYS = ("model.embed_tokens.weight", "lm_head.weight",
+              "model.vcoder_lm_emb.weight")
+
+
+def _save_state(state: Dict[str, np.ndarray], model_dir: str) -> None:
+    from safetensors.numpy import save_file
+
+    os.makedirs(model_dir, exist_ok=True)
+    save_file(
+        {k: np.ascontiguousarray(v) for k, v in state.items()},
+        os.path.join(model_dir, "model.safetensors"),
+    )
+
+
+def _copy_config(src: str, dst: str) -> None:
+    for name in ("config.json", "vcoder_tokenizer.json"):
+        p = os.path.join(src, name)
+        if os.path.exists(p):
+            shutil.copy(p, os.path.join(dst, name))
+
+
+def make_delta(base_dir: str, target_dir: str, delta_dir: str) -> None:
+    base = load_safetensors_state(base_dir)
+    target = load_safetensors_state(target_dir)
+    delta: Dict[str, np.ndarray] = {}
+    for name, param in target.items():
+        if name not in base:
+            # Modules absent from the base (adapters) stay absolute.
+            delta[name] = param
+            continue
+        bparam = base[name]
+        if param.shape == bparam.shape:
+            delta[name] = param - bparam
+        else:
+            # Embedding grew (extra tokens): subtract over the shared rows,
+            # keep the new rows absolute (reference: make_delta.py:23-33).
+            assert name in EMBED_KEYS, (
+                f"{name} has unexpected shape change"
+            )
+            d = param.copy()
+            d[: bparam.shape[0]] -= bparam
+            delta[name] = d
+    _save_state(delta, delta_dir)
+    _copy_config(target_dir, delta_dir)
+
+
+def apply_delta(base_dir: str, delta_dir: str, target_dir: str) -> None:
+    base = load_safetensors_state(base_dir)
+    delta = load_safetensors_state(delta_dir)
+    target: Dict[str, np.ndarray] = {}
+    for name, dparam in delta.items():
+        if name not in base:
+            target[name] = dparam
+            continue
+        bparam = base[name]
+        if dparam.shape == bparam.shape:
+            target[name] = bparam + dparam
+        else:
+            assert name in EMBED_KEYS, (
+                f"{name} has unexpected shape change"
+            )
+            t = dparam.copy()
+            t[: bparam.shape[0]] += bparam
+            target[name] = t
+    _save_state(target, target_dir)
+    _copy_config(delta_dir, target_dir)
+
+
+def consolidate(src_dir: str, dst_dir: str) -> None:
+    """Re-save all shards as one consolidated safetensors file
+    (reference: consolidate.py:12-18)."""
+    state = load_safetensors_state(src_dir)
+    _save_state(state, dst_dir)
+    _copy_config(src_dir, dst_dir)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    p = sub.add_parser("make-delta")
+    p.add_argument("--base", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--delta", required=True)
+    p = sub.add_parser("apply-delta")
+    p.add_argument("--base", required=True)
+    p.add_argument("--delta", required=True)
+    p.add_argument("--target", required=True)
+    p = sub.add_parser("consolidate")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+    args = parser.parse_args()
+
+    if args.cmd == "make-delta":
+        make_delta(args.base, args.target, args.delta)
+    elif args.cmd == "apply-delta":
+        apply_delta(args.base, args.delta, args.target)
+    elif args.cmd == "consolidate":
+        consolidate(args.src, args.dst)
+
+
+if __name__ == "__main__":
+    main()
