@@ -95,6 +95,60 @@ def test_fully_masked_rows_are_zero_not_nan():
     np.testing.assert_allclose(np.asarray(out), 0.0)
 
 
+def _grad_check(q, k, v, *, causal, q_positions=None, kv_mask=None,
+                atol=3e-4):
+    def loss_flash(q, k, v):
+        o = flash_attention(
+            q, k, v, causal=causal, q_positions=q_positions,
+            kv_mask=kv_mask, block_q=128, block_k=128, interpret=True,
+        )
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        o = xla_attention(
+            q, k, v, causal=causal, q_positions=q_positions,
+            kv_mask=kv_mask,
+        )
+        return jnp.sum(jnp.sin(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=atol, rtol=1e-3,
+            err_msg=f"d{name}",
+        )
+
+
+def test_backward_causal():
+    q = _rand(30, (2, 256, 2, 32))
+    k = _rand(31, (2, 256, 2, 32))
+    v = _rand(32, (2, 256, 2, 32))
+    _grad_check(q, k, v, causal=True)
+
+
+def test_backward_bidirectional_unaligned():
+    q = _rand(33, (1, 130, 2, 64))
+    k = _rand(34, (1, 130, 2, 64))
+    v = _rand(35, (1, 130, 2, 64))
+    _grad_check(q, k, v, causal=False)
+
+
+def test_backward_with_ragged_mask():
+    import jax.numpy as jnp
+
+    B, T = 2, 200
+    q = _rand(36, (B, T, 2, 32))
+    k = _rand(37, (B, T, 2, 32))
+    v = _rand(38, (B, T, 2, 32))
+    lens = jnp.array([150, 200])
+    kv_mask = jnp.arange(T)[None, :] < lens[:, None]
+    q_positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    _grad_check(
+        q, k, v, causal=True, q_positions=q_positions, kv_mask=kv_mask
+    )
+
+
 def test_bfloat16_inputs():
     q = _rand(18, (1, 256, 4, 64)).astype(jnp.bfloat16)
     k = _rand(19, (1, 256, 4, 64)).astype(jnp.bfloat16)

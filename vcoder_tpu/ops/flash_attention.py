@@ -1,26 +1,29 @@
-"""Fused flash-attention Pallas TPU kernel.
+"""Fused flash-attention Pallas TPU kernels (forward + backward).
 
 Replaces the reference's external CUDA flash-attn dependency (reference:
 vcoder_llava/train/llama_flash_attn_monkey_patch.py:79-91 uses
-``flash_attn_unpadded_qkvpacked_func``) with a TPU-native online-softmax
-kernel:
+``flash_attn_unpadded_qkvpacked_func``) with TPU-native online-softmax
+kernels:
 
-* Grid ``(B, H, num_q_blocks, num_k_blocks)`` — the KV-block axis is the
-  innermost (sequential) grid dimension, so the running max/sum/accumulator
-  live in VMEM scratch across KV steps (classic flash-attention recurrence).
-* Both matmuls ride the MXU with f32 accumulation
-  (``preferred_element_type``); inputs stay in their storage dtype (bf16 in
-  production).
-* Causality is *position-based*, not index-based: queries carry absolute
-  positions (``q_positions``), which makes the same kernel serve ragged
-  right-padded prefill batches and KV-cache attention where ``T != S``.
-* ``kv_mask`` handles padded/unwritten cache slots; fully-masked query rows
-  produce 0 (guarded divide), never NaN.
-* Causal early-exit: KV blocks strictly above the diagonal are skipped via
-  predication.
+* Forward grid ``(B, H, num_q_blocks, num_k_blocks)`` — the KV-block axis
+  is the innermost (sequential) grid dimension, so the running
+  max/sum/accumulator live in VMEM scratch across KV steps. The kernel also
+  emits the per-row log-sum-exp residual for the backward pass.
+* Backward is two kernels (flash-attention-2 style): dQ over
+  ``(B, H, nq, nk)`` and dK/dV over ``(B, H, nk, nq)``, each recomputing
+  the probability block from Q/K and the saved LSE — O(T) memory, no
+  materialized attention matrix. Wired as ``jax.custom_vjp``; GQA
+  (grouped KV heads) is forward-only and falls back to the XLA path for
+  gradients (Vicuna and CLIP are both MHA).
+* Causality is *position-based*: queries carry absolute positions
+  (``q_positions``), so the same kernel serves ragged right-padded prefill
+  batches and KV-cache attention where T != S. ``kv_mask`` handles
+  padded/unwritten cache slots; fully-masked rows produce 0, never NaN.
+* Scalar row statistics (LSE, the dO·O delta) travel as ``[..., 8]``
+  lane-broadcast tensors so every block meets the (8, 128) tiling rule.
 
-Decode steps (T == 1) dispatch to the specialized kernel in
-ops/decode_attention.py via :func:`vcoder_tpu.ops.attention.multi_head_attention`.
+Decode steps (T == 1) dispatch to the XLA matvec path in
+:func:`vcoder_tpu.ops.attention.multi_head_attention`.
 """
 
 from __future__ import annotations
@@ -34,19 +37,26 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+LANES = 8  # row-stat lane padding
 
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _flash_kernel(
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
     qpos_ref,  # [1, 1, bq] int32
     kmask_ref,  # [1, 1, bk] int32
     q_ref,  # [1, 1, bq, D]
     k_ref,  # [1, 1, bk, D]
     v_ref,  # [1, 1, bk, D]
     o_ref,  # [1, 1, bq, D]
+    lse_ref,  # [1, 1, bq, LANES] f32
     m_scr,  # [bq, 128] f32
     l_scr,  # [bq, 128] f32
     acc_scr,  # [bq, D] f32
@@ -69,8 +79,6 @@ def _flash_kernel(
     q_pos = qpos_ref[0, 0, :]  # [bq]
 
     if causal:
-        # Skip KV blocks strictly above the causal diagonal for every query
-        # in this block.
         should_compute = jnp.max(q_pos) >= j * block_k
     else:
         should_compute = True
@@ -86,10 +94,10 @@ def _flash_kernel(
             k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bq, bk]
+        )
         s = s * scale
 
-        mask = kmask_ref[0, 0, :].astype(bool)[None, :]  # [1, bk]
+        mask = kmask_ref[0, 0, :].astype(bool)[None, :]
         if causal:
             k_ids = j * block_k + jax.lax.broadcasted_iota(
                 jnp.int32, (bq, bk), 1
@@ -97,14 +105,12 @@ def _flash_kernel(
             mask = mask & (k_ids <= q_pos[:, None])
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scr[:, :1]  # [bq, 1]
+        m_prev = m_scr[:, :1]
         l_prev = l_scr[:, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
-        p = jnp.exp(s - m_new)  # [bq, bk]
-        # Fully-masked rows: m_new == NEG_INF -> s - m_new == 0 -> p == 1,
-        # which would pollute l. Zero them via the mask.
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
         p = jnp.where(mask, p, 0.0)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
 
@@ -113,7 +119,7 @@ def _flash_kernel(
             v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bq, D]
+        )
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -122,80 +128,34 @@ def _flash_kernel(
     def _finalize():
         l = l_scr[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        out = acc_scr[:] / l_safe
-        o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
+        o_ref[0, 0, :, :] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse = m_scr[:, :1] + jnp.log(l_safe)
+        lse_ref[0, 0, :, :] = jnp.broadcast_to(
+            lse, (lse.shape[0], LANES)
+        )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("causal", "block_q", "block_k", "interpret"),
-)
-def flash_attention(
-    q: jnp.ndarray,  # [B, T, H, D]
-    k: jnp.ndarray,  # [B, S, KH, D]
-    v: jnp.ndarray,  # [B, S, KH, D]
-    *,
-    causal: bool,
-    q_positions: Optional[jnp.ndarray] = None,  # [B, T] int32
-    kv_mask: Optional[jnp.ndarray] = None,  # [B, S] bool
-    block_q: int = 512,
-    block_k: int = 512,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Flash attention. Semantics identical to ops.attention.xla_attention."""
-    B, T, H, D = q.shape
-    S, KH = k.shape[1], k.shape[2]
-    assert H % KH == 0, (H, KH)
+def _flash_fwd(q, k, v, q_positions, kv_mask, causal, bq, bk, interpret):
+    """q: [B, H, Tp, D]; k/v: [B, KH, Sp, D] (already padded/laid out)."""
+    B, H, Tp, D = q.shape
+    KH, Sp = k.shape[1], k.shape[2]
     group = H // KH
     scale = D**-0.5
-
-    if q_positions is None:
-        q_positions = jnp.broadcast_to(
-            jnp.arange(T, dtype=jnp.int32)[None, :] + (S - T), (B, T)
-        )
-    if kv_mask is None:
-        kv_mask = jnp.ones((B, S), dtype=jnp.int32)
-
-    bq = min(block_q, _round_up(T, 128))
-    bk = min(block_k, _round_up(S, 128))
-    Tp = _round_up(T, bq)
-    Sp = _round_up(S, bk)
-
-    if Tp != T:
-        q = jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
-        # Padded queries get position 0: cheap, non-NaN, sliced off below.
-        q_positions = jnp.pad(q_positions, ((0, 0), (0, Tp - T)))
-    if Sp != S:
-        k = jnp.pad(k, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
-        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, Sp - S)))
-
-    # Kernel-native layout: [B, H, T, D] so every block's trailing two dims
-    # are (seq, head_dim) — tileable without sublane padding.
-    q = q.transpose(0, 2, 1, 3)
-    k = k.transpose(0, 2, 1, 3)
-    v = v.transpose(0, 2, 1, 3)
-    q_positions = q_positions.astype(jnp.int32)[:, None, :]  # [B, 1, Tp]
-    kv_mask = kv_mask.astype(jnp.int32)[:, None, :]  # [B, 1, Sp]
-
     grid = (B, H, Tp // bq, Sp // bk)
 
     kernel = functools.partial(
-        _flash_kernel, scale=scale, causal=causal, block_k=bk
+        _fwd_kernel, scale=scale, causal=causal, block_k=bk
     )
-
     flops_mask = 0.5 if causal else 1.0
     cost = pl.CostEstimate(
         flops=int(4 * B * H * Tp * Sp * D * flops_mask),
         bytes_accessed=int(
-            q.size * q.dtype.itemsize
+            2 * q.size * q.dtype.itemsize
             + (k.size + v.size) * k.dtype.itemsize * group
-            + q.size * q.dtype.itemsize
         ),
         transcendentals=int(B * H * Tp * Sp * flops_mask),
     )
-
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -225,12 +185,22 @@ def flash_attention(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, bq, D),
-            lambda b, h, i, j: (b, h, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, bq, D),
+                lambda b, h, i, j: (b, h, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, bq, LANES),
+                lambda b, h, i, j: (b, h, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Tp, LANES), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((bq, 128), jnp.float32),
             pltpu.VMEM((bq, 128), jnp.float32),
@@ -239,8 +209,327 @@ def flash_attention(
         cost_estimate=cost,
         interpret=interpret,
     )(q_positions, kv_mask, q, k, v)
+    return out, lse
 
-    out = out.transpose(0, 2, 1, 3)  # back to [B, Tp, H, D]
+
+# ---------------------------------------------------------------------------
+# Backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _recompute_p(q, k, lse, mask, q_pos, j, bk, scale, causal):
+    """Rebuild the probability block from saved LSE. Shapes: q [bq, D],
+    k [bk, D], lse [bq, 1] f32, mask [1/bq, bk] bool."""
+    bq = q.shape[0]
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+    if causal:
+        k_ids = j * bk + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, k.shape[0]), 1
+        )
+        mask = mask & (k_ids <= q_pos[:, None])
+    p = jnp.exp(jnp.where(mask, s, NEG_INF) - lse)
+    return jnp.where(mask, p, 0.0)
+
+
+def _bwd_dq_kernel(
+    qpos_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dq_scr,
+    *, scale, causal, block_k,
+):
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros(dq_scr.shape, jnp.float32)
+
+    q_pos = qpos_ref[0, 0, :]
+    should = jnp.max(q_pos) >= j * block_k if causal else True
+
+    @pl.when(should)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, :, :1]
+        delta = delta_ref[0, 0, :, :1]
+        mask = kmask_ref[0, 0, :].astype(bool)[None, :]
+        p = _recompute_p(q, k, lse, mask, q_pos, j, block_k, scale, causal)
+        dp = jax.lax.dot_general(
+            do, v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        dq_scr[:] += scale * jax.lax.dot_general(
+            ds.astype(k.dtype), k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        dq_ref[0, 0, :, :] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    qpos_ref, kmask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, scale, causal, block_k,
+):
+    j = pl.program_id(2)  # kv block
+    i = pl.program_id(3)  # q block (inner loop)
+    ni = pl.num_programs(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros(dk_scr.shape, jnp.float32)
+        dv_scr[:] = jnp.zeros(dv_scr.shape, jnp.float32)
+
+    q_pos = qpos_ref[0, 0, :]
+    should = jnp.max(q_pos) >= j * block_k if causal else True
+
+    @pl.when(should)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, :, :1]
+        delta = delta_ref[0, 0, :, :1]
+        mask = kmask_ref[0, 0, :].astype(bool)[None, :]
+        p = _recompute_p(q, k, lse, mask, q_pos, j, block_k, scale, causal)
+        # dV += P^T dO
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta)
+        # dK += dS^T Q
+        dk_scr[:] += scale * jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(i == ni - 1)
+    def _finalize():
+        dk_ref[0, 0, :, :] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, q_positions, kv_mask, out, lse, g,
+               causal, bq, bk, interpret):
+    B, H, Tp, D = q.shape
+    Sp = k.shape[2]
+    assert k.shape[1] == H, "pallas flash bwd requires MHA (group == 1)"
+    scale = D**-0.5
+
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # [B, H, Tp]
+    delta = jnp.broadcast_to(delta[..., None], (B, H, Tp, LANES))
+
+    qpos_spec = pl.BlockSpec(
+        (1, 1, bq), lambda b, h, x, y: (b, 0, x), memory_space=pltpu.VMEM
+    )
+    # dq grid: x = q block (i), y = kv block (j)
+    dq_specs = dict(
+        kmask=pl.BlockSpec(
+            (1, 1, bk), lambda b, h, i, j: (b, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        q=pl.BlockSpec(
+            (1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        kv=pl.BlockSpec(
+            (1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        row=pl.BlockSpec(
+            (1, 1, bq, LANES), lambda b, h, i, j: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal, block_k=bk
+        ),
+        grid=(B, H, Tp // bq, Sp // bk),
+        in_specs=[
+            qpos_spec, dq_specs["kmask"], dq_specs["q"], dq_specs["kv"],
+            dq_specs["kv"], dq_specs["q"], dq_specs["row"], dq_specs["row"],
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        interpret=interpret,
+    )(q_positions, kv_mask, q, k, v, g, lse, delta)
+
+    # dkv grid: x = kv block (j), y = q block (i, inner)
+    dkv_qpos = pl.BlockSpec(
+        (1, 1, bq), lambda b, h, j, i: (b, 0, i), memory_space=pltpu.VMEM
+    )
+    dkv_specs = dict(
+        kmask=pl.BlockSpec(
+            (1, 1, bk), lambda b, h, j, i: (b, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        q=pl.BlockSpec(
+            (1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        kv=pl.BlockSpec(
+            (1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        row=pl.BlockSpec(
+            (1, 1, bq, LANES), lambda b, h, j, i: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal, block_k=bk
+        ),
+        grid=(B, H, Sp // bk, Tp // bq),
+        in_specs=[
+            dkv_qpos, dkv_specs["kmask"], dkv_specs["q"], dkv_specs["kv"],
+            dkv_specs["kv"], dkv_specs["q"], dkv_specs["row"],
+            dkv_specs["row"],
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sp, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Sp, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bk, D), jnp.float32),
+            pltpu.VMEM((bk, D), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_positions, kv_mask, q, k, v, g, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp core ([B, H, T, D] layout, pre-padded)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_core(q, k, v, q_positions, kv_mask, causal, bq, bk, interpret):
+    out, _ = _flash_fwd(
+        q, k, v, q_positions, kv_mask, causal, bq, bk, interpret
+    )
+    return out
+
+
+def _flash_core_fwd(q, k, v, q_positions, kv_mask, causal, bq, bk,
+                    interpret):
+    out, lse = _flash_fwd(
+        q, k, v, q_positions, kv_mask, causal, bq, bk, interpret
+    )
+    return out, (q, k, v, q_positions, kv_mask, out, lse)
+
+
+def _flash_core_bwd(causal, bq, bk, interpret, res, g):
+    q, k, v, q_positions, kv_mask, out, lse = res
+    dq, dk, dv = _flash_bwd(
+        q, k, v, q_positions, kv_mask, out, lse, g,
+        causal, bq, bk, interpret,
+    )
+    return dq, dk, dv, None, None
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public wrapper ([B, T, H, D] layout, arbitrary lengths)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jnp.ndarray,  # [B, T, H, D]
+    k: jnp.ndarray,  # [B, S, KH, D]
+    v: jnp.ndarray,  # [B, S, KH, D]
+    *,
+    causal: bool,
+    q_positions: Optional[jnp.ndarray] = None,  # [B, T] int32
+    kv_mask: Optional[jnp.ndarray] = None,  # [B, S] bool
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Flash attention; semantics identical to ops.attention.xla_attention.
+    Differentiable (Pallas backward) when KH == H."""
+    B, T, H, D = q.shape
+    S, KH = k.shape[1], k.shape[2]
+    assert H % KH == 0, (H, KH)
+
+    if q_positions is None:
+        q_positions = jnp.broadcast_to(
+            jnp.arange(T, dtype=jnp.int32)[None, :] + (S - T), (B, T)
+        )
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, S), dtype=jnp.int32)
+
+    bq = min(block_q, _round_up(T, 128))
+    bk = min(block_k, _round_up(S, 128))
+    Tp = _round_up(T, bq)
+    Sp = _round_up(S, bk)
+
+    if Tp != T:
+        q = jnp.pad(q, ((0, 0), (0, Tp - T), (0, 0), (0, 0)))
+        # Padded queries get position 0: cheap, non-NaN, sliced off below.
+        q_positions = jnp.pad(q_positions, ((0, 0), (0, Tp - T)))
+    if Sp != S:
+        k = jnp.pad(k, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, Sp - S), (0, 0), (0, 0)))
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, Sp - S)))
+
+    # Kernel-native layout: [B, H, T, D].
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    q_positions = q_positions.astype(jnp.int32)[:, None, :]
+    kv_mask = kv_mask.astype(jnp.int32)[:, None, :]
+
+    out = _flash_core(
+        q, k, v, q_positions, kv_mask, causal, bq, bk, interpret
+    )
+    out = out.transpose(0, 2, 1, 3)
     if Tp != T:
         out = out[:, :T]
     return out
