@@ -1,0 +1,335 @@
+"""Continuous-batching serving engine.
+
+The reference serves one request at a time through HF ``generate``
+(reference: serve/chat.py, serve/cli.py). This engine is the TPU-native
+replacement for production serving:
+
+* a fixed pool of ``max_batch`` decode slots shares one jitted decode step
+  — requests join and leave the batch between steps (continuous batching);
+* per-request multimodal prefill (1/2/3 modalities -> 576/1152/1728 vision
+  tokens) runs through the fused prefill graph at bucketed lengths, then
+  its KV block is inserted into the slot cache with one
+  ``dynamic_update_slice`` — no recompilation per request;
+* decode is one ``[max_batch]`` step regardless of occupancy; inactive
+  slots are masked. Per-request temperature rides as a vector.
+
+Slot caches are contiguous per request (JetStream-style). At VCoder's
+sequence scale (<=2048 text + 1728 vision tokens) a block-table paged
+layout buys nothing over slots; token budget per slot is static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcoder_tpu.config import VCoderConfig
+from vcoder_tpu.models import vcoder as model_mod
+from vcoder_tpu.models.llama import KVCache
+from vcoder_tpu.multimodal import build_splice_plan
+
+PREFILL_BUCKETS = (512, 1024, 1536, 2048, 2560, 3072, 4096)
+
+
+def _bucket(n: int) -> int:
+    for b in PREFILL_BUCKETS:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt too long: {n}")
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    input_ids: List[int]
+    images: Optional[np.ndarray] = None
+    segs: Optional[np.ndarray] = None
+    depths: Optional[np.ndarray] = None
+    max_new_tokens: int = 256
+    temperature: float = 0.0
+    # runtime state
+    slot: int = -1
+    prompt_len: int = 0
+    generated: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "use_vcoder_emb", "has_images", "has_segs",
+                     "has_depths", "attn_impl"),
+    donate_argnums=(6,),
+)
+def _prefill_insert(
+    params,
+    cfg: VCoderConfig,
+    plan_arrays,
+    images,
+    segs,
+    depths,
+    cache: KVCache,  # engine slot cache [L, B_max, S_max, ...]
+    slot,  # [] int32
+    *,
+    use_vcoder_emb: bool,
+    has_images: bool,
+    has_segs: bool,
+    has_depths: bool,
+    attn_impl: str,
+):
+    """Prefill one request at bucketed length T, insert its KV into the
+    slot cache, return first-token logits + updated cache."""
+    T = plan_arrays["safe_ids"].shape[1]
+    tmp = KVCache.create(cfg.text, 1, T, dtype=cache.k.dtype)
+    logits, tmp = model_mod.prefill(
+        params,
+        cfg,
+        plan_arrays,
+        images if has_images else None,
+        segs if has_segs else None,
+        depths if has_depths else None,
+        cache=tmp,
+        use_vcoder_emb=use_vcoder_emb,
+        attn_impl=attn_impl,
+    )
+    # Insert [L, 1, T, KH, HD] at (slot, 0).
+    L = cache.k.shape[0]
+    k = jax.lax.dynamic_update_slice(
+        cache.k, tmp.k.astype(cache.k.dtype), (0, slot, 0, 0, 0)
+    )
+    v = jax.lax.dynamic_update_slice(
+        cache.v, tmp.v.astype(cache.v.dtype), (0, slot, 0, 0, 0)
+    )
+    s_max = cache.kv_mask.shape[1]
+    row_mask = jnp.arange(s_max) < tmp.length[0]
+    kv_mask = jax.lax.dynamic_update_slice(
+        cache.kv_mask, row_mask[None, :], (slot, 0)
+    )
+    length = jax.lax.dynamic_update_slice(
+        cache.length, tmp.length, (slot,)
+    )
+    return logits[0], KVCache(k=k, v=v, kv_mask=kv_mask, length=length)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "attn_impl"),
+    donate_argnums=(3,),
+)
+def _decode_all(
+    params,
+    cfg: VCoderConfig,
+    tokens,  # [B_max] int32
+    cache: KVCache,
+    active,  # [B_max] bool
+    temperature,  # [B_max] f32
+    rng,
+    *,
+    attn_impl: str,
+):
+    """One decode step for every slot; inactive slots are masked out of the
+    cache write and their sampled token is ignored by the host."""
+    positions = cache.length  # next position == current length
+    embeds = model_mod.llama_mod.embed_tokens(
+        params["lm"], tokens[:, None]
+    )
+    hidden, cache = model_mod.llama_mod.llama_forward(
+        params["lm"],
+        cfg.text,
+        embeds,
+        attn_mask=active[:, None],
+        position_ids=positions[:, None],
+        cache=cache,
+        write_offset=positions,
+        attn_impl=attn_impl,
+    )
+    logits = model_mod.llama_mod.lm_head(params["lm"], hidden)[:, 0]
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temp_safe = jnp.maximum(temperature, 1e-6)
+    sampled = jax.random.categorical(
+        rng, logits / temp_safe[:, None], axis=-1
+    ).astype(jnp.int32)
+    nxt = jnp.where(temperature > 0.0, sampled, greedy)
+    return nxt, cache
+
+
+class ServingEngine:
+    def __init__(
+        self,
+        cfg: VCoderConfig,
+        params: dict,
+        *,
+        max_batch: int = 8,
+        max_len: int = 4096,
+        attn_impl: str = "auto",
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.max_batch = max_batch
+        self.max_len = max_len
+        self.attn_impl = attn_impl
+        dtype = params["lm"]["embed_tokens"].dtype
+        self.cache = KVCache.create(cfg.text, max_batch, max_len, dtype)
+        self.tokens = jnp.zeros((max_batch,), jnp.int32)
+        self.active = np.zeros((max_batch,), bool)
+        self.temps = np.zeros((max_batch,), np.float32)
+        self.slots: List[Optional[Request]] = [None] * max_batch
+        self.queue: List[Request] = []
+        self._next_id = 0
+        self.rng = jax.random.PRNGKey(seed)
+        self.eos_id = cfg.text.eos_token_id
+
+    # ---- public API ----
+
+    def add_request(
+        self,
+        input_ids: Sequence[int],
+        images=None,
+        segs=None,
+        depths=None,
+        *,
+        max_new_tokens: int = 256,
+        temperature: float = 0.0,
+    ) -> int:
+        req = Request(
+            request_id=self._next_id,
+            input_ids=list(input_ids),
+            images=images,
+            segs=segs,
+            depths=depths,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+        )
+        self._next_id += 1
+        self.queue.append(req)
+        return req.request_id
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(self.active)
+
+    def step(self) -> List[Tuple[int, int, bool]]:
+        """Admit queued requests into free slots (prefill), then run one
+        decode step. Returns (request_id, token, done) per active slot."""
+        self._admit()
+        if not any(self.active):
+            return []
+
+        self.rng, sub = jax.random.split(self.rng)
+        nxt, self.cache = _decode_all(
+            self.params,
+            self.cfg,
+            self.tokens,
+            self.cache,
+            jnp.asarray(self.active),
+            jnp.asarray(self.temps),
+            sub,
+            attn_impl=self.attn_impl,
+        )
+        self.tokens = nxt
+        nxt_host = np.asarray(nxt)
+
+        events = []
+        for slot, req in enumerate(self.slots):
+            if req is None or not self.active[slot]:
+                continue
+            tok = int(nxt_host[slot])
+            req.generated.append(tok)
+            done = (
+                tok == self.eos_id
+                or len(req.generated) >= req.max_new_tokens
+                or req.prompt_len + len(req.generated) >= self.max_len - 1
+            )
+            events.append((req.request_id, tok, done))
+            if done:
+                req.done = True
+                self.active[slot] = False
+                self.slots[slot] = None
+        return events
+
+    def run(self) -> Dict[int, List[int]]:
+        """Drain the queue; returns {request_id: generated ids (EOS
+        stripped)}."""
+        reqs = list(self.queue) + [r for r in self.slots if r is not None]
+        while self.has_work():
+            self.step()
+        return {
+            r.request_id: [t for t in r.generated if t != self.eos_id]
+            for r in reqs
+        }
+
+    # ---- internals ----
+
+    def _admit(self) -> None:
+        while self.queue and not all(self.active):
+            slot = int(np.nonzero(~self.active)[0][0])
+            req = self.queue.pop(0)
+            first_tok = self._prefill(req, slot)
+            req.slot = slot
+            req.generated.append(first_tok)
+            self.slots[slot] = req
+            self.active[slot] = True
+            self.temps[slot] = req.temperature
+            self.tokens = self.tokens.at[slot].set(first_tok)
+            if first_tok == self.eos_id:
+                req.done = True
+                self.active[slot] = False
+                self.slots[slot] = None
+
+    def _prefill(self, req: Request, slot: int) -> int:
+        cfg = self.cfg
+        ds_mode = cfg.model_type == "vcoder_ds_llava"
+        plan = build_splice_plan(
+            [req.input_ids],
+            num_patches=cfg.vision.num_patches,
+            has_image=req.images is not None,
+            has_seg=req.segs is not None,
+            has_depth=req.depths is not None,
+            ds_mode=ds_mode,
+            pad_to=_bucket(
+                len(req.input_ids)
+                + cfg.vision.num_patches
+                * (
+                    int(req.images is not None)
+                    + int(req.segs is not None)
+                    + int(req.depths is not None and ds_mode)
+                )
+            ),
+        )
+        req.prompt_len = int(plan.seq_lens[0])
+        arrays = model_mod.plan_to_arrays(plan)
+        dummy = jnp.zeros((0,), jnp.float32)
+        dtype = self.cache.k.dtype
+
+        def px(x):
+            return (
+                jnp.asarray(x, dtype) if x is not None else dummy
+            )
+
+        logits, self.cache = _prefill_insert(
+            self.params,
+            cfg,
+            arrays,
+            px(req.images),
+            px(req.segs),
+            px(req.depths),
+            self.cache,
+            jnp.asarray(slot, jnp.int32),
+            use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
+            has_images=req.images is not None,
+            has_segs=req.segs is not None,
+            has_depths=req.depths is not None,
+            attn_impl=self.attn_impl,
+        )
+        if req.temperature > 0.0:
+            self.rng, sub = jax.random.split(self.rng)
+            tok = int(
+                jax.random.categorical(sub, logits / req.temperature)
+            )
+        else:
+            tok = int(jnp.argmax(logits))
+        return tok

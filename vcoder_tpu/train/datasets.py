@@ -439,6 +439,24 @@ class VCoderDataset:
         return out
 
     def _load_pixels(self, path: str) -> np.ndarray:
+        # Native C++ decode+pad+resize when built (GIL-free, threadable);
+        # PIL fallback otherwise. Normalization always runs on device.
+        from vcoder_tpu.native import io as nio
+
+        if nio.is_available():
+            try:
+                u8 = nio.load_preprocessed(
+                    path,
+                    size=self.image_size,
+                    pad=self.image_aspect_ratio == "pad",
+                )
+                from vcoder_tpu.preprocess import resize_normalize
+
+                return np.asarray(
+                    resize_normalize(u8[None], size=self.image_size)
+                )[0]
+            except Exception:
+                pass
         from PIL import Image
 
         img = Image.open(path).convert("RGB")
