@@ -146,9 +146,23 @@ def main():
     jax_block(tok)
     tok_per_s = n_steps / (time.perf_counter() - t0)
 
+    # --- secondary: int8 weight-only decode (load_8bit path) ---
+    from vcoder_tpu.quant import quantize_params
+
+    qparams = quantize_params(params, bits=8)  # destructive: frees bf16
+    del params
+    tok = jnp.zeros((1,), jnp.int32)
+    tok2, cache = decode_n(qparams, tok, pos, cache)
+    jax_block(tok2)
+    t0 = time.perf_counter()
+    tok2, cache = decode_n(qparams, tok2, pos, cache)
+    jax_block(tok2)
+    tok_per_s_int8 = n_steps / (time.perf_counter() - t0)
+
     print(
         f"secondary: vision_encode={img_per_s:.1f} img/s/chip  "
-        f"decode={tok_per_s:.1f} tok/s (7B bf16, B=1)",
+        f"decode={tok_per_s:.1f} tok/s (7B bf16, B=1)  "
+        f"decode_int8={tok_per_s_int8:.1f} tok/s",
         file=sys.stderr,
     )
 

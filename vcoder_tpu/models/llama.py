@@ -185,13 +185,27 @@ def llama_forward(
 
     if use_cache:
         s_max = cache.k.shape[2]
-        slot = jnp.arange(T, dtype=jnp.int32)[None, :] + write_offset[:, None]
-        # One-hot scatter matrix [B, T, S_max]; masked-out positions write
-        # nothing (their K/V stay zero and their slot stays invalid).
-        scatter_oh = jax.nn.one_hot(
-            slot, s_max, dtype=inputs_embeds.dtype
-        ) * attn_mask[:, :, None].astype(inputs_embeds.dtype)
-        new_kv_mask = cache.kv_mask | (scatter_oh.sum(axis=1) > 0)
+        # Contract: attn_mask is prefix-contiguous per row (right-padded
+        # batches), so the valid new slots are [offset, offset + n_valid).
+        # K/V write via per-row dynamic_update_slice (vmapped -> scatter):
+        # padding rows do write garbage past their valid region, but the
+        # kv_mask never marks those slots, and any later write at the same
+        # offset overwrites them. This avoids the full-cache read+write of
+        # a one-hot scatter-add (~1.5 GB/step at 7B decode).
+        n_valid = attn_mask.astype(jnp.int32).sum(axis=1)  # [B]
+        pos_s = jnp.arange(s_max, dtype=jnp.int32)[None, :]
+        new_kv_mask = cache.kv_mask | (
+            (pos_s >= write_offset[:, None])
+            & (pos_s < (write_offset + n_valid)[:, None])
+        )
+
+        def _write_rows(c_rows, new_rows):
+            # c_rows: [B, S, KH, HD]; new_rows: [B, T, KH, HD]
+            return jax.vmap(
+                lambda c, n, off: jax.lax.dynamic_update_slice(
+                    c, n.astype(c.dtype), (off, 0, 0)
+                )
+            )(c_rows, new_rows, write_offset)
 
     def layer(carry_x, layer_params_and_cache):
         lp = layer_params_and_cache["p"]
@@ -207,9 +221,8 @@ def llama_forward(
         out_cache = None
         if use_cache:
             ck, cv = layer_params_and_cache["ck"], layer_params_and_cache["cv"]
-            # Scatter new K/V into their slots: [B,T,S]x[B,T,KH,HD] -> [B,S,KH,HD]
-            ck = ck + jnp.einsum("bts,bthd->bshd", scatter_oh, k.astype(ck.dtype))
-            cv = cv + jnp.einsum("bts,bthd->bshd", scatter_oh, v.astype(cv.dtype))
+            ck = _write_rows(ck, k)
+            cv = _write_rows(cv, v)
             out_cache = (ck, cv)
             attn_out = multi_head_attention(
                 q,

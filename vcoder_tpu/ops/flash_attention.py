@@ -44,6 +44,25 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _pick_block(n: int, max_block: int) -> int:
+    """Largest block size <= max_block that minimizes sequence padding.
+
+    A fixed 512 block pads CLIP's 577 tokens to 1024 (+77% wasted MACs)
+    and a 1280-token prefill to 1536; trying 512/256/128 picks 128 and 256
+    respectively at zero/minimal padding.
+    """
+    best_b, best_pad = None, None
+    for b in (512, 384, 256, 128):
+        if b > max_block:
+            continue
+        pad = _round_up(n, b) - n
+        if best_pad is None or pad < best_pad:
+            best_b, best_pad = b, pad
+    if best_b is None:
+        best_b = min(max_block, _round_up(n, 128))
+    return best_b
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -505,8 +524,8 @@ def flash_attention(
     if kv_mask is None:
         kv_mask = jnp.ones((B, S), dtype=jnp.int32)
 
-    bq = min(block_q, _round_up(T, 128))
-    bk = min(block_k, _round_up(S, 128))
+    bq = _pick_block(T, block_q)
+    bk = _pick_block(S, block_k)
     Tp = _round_up(T, bq)
     Sp = _round_up(S, bk)
 
