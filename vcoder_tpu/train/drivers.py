@@ -80,7 +80,14 @@ def run_stage(stage: str, args) -> None:
         )
 
     seed = args.seed
-    if stage == "vcoder":
+    if stage in ("pretrain", "full"):
+        # LLaVA stage-1/2: json dataset of {conversations, image?}
+        # (reference: train/train.py LazySupervisedDataset).
+        import json as _json
+
+        entries = _json.load(open(args.data_path))
+        use_seg, use_depth = False, False
+    elif stage == "vcoder":
         entries = build_seg_cost_entries(args.seg_data_path, seed=seed)
         use_seg, use_depth = True, False
     elif stage == "vcoder_ds":
