@@ -120,12 +120,74 @@ def multi_head_attention(
         impl = "xla"
     if impl == "pallas":
         from vcoder_tpu.ops.flash_attention import flash_attention
+        from vcoder_tpu.parallel.mesh import current_mesh
 
-        return flash_attention(
-            q, k, v, causal=causal, q_positions=q_positions, kv_mask=kv_mask
-        )
+        mesh = current_mesh()
+        if mesh is not None and mesh.size > 1:
+            # Pallas calls are opaque to the SPMD partitioner: under a
+            # multi-device mesh the kernel must be shard_map'ped (batch
+            # over data+fsdp, heads over model) or XLA would replicate it.
+            out = sharded_flash_attention(
+                q, k, v, mesh, causal=causal, q_positions=q_positions,
+                kv_mask=kv_mask,
+            )
+            if out is not None:
+                return out
+            impl = "xla"  # indivisible shapes: let GSPMD partition
+        else:
+            return flash_attention(
+                q, k, v, causal=causal, q_positions=q_positions,
+                kv_mask=kv_mask,
+            )
     if impl == "xla":
         return xla_attention(
             q, k, v, causal=causal, q_positions=q_positions, kv_mask=kv_mask
         )
     raise ValueError(f"Unknown attention impl: {impl}")
+
+
+def sharded_flash_attention(
+    q, k, v, mesh, *, causal, q_positions=None, kv_mask=None,
+    interpret: bool = False,
+):
+    """shard_map the flash kernel over a (data, fsdp, model) mesh: batch
+    splits across data+fsdp, heads across model — attention is embarrass-
+    ingly parallel over both, so no collectives are needed inside.
+
+    Returns None when shapes don't divide the mesh (caller falls back)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from vcoder_tpu.ops.flash_attention import flash_attention
+
+    b, t, h, d = q.shape
+    s, kh = k.shape[1], k.shape[2]
+    n_batch = mesh.shape["data"] * mesh.shape["fsdp"]
+    n_model = mesh.shape["model"]
+    if b % n_batch or h % n_model or kh % n_model:
+        return None
+
+    if q_positions is None:
+        q_positions = jnp.broadcast_to(
+            jnp.arange(t, dtype=jnp.int32)[None, :] + (s - t), (b, t)
+        )
+    if kv_mask is None:
+        kv_mask = jnp.ones((b, s), dtype=jnp.int32)
+
+    bhd = P(("data", "fsdp"), None, "model", None)
+    bs = P(("data", "fsdp"), None)
+
+    def local(q, k, v, qp, km):
+        return flash_attention(
+            q, k, v, causal=causal, q_positions=qp, kv_mask=km,
+            interpret=interpret,
+        )
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(bhd, bhd, bhd, bs, bs),
+        out_specs=bhd,
+        # pallas_call out_shapes carry no varying-mesh-axis metadata
+        check_vma=False,
+    )(q, k, v, q_positions, kv_mask)

@@ -61,11 +61,13 @@ def dequantize(w: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
     return (w.q.astype(jnp.float32) * w.scale).astype(dtype)
 
 
-def qmatmul(
-    x: jnp.ndarray, w: Union[jnp.ndarray, QuantizedTensor]
-) -> jnp.ndarray:
-    """``x @ w`` for plain or quantized weights (scale as epilogue)."""
+def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
+    """``x @ w`` for plain, quantized, or LoRA-wrapped weights."""
     if isinstance(w, QuantizedTensor):
         y = x @ w.q.astype(x.dtype)
         return y * jnp.squeeze(w.scale, axis=-2).astype(x.dtype)
+    if type(w).__name__ == "LoraWeight":  # avoid circular import
+        from vcoder_tpu.lora import lora_qmatmul
+
+        return lora_qmatmul(x, w)
     return x @ w

@@ -63,20 +63,22 @@ BATCH_AXES = ("data", "fsdp")
 def _path_str(path) -> str:
     parts = []
     for p in path:
-        if hasattr(p, "key"):
+        if hasattr(p, "key"):  # DictKey
             parts.append(str(p.key))
-        elif hasattr(p, "idx"):
+        elif hasattr(p, "idx"):  # SequenceKey
             parts.append(str(p.idx))
+        elif hasattr(p, "name"):  # GetAttrKey (registered dataclasses)
+            parts.append(str(p.name))
         else:
             parts.append(str(p))
     return "/".join(parts)
 
 
 def spec_for_path(path_str: str) -> P:
-    # Quantized weights carry '/q' and '/scale' leaf suffixes; they shard
-    # like the weight itself (the scale's singleton in-dim drops any axis
-    # via _shrink_to_fit).
-    path_str = re.sub(r"/(q|scale)$", "", path_str)
+    # Quantized weights carry '/q' + '/scale' leaf suffixes and LoRA wraps
+    # add '/base', '/a', '/b'; all shard like the underlying weight
+    # (incompatible dims drop axes via _shrink_to_fit).
+    path_str = re.sub(r"(/(q|scale|base|a|b))+$", "", path_str)
     for pattern, spec in PARAM_RULES:
         if re.match(pattern, path_str):
             return spec

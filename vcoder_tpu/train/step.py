@@ -42,6 +42,10 @@ STAGE_TRAINABLE = {
     ],
     "it": [r"^seg_projector/", r"^lm/"],
     "full": [r"^lm/", r"^mm_projector/"],
+    # LoRA stages train only the adapter a/b leaves (+ projectors for
+    # it_lora, reference: scripts/v1_5/vcoder_it_lora.sh).
+    "lora": [r"^lm/.*/(a|b)$", r"^mm_projector/"],
+    "it_lora": [r"^lm/.*/(a|b)$", r"^seg_projector/"],
     "all": [r".*"],
 }
 
