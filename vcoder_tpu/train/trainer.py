@@ -221,14 +221,13 @@ class Trainer:
         (train/llava_trainer.py:239-258)."""
         from safetensors.numpy import save_file
 
+        from vcoder_tpu.parallel.sharding import _path_str
+
         mask = trainable_mask(self.params, self.args.stage)
         t_params, _ = partition(self.params, mask)
         flat = {}
         for path, leaf in jax.tree_util.tree_flatten_with_path(t_params)[0]:
-            key = "/".join(
-                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
-            )
-            flat[key] = np.ascontiguousarray(np.asarray(leaf))
+            flat[_path_str(path)] = np.ascontiguousarray(np.asarray(leaf))
         out = os.path.join(self.args.output_dir, "adapters.safetensors")
         save_file(flat, out)
         return out

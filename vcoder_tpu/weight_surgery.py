@@ -103,6 +103,65 @@ def consolidate(src_dir: str, dst_dir: str) -> None:
     _copy_config(src_dir, dst_dir)
 
 
+def merge_lora(
+    base_dir: str,
+    adapters_file: str,
+    target_dir: str,
+    *,
+    lora_rank: int = 128,
+    lora_alpha: float = 256.0,
+) -> None:
+    """Fold a trained adapters.safetensors (Trainer.save_adapters output:
+    pytree-path keys like 'lm/layers/q_proj/a') into a base checkpoint —
+    the analog of scripts/merge_lora_weights.py. Non-LoRA adapter keys
+    (projectors, vcoder_lm_emb) are assigned directly."""
+    import jax.numpy as jnp
+    from safetensors import safe_open
+
+    from vcoder_tpu.checkpoint import load_hf_checkpoint, save_pretrained
+
+    cfg, params = load_hf_checkpoint(base_dir, dtype=None)
+    scale = float(lora_alpha) / lora_rank
+
+    flat: Dict[str, np.ndarray] = {}
+    with safe_open(adapters_file, framework="np") as f:
+        for k in f.keys():
+            flat[k] = f.get_tensor(k)
+
+    def node_at(path_parts):
+        node = params
+        for p in path_parts:
+            node = node[int(p)] if p.isdigit() else node[p]
+        return node
+
+    def set_at(path_parts, value):
+        node = params
+        for p in path_parts[:-1]:
+            node = node[int(p)] if p.isdigit() else node[p]
+        last = path_parts[-1]
+        node[int(last) if last.isdigit() else last] = value
+
+    for key, arr in flat.items():
+        parts = key.split("/")
+        if parts[-1] == "a":
+            b = flat[key[:-1] + "b"]
+            w_path = parts[:-1]
+            w = np.asarray(node_at(w_path), np.float32)
+            delta = scale * np.einsum(
+                "...ir,...ro->...io",
+                arr.astype(np.float32),
+                b.astype(np.float32),
+            )
+            set_at(w_path, jnp.asarray((w + delta).astype(w.dtype)))
+        elif parts[-1] == "b":
+            continue
+        else:
+            set_at(parts, jnp.asarray(arr))
+
+    save_pretrained(target_dir, params, cfg)
+    _copy_config(base_dir, target_dir)
+
+
 def main():
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -117,6 +176,12 @@ def main():
     p = sub.add_parser("consolidate")
     p.add_argument("--src", required=True)
     p.add_argument("--dst", required=True)
+    p = sub.add_parser("merge-lora")
+    p.add_argument("--base", required=True)
+    p.add_argument("--adapters", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--lora-rank", type=int, default=128)
+    p.add_argument("--lora-alpha", type=float, default=256.0)
     args = parser.parse_args()
 
     if args.cmd == "make-delta":
@@ -125,6 +190,11 @@ def main():
         apply_delta(args.base, args.delta, args.target)
     elif args.cmd == "consolidate":
         consolidate(args.src, args.dst)
+    elif args.cmd == "merge-lora":
+        merge_lora(
+            args.base, args.adapters, args.target,
+            lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
+        )
 
 
 if __name__ == "__main__":
