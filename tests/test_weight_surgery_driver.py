@@ -50,12 +50,14 @@ def test_consolidate(tmp_path):
 
 
 def test_train_driver_end_to_end(tmp_path):
-    """python -m vcoder_tpu.train.vcoder_train on synthetic COST data."""
+    """python -m vcoder_tpu.train.vcoder_train on synthetic COST data,
+    starting from a PLAIN llava base (exercises the stage-2 adapter
+    bootstrap: seg projector + mm2 + vcoder_lm_emb get initialized)."""
     from tests.test_train_pipeline import _make_cost_tree
 
-    # tiny base checkpoint with tokenizer
-    ckpt = tmp_path / "vcoder_llava-tiny"
-    cfg = VCoderConfig.tiny("vcoder_llava")
+    # tiny plain-LLaVA base checkpoint with tokenizer
+    ckpt = tmp_path / "llava-tiny"
+    cfg = VCoderConfig.tiny("llava")
     params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
     save_pretrained(str(ckpt), params, cfg)
     tok = SimpleTokenizer.build_from_texts(

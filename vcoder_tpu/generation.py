@@ -240,14 +240,14 @@ def generate_stream(
     serve/chat.py:133-159). The fused :func:`generate` loop stays on
     device; this host loop trades ~1 dispatch/token for streaming UX.
     """
-    ds_mode = cfg.model_type == "vcoder_ds_llava"
     plan = build_splice_plan(
         input_ids,
         num_patches=cfg.vision.num_patches,
         has_image=images is not None,
         has_seg=segs is not None,
         has_depth=depths is not None,
-        ds_mode=ds_mode,
+        ds_mode=cfg.model_type == "vcoder_ds_llava",
+        it_mode=cfg.model_type == "vcoder_it_llava",
         is_depth_zero=is_depth_zero,
     )
     plan_arrays = model_mod.plan_to_arrays(plan)
@@ -325,14 +325,14 @@ def generate(
 
     input_ids contain sentinel tokens; the splice plan is built here.
     """
-    ds_mode = cfg.model_type == "vcoder_ds_llava"
     plan = build_splice_plan(
         input_ids,
         num_patches=cfg.vision.num_patches,
         has_image=images is not None,
         has_seg=segs is not None,
         has_depth=depths is not None,
-        ds_mode=ds_mode,
+        ds_mode=cfg.model_type == "vcoder_ds_llava",
+        it_mode=cfg.model_type == "vcoder_it_llava",
         is_depth_zero=is_depth_zero,
         pad_to=pad_to,
     )

@@ -78,6 +78,46 @@ def init_vcoder_params(
     return params
 
 
+def initialize_missing_modules(
+    params: dict, cfg: VCoderConfig, rng: jax.Array
+) -> dict:
+    """Add the adapter branches a stage trains when starting from a plain
+    LLaVA base checkpoint.
+
+    Mirrors the reference's initialize_{seg,depth}_modules + the mm2/vcoder
+    bootstrap (reference: vcoder_llava_arch.py:95-120 random seg projector,
+    vcoder_train.py:663-665 mm2 from pretrain mm_projector.bin,
+    vcoder_it_llava_arch.py:101-107 seg projector FROM the vision
+    mm_projector for IT, vcoder_llava_arch.py:180 vcoder_lm_emb clone).
+    """
+    keys = jax.random.split(rng, 4)
+    D_v, D_t = cfg.vision.hidden_size, cfg.text.hidden_size
+    dtype = params["lm"]["embed_tokens"].dtype
+    if cfg.use_seg and "seg_projector" not in params:
+        if cfg.model_type == "vcoder_it_llava":
+            # IT initializes the seg projector from the vision projector.
+            params["seg_projector"] = jax.tree.map(
+                lambda x: x + 0, params["mm_projector"]
+            )
+        else:
+            params["seg_projector"] = init_projector_params(
+                keys[0], cfg.seg_mm_projector_type, D_v, D_t, dtype
+            )
+    if cfg.use_depth and "depth_projector" not in params:
+        params["depth_projector"] = init_projector_params(
+            keys[1], cfg.depth_mm_projector_type, D_v, D_t, dtype
+        )
+    if cfg.use_mm2_proj and "mm2_projector" not in params:
+        # Frozen copy of the pretrained vision projector
+        # (vcoder_train.py:663-665).
+        params["mm2_projector"] = jax.tree.map(
+            lambda x: x + 0, params["mm_projector"]
+        )
+    if cfg.use_vcoder_lm_emb and "vcoder_lm_emb" not in params:
+        params["vcoder_lm_emb"] = params["lm"]["embed_tokens"] + 0
+    return params
+
+
 # ---------------------------------------------------------------------------
 # Vision encode (single fused tower pass)
 # ---------------------------------------------------------------------------

@@ -95,7 +95,9 @@ def build_splice_plan(
     has_seg: bool = False,
     has_depth: bool = False,
     ds_mode: bool = False,
+    it_mode: bool = False,
     is_depth_zero: Optional[Sequence[bool]] = None,
+    is_seg_zero: Optional[Sequence[bool]] = None,
     labels: Optional[Sequence[Sequence[int]]] = None,
     pad_to: Optional[int] = None,
     pad_multiple: int = 128,
@@ -110,9 +112,14 @@ def build_splice_plan(
         provide (mirrors ``images=/segs=/depths=`` being non-None).
       ds_mode: use the VCoder-DS splice asymmetry (seg loop emits no
         preceding text). False reproduces the plain VCoder / LLaVA loops.
+      it_mode: VCoder-IT splice (reference: vcoder_it_llava_arch.py:164-240):
+        llava-style passthrough condition (no image token), DS-style seg
+        loop, per-row ``is_seg_zero`` skip, no depth.
       is_depth_zero: per-row flag for the all-black depth placeholder skip
         (reference: vcoder_ds_llava_arch.py:160-171). Defaults to all-True
         when no depth provided, all-False otherwise.
+      is_seg_zero: per-row all-black seg skip (IT only,
+        vcoder_it_llava_arch.py:148-162).
       labels: optional per-row label ids aligned with input_ids.
       pad_to: expanded sequence length; default rounds the max row up to
         ``pad_multiple`` (TPU lane alignment).
@@ -120,6 +127,8 @@ def build_splice_plan(
     batch = len(input_ids)
     if is_depth_zero is None:
         is_depth_zero = [not has_depth] * batch
+    if is_seg_zero is None:
+        is_seg_zero = [not has_seg] * batch
 
     n_modalities = 1 + int(has_seg) + int(has_depth and ds_mode)
     vis_table_size = max(num_patches * n_modalities, 1)
@@ -142,7 +151,9 @@ def build_splice_plan(
                 base=base,
                 has_seg=has_seg,
                 ds_mode=ds_mode,
+                it_mode=it_mode,
                 depth_zero=bool(is_depth_zero[b]),
+                seg_zero=bool(is_seg_zero[b]),
             )
         )
 
@@ -203,6 +214,8 @@ def _splice_row(
     has_seg: bool,
     ds_mode: bool,
     depth_zero: bool,
+    it_mode: bool = False,
+    seg_zero: bool = False,
 ):
     """Replicate the reference splice loops for one row.
 
@@ -218,8 +231,9 @@ def _splice_row(
     # Reference hack-path conditions (pure-text passthrough):
     #   vcoder arch: no image OR no seg  (vcoder_llava_arch.py:187)
     #   ds arch:     no image AND no seg (vcoder_ds_llava_arch.py:181)
+    #   it arch:     no image            (vcoder_it_llava_arch.py:169)
     #   llava arch:  no image            (llava_arch.py:121)
-    if has_seg:
+    if has_seg and not it_mode:
         if ds_mode:
             passthrough = not has_img_tok and not has_seg_tok
         else:
@@ -266,14 +280,14 @@ def _splice_row(
             cur_lab = cur_lab[i + 1:]
 
     # --- seg loop ---
-    if has_seg:
+    if has_seg and not seg_zero:
         while SEG_TOKEN_INDEX in cur:
             i = cur.index(SEG_TOKEN_INDEX)
-            if not ds_mode:
+            if not (ds_mode or it_mode):
                 # vcoder arch emits preceding text (vcoder_llava_arch.py:236)
                 emit_text(cur[:i], cur_lab[:i] if cur_lab is not None else None)
-            # ds arch drops the preceding text AND its labels
-            # (vcoder_ds_llava_arch.py:238,241)
+            # ds/it archs drop the preceding text AND its labels
+            # (vcoder_ds_llava_arch.py:238,241; vcoder_it_llava_arch.py:219)
             emit_features("seg")
             cur = cur[i + 1:]
             if cur_lab is not None:

@@ -79,6 +79,32 @@ def run_stage(stage: str, args) -> None:
             " vcoder_tokenizer.json)"
         )
 
+    # Upgrade the config to the stage's model variant and bootstrap the
+    # adapter branches a plain LLaVA base checkpoint lacks (reference:
+    # the initialize_*_modules calls in each train driver).
+    import dataclasses as _dc
+
+    import jax as _jax
+
+    from vcoder_tpu.config import VCoderConfig, _variant_flags
+    from vcoder_tpu.models.vcoder import initialize_missing_modules
+
+    target_type = {
+        "pretrain": "llava",
+        "full": "llava",
+        "vcoder": "vcoder_llava",
+        "vcoder_ds": "vcoder_ds_llava",
+        "it": "vcoder_it_llava",
+    }[stage]
+    if cfg.model_type != target_type and target_type != "llava":
+        cfg = _dc.replace(
+            cfg, model_type=target_type, **_variant_flags(target_type)
+        )
+        model.params = initialize_missing_modules(
+            model.params, cfg, _jax.random.PRNGKey(args.seed)
+        )
+        model.config = cfg
+
     seed = args.seed
     if stage in ("pretrain", "full"):
         # LLaVA stage-1/2: json dataset of {conversations, image?}
