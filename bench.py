@@ -158,11 +158,33 @@ def main():
     tok2, cache = decode_n(qparams, tok2, pos, cache)
     jax_block(tok2)
     tok_per_s_int8 = n_steps / (time.perf_counter() - t0)
+    del cache
+
+    # --- secondary: continuous-batching aggregate decode (int8, B=8) ---
+    Bcb = 8
+    cache = KVCache.create(cfg.text, Bcb, S_cache, dtype=jnp.bfloat16)
+    cache = KVCache(
+        k=cache.k,
+        v=cache.v,
+        kv_mask=jnp.broadcast_to(
+            (jnp.arange(S_cache) < T)[None, :], (Bcb, S_cache)
+        ),
+        length=jnp.full((Bcb,), T, jnp.int32),
+    )
+    tokb = jnp.zeros((Bcb,), jnp.int32)
+    posb = jnp.full((Bcb,), T, jnp.int32)
+    tokb, cache = decode_n(qparams, tokb, posb, cache)
+    jax_block(tokb)
+    t0 = time.perf_counter()
+    tokb, cache = decode_n(qparams, tokb, posb, cache)
+    jax_block(tokb)
+    serve_tok_per_s = Bcb * n_steps / (time.perf_counter() - t0)
 
     print(
         f"secondary: vision_encode={img_per_s:.1f} img/s/chip  "
         f"decode={tok_per_s:.1f} tok/s (7B bf16, B=1)  "
-        f"decode_int8={tok_per_s_int8:.1f} tok/s",
+        f"decode_int8={tok_per_s_int8:.1f} tok/s  "
+        f"serve_int8_B8={serve_tok_per_s:.1f} tok/s aggregate",
         file=sys.stderr,
     )
 
