@@ -149,12 +149,18 @@ def load_pretrained_model(
     if model_name is None:
         model_name = get_model_name_from_path(model_path)
 
-    cfg, params = load_hf_checkpoint(model_path, dtype=dtype)
-
     if model_base is not None and "lora" in model_name.lower():
-        raise NotImplementedError(
-            "LoRA-merge loading lands with the LoRA training path"
+        # PEFT-format LoRA dir over a base model (reference
+        # builder.py:44-81): merge_and_unload equivalent.
+        from vcoder_tpu.checkpoint import load_lora_checkpoint
+
+        cfg, params = load_lora_checkpoint(
+            model_path, model_base, dtype=dtype
         )
+        model_base = None
+    else:
+        cfg, params = load_hf_checkpoint(model_path, dtype=dtype)
+
     if model_base is not None and "lora" not in model_name.lower():
         # Projector-only checkpoint over a base model: load base, then
         # overlay the adapter weights present in model_path.

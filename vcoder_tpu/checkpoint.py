@@ -207,19 +207,55 @@ def import_vcoder(state: StateDict, cfg: VCoderConfig) -> dict:
 
 
 def load_safetensors_state(model_dir: str) -> StateDict:
-    """Load all *.safetensors shards in a checkpoint directory as numpy."""
-    from safetensors import safe_open
+    """Load all weight shards in a checkpoint directory as numpy.
 
+    Prefers *.safetensors; falls back to torch ``pytorch_model*.bin``
+    shards (the published liuhaotian/llava-v1.5 checkpoints ship .bin)."""
     state: StateDict = {}
     files = sorted(
         f for f in os.listdir(model_dir) if f.endswith(".safetensors")
     )
-    if not files:
-        raise FileNotFoundError(f"No .safetensors files in {model_dir}")
-    for fname in files:
-        with safe_open(os.path.join(model_dir, fname), framework="np") as f:
-            for key in f.keys():
-                state[key] = f.get_tensor(key)
+    if files:
+        from safetensors import safe_open
+
+        for fname in files:
+            with safe_open(
+                os.path.join(model_dir, fname), framework="np"
+            ) as f:
+                for key in f.keys():
+                    state[key] = f.get_tensor(key)
+        return state
+
+    bins = sorted(
+        f
+        for f in os.listdir(model_dir)
+        if f.endswith(".bin") and not f.startswith("optimizer")
+    )
+    if not bins:
+        raise FileNotFoundError(
+            f"No .safetensors or .bin weight files in {model_dir}"
+        )
+    for fname in bins:
+        state.update(load_torch_bin(os.path.join(model_dir, fname)))
+    return state
+
+
+def load_torch_bin(path: str) -> StateDict:
+    """Load a torch-pickle state dict to numpy (CPU torch is available in
+    the image; bf16 tensors convert via ml_dtypes view)."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=True)
+    state: StateDict = {}
+    for k, v in raw.items():
+        if v.dtype == torch.bfloat16:
+            import ml_dtypes
+
+            state[k] = (
+                v.view(torch.uint16).numpy().view(ml_dtypes.bfloat16)
+            )
+        else:
+            state[k] = v.numpy()
     return state
 
 
@@ -365,6 +401,86 @@ def save_pretrained(model_dir: str, params: dict, cfg: VCoderConfig) -> None:
     # jax as ml_dtypes and serialize fine.
     state = {k: np.ascontiguousarray(v) for k, v in state.items()}
     save_file(state, os.path.join(model_dir, "model.safetensors"))
+
+
+def load_lora_checkpoint(
+    model_path: str,
+    model_base: str,
+    dtype=jnp.bfloat16,
+):
+    """Load a PEFT-format LoRA checkpoint dir over a base model and merge.
+
+    Mirrors the reference's LoRA path (reference: model/builder.py:44-81):
+    base weights + ``non_lora_trainables.bin`` overlay (with the
+    ``base_model.model.`` prefix strip) + PEFT ``merge_and_unload``
+    (W += alpha/r * B @ A in HF [out, in] layout). Returns (config, params).
+    """
+    with open(os.path.join(model_path, "config.json")) as f:
+        cfg = VCoderConfig.from_hf_config(json.load(f))
+
+    state = load_safetensors_state(model_base)
+
+    # non-LoRA trainables: projectors / vcoder_lm_emb / embeddings.
+    nlt_path = os.path.join(model_path, "non_lora_trainables.bin")
+    if os.path.exists(nlt_path):
+        non_lora = load_torch_bin(nlt_path)
+        non_lora = {
+            (k[11:] if k.startswith("base_model.") else k): v
+            for k, v in non_lora.items()
+        }
+        non_lora = {
+            (k[6:] if k.startswith("model.model.") else k): v
+            for k, v in non_lora.items()
+        }
+        state.update(non_lora)
+
+    # adapter weights + scale
+    adapter_cfg = {}
+    acfg_path = os.path.join(model_path, "adapter_config.json")
+    if os.path.exists(acfg_path):
+        adapter_cfg = json.load(open(acfg_path))
+    scale = float(adapter_cfg.get("lora_alpha", 16)) / float(
+        adapter_cfg.get("r", 8)
+    )
+    adapter_file = None
+    for cand in ("adapter_model.safetensors", "adapter_model.bin"):
+        p = os.path.join(model_path, cand)
+        if os.path.exists(p):
+            adapter_file = p
+            break
+    if adapter_file is None:
+        raise FileNotFoundError(f"No adapter_model.* in {model_path}")
+    if adapter_file.endswith(".safetensors"):
+        from safetensors import safe_open
+
+        adapters: StateDict = {}
+        with safe_open(adapter_file, framework="np") as f:
+            for key in f.keys():
+                adapters[key] = f.get_tensor(key)
+    else:
+        adapters = load_torch_bin(adapter_file)
+
+    for key, a in adapters.items():
+        if ".lora_A." not in key:
+            continue
+        b = adapters[key.replace(".lora_A.", ".lora_B.")]
+        w_name = (
+            key.replace("base_model.model.", "")
+            .replace(".lora_A.weight", ".weight")
+        )
+        if w_name not in state:
+            raise KeyError(f"LoRA target {w_name} missing from base")
+        w = state[w_name].astype(np.float32)
+        # HF layout [out, in]: delta = B [out, r] @ A [r, in]
+        delta = scale * (b.astype(np.float32) @ a.astype(np.float32))
+        state[w_name] = (w + delta).astype(state[w_name].dtype)
+
+    params = import_vcoder(state, cfg)
+    if dtype is not None:
+        import jax
+
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+    return cfg, params
 
 
 def load_hf_checkpoint(
