@@ -1,0 +1,37 @@
+"""vcoder_tpu: TPU-native VCoder framework (JAX/XLA/Pallas).
+
+Public API surface mirroring the reference package (reference:
+vcoder_llava/__init__ exposure + SURVEY.md §7.4). Heavy submodules import
+lazily — ``import vcoder_tpu`` stays cheap.
+"""
+
+__version__ = "0.1.0"
+
+from vcoder_tpu.constants import (  # noqa: F401
+    DEFAULT_DEPTH_TOKEN,
+    DEFAULT_IMAGE_TOKEN,
+    DEFAULT_SEG_TOKEN,
+    DEPTH_TOKEN_INDEX,
+    IGNORE_INDEX,
+    IMAGE_TOKEN_INDEX,
+    SEG_TOKEN_INDEX,
+)
+from vcoder_tpu.mm_tokens import (  # noqa: F401
+    KeywordsStoppingCriteria,
+    get_model_name_from_path,
+    tokenizer_depth_seg_token,
+    tokenizer_image_token,
+    tokenizer_seg_token,
+)
+
+
+def load_pretrained_model(*args, **kwargs):
+    from vcoder_tpu.builder import load_pretrained_model as _f
+
+    return _f(*args, **kwargs)
+
+
+def process_images(*args, **kwargs):
+    from vcoder_tpu.preprocess import process_images as _f
+
+    return _f(*args, **kwargs)

@@ -183,6 +183,9 @@ class ServingEngine:
         self._next_id = 0
         self.rng = jax.random.PRNGKey(seed)
         self.eos_id = cfg.text.eos_token_id
+        from vcoder_tpu.profiling import StepTimer
+
+        self.timer = StepTimer()  # ttft / decode_step percentiles
 
     # ---- public API ----
 
@@ -220,18 +223,19 @@ class ServingEngine:
             return []
 
         self.rng, sub = jax.random.split(self.rng)
-        nxt, self.cache = _decode_all(
-            self.params,
-            self.cfg,
-            self.tokens,
-            self.cache,
-            jnp.asarray(self.active),
-            jnp.asarray(self.temps),
-            sub,
-            attn_impl=self.attn_impl,
-        )
-        self.tokens = nxt
-        nxt_host = np.asarray(nxt)
+        with self.timer.measure("decode_step"):
+            nxt, self.cache = _decode_all(
+                self.params,
+                self.cfg,
+                self.tokens,
+                self.cache,
+                jnp.asarray(self.active),
+                jnp.asarray(self.temps),
+                sub,
+                attn_impl=self.attn_impl,
+            )
+            self.tokens = nxt
+            nxt_host = np.asarray(nxt)
 
         events = []
         for slot, req in enumerate(self.slots):
@@ -268,7 +272,8 @@ class ServingEngine:
         while self.queue and not all(self.active):
             slot = int(np.nonzero(~self.active)[0][0])
             req = self.queue.pop(0)
-            first_tok = self._prefill(req, slot)
+            with self.timer.measure("ttft"):
+                first_tok = self._prefill(req, slot)
             req.slot = slot
             req.generated.append(first_tok)
             self.slots[slot] = req
