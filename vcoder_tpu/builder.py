@@ -157,32 +157,33 @@ def load_pretrained_model(
         cfg, params = load_lora_checkpoint(
             model_path, model_base, dtype=dtype
         )
-        model_base = None
+    elif model_base is not None:
+        # Adapter-only checkpoint over a base model (reference
+        # builder.py:82-91): the adapter dir holds only projector /
+        # vcoder_lm_emb weights, so load its raw state dict (never a full
+        # model import) and overlay onto the base's HF state.
+        from vcoder_tpu.checkpoint import (
+            import_vcoder,
+            load_safetensors_state,
+        )
+
+        with open(os.path.join(model_path, "config.json")) as f:
+            cfg = VCoderConfig.from_hf_config(json.load(f))
+        state = load_safetensors_state(model_base)
+        adapter_state = load_safetensors_state(model_path)
+        for k, v in adapter_state.items():
+            # tolerate reference-style 'base_model.' / bare prefixes
+            k = k.replace("base_model.model.", "")
+            if not k.startswith(("model.", "lm_head.")):
+                k = "model." + k
+            state[k] = v
+        params = import_vcoder(state, cfg)
+        if dtype is not None:
+            import jax
+
+            params = jax.tree.map(lambda x: x.astype(dtype), params)
     else:
         cfg, params = load_hf_checkpoint(model_path, dtype=dtype)
-
-    if model_base is not None and "lora" not in model_name.lower():
-        # Projector-only checkpoint over a base model: load base, then
-        # overlay the adapter weights present in model_path.
-        base_cfg, base_params = load_hf_checkpoint(model_base, dtype=dtype)
-        for key in (
-            "mm_projector",
-            "mm2_projector",
-            "seg_projector",
-            "depth_projector",
-            "vcoder_lm_emb",
-        ):
-            if key in params:
-                base_params[key] = params[key]
-        cfg = VCoderConfig.from_dict(
-            {**base_cfg.to_dict(), **{
-                k: v for k, v in cfg.to_dict().items()
-                if k in ("model_type", "use_seg", "use_depth",
-                         "use_mm2_proj", "use_vcoder_lm_emb",
-                         "seg_mm_projector_type", "depth_mm_projector_type")
-            }}
-        )
-        params = base_params
 
     if load_8bit or load_4bit:
         from vcoder_tpu.quant import quantize_params

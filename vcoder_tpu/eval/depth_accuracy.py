@@ -15,7 +15,7 @@ import argparse
 from typing import Dict, List, Tuple
 
 from vcoder_tpu.eval import nlp
-from vcoder_tpu.eval.extraction import build_word_to_com
+from vcoder_tpu.eval.extraction import build_word_to_com, obtain_seg_texts
 from vcoder_tpu.eval.seg_accuracy import extract_conversations
 
 # Depth scorer canonicalizes WITHOUT plural entries
@@ -33,13 +33,7 @@ def _word_to_com() -> Dict[str, str]:
 def obtain_depth_texts(file_path: str) -> Dict[str, str]:
     """GT parse without the wall/window dedup
     (reference: eval_depth_accuracy.py:24-33)."""
-    with open(file_path) as f:
-        lines = f.readlines()
-    labels = {}
-    for line in lines:
-        key = line.split("<IMG>")[1].strip("\n")
-        labels[key] = line.split("<IMG>")[2].strip("\n")
-    return labels
+    return obtain_seg_texts(file_path, dedup=False)
 
 
 def get_order(lines: str) -> Tuple[Dict[str, List[int]], int]:

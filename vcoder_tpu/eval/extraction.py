@@ -61,6 +61,26 @@ def build_word_to_com(
     return word_to_com
 
 
+def obtain_seg_texts(file_path: str, dedup: bool = True) -> Dict[str, str]:
+    """Parse ``<IMG>key<IMG>label`` files; optional wall/window dedup.
+
+    Single canonical implementation — the reference repeats this parser in
+    train.py:628-664, vcoder_ds_train.py:300-312, eval_seg_accuracy.py:143
+    and eval_depth_accuracy.py:24 (with/without dedup).
+    """
+    with open(file_path) as f:
+        lines = f.readlines()
+    labels: Dict[str, str] = {}
+    for line in lines:
+        key = line.split("<IMG>")[1].strip("\n")
+        label = line.split("<IMG>")[2].strip("\n")
+        if dedup:
+            label = remove_specific_word(label, "wall")
+            label = remove_specific_word(label, "window")
+        labels[key] = label
+    return labels
+
+
 def remove_specific_word(text: str, word_to_remove: str) -> str:
     """Keep only the first occurrence of a word, dropping later ones with
     their preceding punctuation (reference: eval_seg_accuracy.py:45-66;

@@ -21,28 +21,11 @@ from typing import Dict, List, Tuple
 
 from vcoder_tpu.eval.extraction import (
     build_word_to_com,
-    get_num_nouns,
-    get_nouns,
     obtain_nouns,
-    remove_specific_word,
+    obtain_seg_texts,
 )
 
 TASKS = ("semantic", "instance", "panoptic")
-
-
-def obtain_seg_texts(file_path: str) -> Dict[str, str]:
-    """Parse ``<IMG>``-delimited GT label files
-    (reference: eval_seg_accuracy.py:143-155)."""
-    with open(file_path) as f:
-        lines = f.readlines()
-    seg_labels = {}
-    for line in lines:
-        key = line.split("<IMG>")[1].strip("\n")
-        label = line.split("<IMG>")[2].strip("\n")
-        label = remove_specific_word(label, "wall")
-        label = remove_specific_word(label, "window")
-        seg_labels[key] = label
-    return seg_labels
 
 
 def extract_conversations(file_path: str) -> Dict[str, str]:

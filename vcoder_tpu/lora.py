@@ -86,11 +86,12 @@ def add_lora(
         lead = shape[:-2]
         key = jax.random.fold_in(rng, counter[0])
         counter[0] += 1
-        dt = dtype or (
-            x.q.dtype if isinstance(x, QuantizedTensor) else x.dtype
-        )
-        if isinstance(x, QuantizedTensor):
-            dt = jnp.bfloat16
+        if dtype is not None:
+            dt = dtype
+        elif isinstance(x, QuantizedTensor):
+            dt = jnp.bfloat16  # adapters can't train in the base's int8
+        else:
+            dt = x.dtype
         a = jax.random.normal(key, lead + (in_dim, rank), dt) * jnp.asarray(
             in_dim**-0.5, dt
         )

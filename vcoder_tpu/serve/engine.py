@@ -217,10 +217,11 @@ class ServingEngine:
 
     def step(self) -> List[Tuple[int, int, bool]]:
         """Admit queued requests into free slots (prefill), then run one
-        decode step. Returns (request_id, token, done) per active slot."""
-        self._admit()
+        decode step. Returns (request_id, token, done) events, including
+        the prefill-sampled FIRST token of newly admitted requests."""
+        events = self._admit()
         if not any(self.active):
-            return []
+            return events
 
         self.rng, sub = jax.random.split(self.rng)
         with self.timer.measure("decode_step"):
@@ -237,7 +238,6 @@ class ServingEngine:
             self.tokens = nxt
             nxt_host = np.asarray(nxt)
 
-        events = []
         for slot, req in enumerate(self.slots):
             if req is None or not self.active[slot]:
                 continue
@@ -268,7 +268,9 @@ class ServingEngine:
 
     # ---- internals ----
 
-    def _admit(self) -> None:
+    def _admit(self) -> List[Tuple[int, int, bool]]:
+        """Fill free slots from the queue; returns first-token events."""
+        events: List[Tuple[int, int, bool]] = []
         while self.queue and not all(self.active):
             slot = int(np.nonzero(~self.active)[0][0])
             req = self.queue.pop(0)
@@ -280,10 +282,13 @@ class ServingEngine:
             self.active[slot] = True
             self.temps[slot] = req.temperature
             self.tokens = self.tokens.at[slot].set(first_tok)
-            if first_tok == self.eos_id:
+            done = first_tok == self.eos_id or req.max_new_tokens <= 1
+            events.append((req.request_id, first_tok, done))
+            if done:
                 req.done = True
                 self.active[slot] = False
                 self.slots[slot] = None
+        return events
 
     def _prefill(self, req: Request, slot: int) -> int:
         cfg = self.cfg
@@ -295,6 +300,7 @@ class ServingEngine:
             has_seg=req.segs is not None,
             has_depth=req.depths is not None,
             ds_mode=ds_mode,
+            it_mode=cfg.model_type == "vcoder_it_llava",
             pad_to=_bucket(
                 len(req.input_ids)
                 + cfg.vision.num_patches

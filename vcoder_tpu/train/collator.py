@@ -23,6 +23,7 @@ def collate_batch(
     *,
     num_patches: int,
     ds_mode: bool = False,
+    it_mode: bool = False,
     use_seg: bool = False,
     use_depth: bool = False,
     image_size: int = 336,
@@ -38,9 +39,6 @@ def collate_batch(
     has_seg = use_seg and has_image
     has_depth = use_depth and has_image
 
-    # All-black placeholder detection feeds the reference's is_depth_zero
-    # skip (vcoder_ds_llava_arch.py:160-171).
-    is_depth_zero = []
     zeros = np.zeros((image_size, image_size, 3), np.float32)
 
     def px(s, key):
@@ -54,8 +52,14 @@ def collate_batch(
         has_seg=has_seg,
         has_depth=has_depth,
         ds_mode=ds_mode,
+        it_mode=it_mode,
+        # Zero-pixel placeholders feed the reference's all-black skips
+        # (vcoder_ds_llava_arch.py:160-171; vcoder_it_llava_arch.py:148).
         is_depth_zero=[("depth" not in s) for s in samples]
         if has_depth
+        else None,
+        is_seg_zero=[("seg" not in s) for s in samples]
+        if (has_seg and it_mode)
         else None,
         labels=labels,
         pad_to=pad_to,

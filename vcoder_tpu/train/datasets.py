@@ -27,7 +27,7 @@ from vcoder_tpu.constants import (
     DEFAULT_SEG_TOKEN,
 )
 from vcoder_tpu.data_utils import generate_qa_pairs
-from vcoder_tpu.eval.extraction import remove_specific_word
+from vcoder_tpu.eval.extraction import obtain_seg_texts
 from vcoder_tpu.preprocess import process_images
 from vcoder_tpu.questions import (
     DEPTH_QUESTIONS,
@@ -38,22 +38,6 @@ from vcoder_tpu.questions import (
 from vcoder_tpu.train.preprocess import preprocess, relocate_sentinels
 
 GENERIC_QUESTION = "What objects can be seen in the image?"
-
-
-def obtain_seg_texts(file_path: str, dedup: bool = True) -> Dict[str, str]:
-    """Parse ``<IMG>key<IMG>label`` files; dedup wall/window like the
-    reference (train.py:628-664)."""
-    with open(file_path) as f:
-        lines = f.readlines()
-    labels = {}
-    for line in lines:
-        key = line.split("<IMG>")[1].strip("\n")
-        label = line.split("<IMG>")[2].strip("\n")
-        if dedup:
-            label = remove_specific_word(label, "wall")
-            label = remove_specific_word(label, "window")
-        labels[key] = label
-    return labels
 
 
 def obtain_depth_texts(file_path: str) -> Dict[str, str]:

@@ -37,7 +37,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                    help="COST root with coco_segm_text/")
     p.add_argument("--depth-data-path", type=str, default="")
     p.add_argument("--image-aspect-ratio", type=str, default="pad")
-    p.add_argument("--group-by-modality-length", type=bool, default=True)
+    p.add_argument(
+        "--group-by-modality-length",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+    )
     # optimization (reference: scripts/v1_5/vcoder_train.sh)
     p.add_argument("--learning-rate", type=float, default=1e-3)
     p.add_argument("--num-train-epochs", type=int, default=2)
@@ -48,7 +52,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-steps", type=int, default=1100)
     p.add_argument("--save-total-limit", type=int, default=1)
     p.add_argument("--logging-steps", type=int, default=1)
-    p.add_argument("--gradient-checkpointing", type=bool, default=True)
+    p.add_argument(
+        "--gradient-checkpointing",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+    )
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max-steps", type=int, default=None)
     # mesh

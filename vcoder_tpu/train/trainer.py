@@ -146,6 +146,7 @@ class Trainer:
                 samples,
                 num_patches=self.cfg.vision.num_patches,
                 ds_mode=self.cfg.model_type == "vcoder_ds_llava",
+                it_mode=self.cfg.model_type == "vcoder_it_llava",
                 use_seg=self.cfg.use_seg,
                 use_depth=self.cfg.use_depth,
                 image_size=self.cfg.vision.image_size,
@@ -238,8 +239,18 @@ class Trainer:
         history = []
         t_start = time.time()
         budget = max_steps or self.total_steps
-        for epoch in range(self.args.num_train_epochs):
+        # On resume, fast-forward past already-consumed batches so the run
+        # sees the same data stream as an uninterrupted one (the reference
+        # HF Trainer skips consumed batches too).
+        steps_per_epoch = max(len(self.dataset) // self.global_batch, 1)
+        start_epoch = self.step // steps_per_epoch
+        skip_in_epoch = self.step % steps_per_epoch
+        for epoch in range(start_epoch, self.args.num_train_epochs):
+            to_skip = skip_in_epoch if epoch == start_epoch else 0
             for batch in self._epoch_batches(epoch):
+                if to_skip > 0:
+                    to_skip -= 1
+                    continue
                 if self.step >= budget:
                     break
                 t0 = time.time()
