@@ -29,6 +29,77 @@ QUANTIZE_PATHS = [
 ]
 
 
+def init_quantized_params(
+    rng, cfg, bits: int = 8, dtype=None
+) -> Any:
+    """Random-init a model directly into quantized form, leaf by leaf.
+
+    A 13B bf16 tree (26 GB) cannot materialize on a 16 GB chip before
+    quantization; this builds each leaf, quantizes the heavyweight matmuls
+    immediately, and keeps peak HBM near the final int8 size. For
+    random-weight benchmarks/smoke tests; real checkpoints stream through
+    quantize_params at load.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vcoder_tpu.models.vcoder import init_vcoder_params
+
+    dtype = dtype or jnp.bfloat16
+    shapes = jax.eval_shape(
+        lambda key: init_vcoder_params(key, cfg, dtype=dtype), rng
+    )
+    patterns = [re.compile(p) for p in QUANTIZE_PATHS]
+    counter = [0]
+
+    def leaf(path, sds):
+        s = _path_str(path)
+        key = jax.random.fold_in(rng, counter[0])
+        counter[0] += 1
+        if any(p.match(s) for p in patterns):
+            # Sample the quantized representation directly, layer-stacked
+            # tensors per-layer inside one jit: randint's u32 bit buffer
+            # for a full 13B stacked tensor is an 11 GB transient.
+            qmax = 127 if bits == 8 else 7
+            qdt = jnp.int8 if bits == 8 else jnp.int4
+
+            if len(sds.shape) == 3:
+
+                @jax.jit
+                def _fill(key):
+                    def body(i, buf):
+                        k = jax.random.fold_in(key, i)
+                        vals = jax.random.randint(
+                            k, sds.shape[1:], -qmax, qmax + 1, jnp.int8
+                        )
+                        return jax.lax.dynamic_update_index_in_dim(
+                            buf, vals.astype(qdt), i, 0
+                        )
+
+                    return jax.lax.fori_loop(
+                        0, sds.shape[0], body, jnp.zeros(sds.shape, qdt)
+                    )
+
+                q = _fill(key)
+            else:
+                q = jax.random.randint(
+                    key, sds.shape, -qmax, qmax + 1, jnp.int8
+                ).astype(qdt)
+            scale = jnp.full(
+                sds.shape[:-2] + (1, sds.shape[-1]),
+                0.02 / qmax,
+                jnp.float32,
+            )
+            return QuantizedTensor(q=q, scale=scale)
+        if sds.dtype in (jnp.float32, jnp.bfloat16, jnp.float16):
+            return jax.random.normal(
+                key, sds.shape, sds.dtype
+            ) * jnp.asarray(0.02, sds.dtype)
+        return jnp.zeros(sds.shape, sds.dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, shapes)
+
+
 def quantize_params(params: Any, bits: int = 8, destroy: bool = True) -> Any:
     """Quantize the heavyweight matmul leaves of a model pytree.
 

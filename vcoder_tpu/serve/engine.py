@@ -293,23 +293,29 @@ class ServingEngine:
     def _prefill(self, req: Request, slot: int) -> int:
         cfg = self.cfg
         ds_mode = cfg.model_type == "vcoder_ds_llava"
-        plan = build_splice_plan(
-            [req.input_ids],
+        plan_kwargs = dict(
             num_patches=cfg.vision.num_patches,
             has_image=req.images is not None,
             has_seg=req.segs is not None,
             has_depth=req.depths is not None,
             ds_mode=ds_mode,
             it_mode=cfg.model_type == "vcoder_it_llava",
-            pad_to=_bucket(
-                len(req.input_ids)
-                + cfg.vision.num_patches
-                * (
-                    int(req.images is not None)
-                    + int(req.segs is not None)
-                    + int(req.depths is not None and ds_mode)
-                )
-            ),
+        )
+        # Exact expanded length first (the DS splice quirk drops depth
+        # tokens, so a worst-case estimate can overshoot the slot cache),
+        # then re-plan at the bucketed length.
+        probe = build_splice_plan(
+            [req.input_ids], pad_multiple=1, **plan_kwargs
+        )
+        exact = int(probe.seq_lens[0])
+        pad_to = _bucket(exact)
+        if pad_to > self.max_len - 1:
+            raise ValueError(
+                f"prompt expands to {exact} tokens; engine max_len"
+                f" {self.max_len} is too small"
+            )
+        plan = build_splice_plan(
+            [req.input_ids], pad_to=pad_to, **plan_kwargs
         )
         req.prompt_len = int(plan.seq_lens[0])
         arrays = model_mod.plan_to_arrays(plan)
