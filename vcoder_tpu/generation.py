@@ -232,6 +232,7 @@ def generate_stream(
     seed: int = 0,
     stop_str: Optional[str] = None,
     is_depth_zero: Optional[Sequence[bool]] = None,
+    is_seg_zero: Optional[Sequence[bool]] = None,
     attn_impl: str = "auto",
 ):
     """Token-streaming generation (batch 1): yields accumulated text after
@@ -249,6 +250,7 @@ def generate_stream(
         ds_mode=cfg.model_type == "vcoder_ds_llava",
         it_mode=cfg.model_type == "vcoder_it_llava",
         is_depth_zero=is_depth_zero,
+        is_seg_zero=is_seg_zero,
     )
     plan_arrays = model_mod.plan_to_arrays(plan)
     T = plan.seq_len
@@ -317,6 +319,7 @@ def generate(
     tokenizer=None,
     stopping_criteria=None,
     is_depth_zero: Optional[Sequence[bool]] = None,
+    is_seg_zero: Optional[Sequence[bool]] = None,
     attn_impl: str = "auto",
     pad_to: Optional[int] = None,
 ) -> GenerationResult:
@@ -334,6 +337,7 @@ def generate(
         ds_mode=cfg.model_type == "vcoder_ds_llava",
         it_mode=cfg.model_type == "vcoder_it_llava",
         is_depth_zero=is_depth_zero,
+        is_seg_zero=is_seg_zero,
         pad_to=pad_to,
     )
     plan_arrays = model_mod.plan_to_arrays(plan)
