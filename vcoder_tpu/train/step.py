@@ -87,9 +87,15 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     max_grad_norm: Optional[float] = 1.0,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
     """Cosine schedule + linear warmup AdamW, the reference recipe
-    (scripts/v1_5/vcoder_train.sh: cosine, warmup 0.03, wd 0)."""
+    (scripts/v1_5/vcoder_train.sh: cosine, warmup 0.03, wd 0).
+
+    ``accum_steps > 1`` wraps in optax.MultiSteps: gradients average over
+    K micro-batches before one optimizer update (the analog of HF
+    gradient_accumulation_steps; total_steps counts optimizer updates).
+    """
     warmup = max(int(total_steps * warmup_ratio), 1)
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
@@ -104,7 +110,10 @@ def make_optimizer(
     chain.append(
         optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay)
     )
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
 
 
 def make_train_step(

@@ -61,6 +61,7 @@ class TrainArgs:
     learning_rate: float = 1e-3
     num_train_epochs: int = 1
     per_device_train_batch_size: int = 4
+    gradient_accumulation_steps: int = 1
     warmup_ratio: float = 0.03
     weight_decay: float = 0.0
     max_grad_norm: float = 1.0
@@ -93,15 +94,20 @@ class Trainer:
         if mesh is not None:
             world = mesh.shape["data"] * mesh.shape["fsdp"]
         self.global_batch = args.per_device_train_batch_size * world
-        steps_per_epoch = max(len(dataset) // self.global_batch, 1)
-        self.total_steps = steps_per_epoch * args.num_train_epochs
+        self.accum = max(args.gradient_accumulation_steps, 1)
+        # self.step / total_steps count MICRO-batches; the LR schedule runs
+        # in optimizer updates (MultiSteps advances it every accum steps).
+        self.micro_per_epoch = max(len(dataset) // self.global_batch, 1)
+        self.total_steps = self.micro_per_epoch * args.num_train_epochs
+        total_updates = max(self.total_steps // self.accum, 1)
 
         self.optimizer = make_optimizer(
             args.learning_rate,
-            self.total_steps,
+            total_updates,
             warmup_ratio=args.warmup_ratio,
             weight_decay=args.weight_decay,
             max_grad_norm=args.max_grad_norm,
+            accum_steps=self.accum,
         )
         if mesh is not None:
             from vcoder_tpu.parallel import shard_params
@@ -242,7 +248,7 @@ class Trainer:
         # On resume, fast-forward past already-consumed batches so the run
         # sees the same data stream as an uninterrupted one (the reference
         # HF Trainer skips consumed batches too).
-        steps_per_epoch = max(len(self.dataset) // self.global_batch, 1)
+        steps_per_epoch = self.micro_per_epoch
         start_epoch = self.step // steps_per_epoch
         skip_in_epoch = self.step % steps_per_epoch
         for epoch in range(start_epoch, self.args.num_train_epochs):
