@@ -115,19 +115,42 @@ class KVCache:
     """Static-size per-layer KV cache (pytree).
 
     k, v: [L, B, S_max, KH, HD]; kv_mask: [B, S_max] validity of each slot;
-    length: [B] number of populated slots per row (ragged batches supported).
+    length: [B] number of populated slots per row (ragged batches
+    supported). With ``quantized=True`` storage, k/v hold int8 and
+    k_scale/v_scale hold per-vector f32 scales [L, B, S_max, KH, 1] —
+    halving cache HBM (the serving capacity limit at 13B); values
+    dequantize at the attention read.
     """
 
     k: jnp.ndarray
     v: jnp.ndarray
     kv_mask: jnp.ndarray
     length: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @staticmethod
     def create(
-        cfg: TextConfig, batch: int, max_len: int, dtype=jnp.float32
+        cfg: TextConfig,
+        batch: int,
+        max_len: int,
+        dtype=jnp.float32,
+        quantized: bool = False,
     ) -> "KVCache":
         L, KH, HD = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+        if quantized:
+            return KVCache(
+                k=jnp.zeros((L, batch, max_len, KH, HD), jnp.int8),
+                v=jnp.zeros((L, batch, max_len, KH, HD), jnp.int8),
+                kv_mask=jnp.zeros((batch, max_len), bool),
+                length=jnp.zeros((batch,), jnp.int32),
+                k_scale=jnp.zeros((L, batch, max_len, KH, 1), jnp.float32),
+                v_scale=jnp.zeros((L, batch, max_len, KH, 1), jnp.float32),
+            )
         return KVCache(
             k=jnp.zeros((L, batch, max_len, KH, HD), dtype),
             v=jnp.zeros((L, batch, max_len, KH, HD), dtype),
@@ -137,8 +160,20 @@ class KVCache:
 
 
 jax.tree_util.register_dataclass(
-    KVCache, data_fields=["k", "v", "kv_mask", "length"], meta_fields=[]
+    KVCache,
+    data_fields=["k", "v", "kv_mask", "length", "k_scale", "v_scale"],
+    meta_fields=[],
 )
+
+
+def _kv_quantize(x: jnp.ndarray):
+    """[B, T, KH, HD] -> (int8 values, f32 per-vector scales)."""
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-8) / 127.0
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale), -127, 127
+    ).astype(jnp.int8)
+    return q, scale
 
 
 # ---------------------------------------------------------------------------
@@ -221,13 +256,27 @@ def llama_forward(
         out_cache = None
         if use_cache:
             ck, cv = layer_params_and_cache["ck"], layer_params_and_cache["cv"]
-            ck = _write_rows(ck, k)
-            cv = _write_rows(cv, v)
-            out_cache = (ck, cv)
+            if cache.quantized:
+                kq, ks = _kv_quantize(k)
+                vq, vs = _kv_quantize(v)
+                ck = _write_rows(ck, kq)
+                cv = _write_rows(cv, vq)
+                cks = _write_rows(layer_params_and_cache["cks"], ks)
+                cvs = _write_rows(layer_params_and_cache["cvs"], vs)
+                out_cache = (ck, cv, cks, cvs)
+                # Dequantize at the read; XLA fuses the scale multiply into
+                # the attention operand load.
+                k_at = ck.astype(x.dtype) * cks.astype(x.dtype)
+                v_at = cv.astype(x.dtype) * cvs.astype(x.dtype)
+            else:
+                ck = _write_rows(ck, k)
+                cv = _write_rows(cv, v)
+                out_cache = (ck, cv)
+                k_at, v_at = ck, cv
             attn_out = multi_head_attention(
                 q,
-                ck,
-                cv,
+                k_at,
+                v_at,
                 causal=True,
                 q_positions=position_ids,
                 kv_mask=new_kv_mask,
@@ -263,10 +312,11 @@ def llama_forward(
 
     per_layer_inputs = {"p": params["layers"]}
     if use_cache:
-        # Append-only cache contract: target slots are zero (fresh cache or
-        # monotonically growing length), so scatter-add == write.
         per_layer_inputs["ck"] = cache.k
         per_layer_inputs["cv"] = cache.v
+        if cache.quantized:
+            per_layer_inputs["cks"] = cache.k_scale
+            per_layer_inputs["cvs"] = cache.v_scale
 
     x, stacked_cache = jax.lax.scan(scan_body, inputs_embeds, per_layer_inputs)
 
@@ -278,6 +328,8 @@ def llama_forward(
             v=stacked_cache[1],
             kv_mask=new_kv_mask,
             length=new_len,
+            k_scale=stacked_cache[2] if cache.quantized else None,
+            v_scale=stacked_cache[3] if cache.quantized else None,
         )
 
     x = rms_norm(x, params["norm"], eps)

@@ -84,7 +84,13 @@ def _prefill_insert(
     """Prefill one request at bucketed length T, insert its KV into the
     slot cache, return first-token logits + updated cache."""
     T = plan_arrays["safe_ids"].shape[1]
-    tmp = KVCache.create(cfg.text, 1, T, dtype=cache.k.dtype)
+    tmp = KVCache.create(
+        cfg.text,
+        1,
+        T,
+        dtype=params["lm"]["embed_tokens"].dtype,
+        quantized=cache.quantized,
+    )
     logits, tmp = model_mod.prefill(
         params,
         cfg,
@@ -96,14 +102,21 @@ def _prefill_insert(
         use_vcoder_emb=use_vcoder_emb,
         attn_impl=attn_impl,
     )
-    # Insert [L, 1, T, KH, HD] at (slot, 0).
-    L = cache.k.shape[0]
+    # Insert [L, 1, T, ...] blocks at (slot, 0).
     k = jax.lax.dynamic_update_slice(
         cache.k, tmp.k.astype(cache.k.dtype), (0, slot, 0, 0, 0)
     )
     v = jax.lax.dynamic_update_slice(
         cache.v, tmp.v.astype(cache.v.dtype), (0, slot, 0, 0, 0)
     )
+    k_scale = v_scale = None
+    if cache.quantized:
+        k_scale = jax.lax.dynamic_update_slice(
+            cache.k_scale, tmp.k_scale, (0, slot, 0, 0, 0)
+        )
+        v_scale = jax.lax.dynamic_update_slice(
+            cache.v_scale, tmp.v_scale, (0, slot, 0, 0, 0)
+        )
     s_max = cache.kv_mask.shape[1]
     row_mask = jnp.arange(s_max) < tmp.length[0]
     kv_mask = jax.lax.dynamic_update_slice(
@@ -112,7 +125,10 @@ def _prefill_insert(
     length = jax.lax.dynamic_update_slice(
         cache.length, tmp.length, (slot,)
     )
-    return logits[0], KVCache(k=k, v=v, kv_mask=kv_mask, length=length)
+    return logits[0], KVCache(
+        k=k, v=v, kv_mask=kv_mask, length=length,
+        k_scale=k_scale, v_scale=v_scale,
+    )
 
 
 @partial(
@@ -167,6 +183,7 @@ class ServingEngine:
         max_len: int = 4096,
         attn_impl: str = "auto",
         seed: int = 0,
+        kv_quant: bool = False,
     ):
         self.cfg = cfg
         self.params = params
@@ -174,7 +191,9 @@ class ServingEngine:
         self.max_len = max_len
         self.attn_impl = attn_impl
         dtype = params["lm"]["embed_tokens"].dtype
-        self.cache = KVCache.create(cfg.text, max_batch, max_len, dtype)
+        self.cache = KVCache.create(
+            cfg.text, max_batch, max_len, dtype, quantized=kv_quant
+        )
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.active = np.zeros((max_batch,), bool)
         self.temps = np.zeros((max_batch,), np.float32)
