@@ -118,6 +118,11 @@ def multi_head_attention(
         # ViT FLOPs anyway. The flash kernel wins on long causal decoder
         # prefill (2.1x at T=2048, D=128).
         impl = "xla"
+    if impl == "pallas" and k.shape[2] != q.shape[2]:
+        # Grouped KV heads: the Pallas backward requires MHA, and a
+        # GQA model under training would fail at trace time inside the
+        # custom_vjp. Production CLIP/Vicuna are MHA; GQA goes to XLA.
+        impl = "xla"
     if impl == "pallas":
         from vcoder_tpu.ops.flash_attention import flash_attention
         from vcoder_tpu.parallel.mesh import current_mesh
