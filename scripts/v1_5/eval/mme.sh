@@ -10,4 +10,8 @@ python -m vcoder_tpu.eval.vqa_loader \
     --image-folder $D/MME_Benchmark_release_version \
     --answers-file $D/answers/$NAME.jsonl \
     --single-pred-prompt --temperature 0
+python -m vcoder_tpu.eval.converters mme \
+    --question-file $D/llava_mme.jsonl \
+    --result-file $D/answers/$NAME.jsonl \
+    --output-dir $D/eval_tool/answers/$NAME
 echo "score with: cd $D/eval_tool && python calculation.py --results_dir answers/$NAME"

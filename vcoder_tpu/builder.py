@@ -162,26 +162,21 @@ def load_pretrained_model(
         # builder.py:82-91): the adapter dir holds only projector /
         # vcoder_lm_emb weights, so load its raw state dict (never a full
         # model import) and overlay onto the base's HF state.
-        from vcoder_tpu.checkpoint import (
-            import_vcoder,
-            load_safetensors_state,
-        )
+        from vcoder_tpu.checkpoint import load_safetensors_state
 
-        with open(os.path.join(model_path, "config.json")) as f:
-            cfg = VCoderConfig.from_hf_config(json.load(f))
-        state = load_safetensors_state(model_base)
-        adapter_state = load_safetensors_state(model_path)
-        for k, v in adapter_state.items():
+        overlay = {}
+        for k, v in load_safetensors_state(model_path).items():
             # tolerate reference-style 'base_model.' / bare prefixes
             k = k.replace("base_model.model.", "")
             if not k.startswith(("model.", "lm_head.")):
                 k = "model." + k
-            state[k] = v
-        params = import_vcoder(state, cfg)
-        if dtype is not None:
-            import jax
-
-            params = jax.tree.map(lambda x: x.astype(dtype), params)
+            overlay[k] = v
+        cfg, params = load_hf_checkpoint(
+            model_base,
+            dtype=dtype,
+            state_overlay=overlay,
+            config_dir=model_path,
+        )
     else:
         cfg, params = load_hf_checkpoint(model_path, dtype=dtype)
 

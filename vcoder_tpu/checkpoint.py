@@ -226,10 +226,15 @@ def load_safetensors_state(model_dir: str) -> StateDict:
                     state[key] = f.get_tensor(key)
         return state
 
+    # Exclude non-weight pickles shipped alongside HF checkpoints —
+    # training_args.bin etc. are arbitrary objects torch.load(weights_only)
+    # refuses.
+    _SKIP = ("optimizer", "training_args", "trainer_state", "scheduler",
+             "rng_state")
     bins = sorted(
         f
         for f in os.listdir(model_dir)
-        if f.endswith(".bin") and not f.startswith("optimizer")
+        if f.endswith(".bin") and not f.startswith(_SKIP)
     )
     if not bins:
         raise FileNotFoundError(
@@ -428,10 +433,15 @@ def load_lora_checkpoint(
             (k[11:] if k.startswith("base_model.") else k): v
             for k, v in non_lora.items()
         }
-        non_lora = {
-            (k[6:] if k.startswith("model.model.") else k): v
-            for k, v in non_lora.items()
-        }
+        # Reference semantics (model/builder.py:60-63): if ANY key starts
+        # with 'model.model.', strip 'model.' from EVERY 'model.'-prefixed
+        # key — this turns 'model.lm_head.weight' into 'lm_head.weight'
+        # too, not just the doubly-prefixed ones.
+        if any(k.startswith("model.model.") for k in non_lora):
+            non_lora = {
+                (k[6:] if k.startswith("model.") else k): v
+                for k, v in non_lora.items()
+            }
         state.update(non_lora)
 
     # adapter weights + scale
@@ -487,20 +497,28 @@ def load_hf_checkpoint(
     model_dir: str,
     dtype=jnp.bfloat16,
     config_override: Optional[VCoderConfig] = None,
+    state_overlay: Optional[StateDict] = None,
+    config_dir: Optional[str] = None,
 ):
     """Load a local HF-format VCoder/LLaVA checkpoint directory.
 
     Returns (config, params). Mirrors the role of the reference's
     ``load_pretrained_model`` weight-loading core (reference:
     vcoder_llava/model/builder.py:93-143); tokenizer/processor assembly
-    lives in vcoder_tpu/builder.py.
+    lives in vcoder_tpu/builder.py. ``state_overlay`` entries replace the
+    loaded state before import (adapter-over-base loading);
+    ``config_dir`` reads config.json from a different directory.
     """
     if config_override is None:
-        with open(os.path.join(model_dir, "config.json")) as f:
+        with open(
+            os.path.join(config_dir or model_dir, "config.json")
+        ) as f:
             cfg = VCoderConfig.from_hf_config(json.load(f))
     else:
         cfg = config_override
     state = load_safetensors_state(model_dir)
+    if state_overlay:
+        state.update(state_overlay)
     params = import_vcoder(state, cfg)
     if dtype is not None:
         import jax

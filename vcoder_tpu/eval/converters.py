@@ -139,6 +139,46 @@ def convert_mmbench(
     print("wrote", out)
 
 
+def convert_mme(
+    question_file: str, result_file: str, output_dir: str
+) -> None:
+    """Answers jsonl -> MME eval_tool per-category txt files
+    ('img\\tquestion\\tgt\\tpred' lines). Category and ground truth come
+    from the question file ('category' field, else the image path's
+    leading directory; 'answer'/'label' field for GT)."""
+    questions = {}
+    for line in open(question_file):
+        q = json.loads(line)
+        questions[q["question_id"]] = q
+    os.makedirs(output_dir, exist_ok=True)
+    files = {}
+    try:
+        for line in open(result_file):
+            a = json.loads(line)
+            q = questions.get(a["question_id"], {})
+            image = q.get("image", str(a["question_id"]))
+            category = q.get("category") or image.split("/")[0]
+            gt = q.get("answer", q.get("label", ""))
+            pred = a["text"].replace("\n", " ").replace("\t", " ")
+            question = q.get("text", a.get("prompt", "")).replace(
+                "\n", " "
+            ).replace("\t", " ")
+            if category not in files:
+                files[category] = open(
+                    os.path.join(output_dir, f"{category}.txt"), "w"
+                )
+            files[category].write(
+                "\t".join(
+                    [os.path.basename(image), question, gt, pred]
+                )
+                + "\n"
+            )
+    finally:
+        for f in files.values():
+            f.close()
+    print(f"wrote {len(files)} category files to {output_dir}")
+
+
 def main():
     parser = argparse.ArgumentParser()
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -158,6 +198,10 @@ def main():
     p.add_argument("--result-dir", required=True)
     p.add_argument("--upload-dir", required=True)
     p.add_argument("--experiment", required=True)
+    p = sub.add_parser("mme")
+    p.add_argument("--question-file", required=True)
+    p.add_argument("--result-file", required=True)
+    p.add_argument("--output-dir", required=True)
     args = parser.parse_args()
     if args.cmd == "gqa":
         convert_gqa(args.src, args.dst)
@@ -172,6 +216,8 @@ def main():
             args.annotation_file, args.result_dir, args.upload_dir,
             args.experiment,
         )
+    elif args.cmd == "mme":
+        convert_mme(args.question_file, args.result_file, args.output_dir)
 
 
 if __name__ == "__main__":

@@ -92,6 +92,16 @@ def init_quantized_params(
             )
             return QuantizedTensor(q=q, scale=scale)
         if sds.dtype in (jnp.float32, jnp.bfloat16, jnp.float16):
+            # Match init_vcoder_params' structure: norm/scale weights are
+            # ones and biases zeros — N(0, 0.02) there would scale every
+            # rms_norm output ~50x down and make the smoke model's
+            # numerics unrepresentative.
+            if re.search(r"(layernorm|/norm$|ln\d_(scale|bias)|/scale$)", s):
+                if "bias" in s:
+                    return jnp.zeros(sds.shape, sds.dtype)
+                return jnp.ones(sds.shape, sds.dtype)
+            if "bias" in s or re.search(r"/b/\d+$", s):
+                return jnp.zeros(sds.shape, sds.dtype)
             return jax.random.normal(
                 key, sds.shape, sds.dtype
             ) * jnp.asarray(0.02, sds.dtype)

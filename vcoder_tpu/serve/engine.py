@@ -57,6 +57,7 @@ class Request:
     prompt_len: int = 0
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    error: Optional[str] = None
 
 
 @partial(
@@ -293,8 +294,15 @@ class ServingEngine:
         while self.queue and not all(self.active):
             slot = int(np.nonzero(~self.active)[0][0])
             req = self.queue.pop(0)
-            with self.timer.measure("ttft"):
-                first_tok = self._prefill(req, slot)
+            try:
+                with self.timer.measure("ttft"):
+                    first_tok = self._prefill(req, slot)
+            except ValueError as e:
+                # Oversized prompt: fail only this request, keep serving.
+                req.done = True
+                req.error = str(e)
+                events.append((req.request_id, self.eos_id, True))
+                continue
             req.slot = slot
             req.generated.append(first_tok)
             self.slots[slot] = req
@@ -327,19 +335,24 @@ class ServingEngine:
             [req.input_ids], pad_multiple=1, **plan_kwargs
         )
         exact = int(probe.seq_lens[0])
-        pad_to = _bucket(exact)
-        if pad_to > self.max_len - 1:
+        if exact > self.max_len - 1:
             raise ValueError(
                 f"prompt expands to {exact} tokens; engine max_len"
                 f" {self.max_len} is too small"
             )
+        # A bucket may overshoot max_len even though the prompt fits;
+        # cap it (costs one extra compiled shape at the boundary).
+        pad_to = min(_bucket(exact), self.max_len - 1)
         plan = build_splice_plan(
             [req.input_ids], pad_to=pad_to, **plan_kwargs
         )
         req.prompt_len = int(plan.seq_lens[0])
         arrays = model_mod.plan_to_arrays(plan)
         dummy = jnp.zeros((0,), jnp.float32)
-        dtype = self.cache.k.dtype
+        # Pixels cast to the COMPUTE dtype, never the cache storage dtype
+        # (an int8-quantized cache would truncate normalized pixels to
+        # ~4 integer levels).
+        dtype = self.params["lm"]["embed_tokens"].dtype
 
         def px(x):
             return (

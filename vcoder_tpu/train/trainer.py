@@ -128,7 +128,11 @@ class Trainer:
 
     # ---- data ----
 
-    def _epoch_batches(self, epoch: int) -> Iterator[dict]:
+    def _epoch_batches(self, epoch: int, skip: int = 0) -> Iterator[dict]:
+        """Yield collated batches; ``skip`` drops the first N batches by
+        slicing the sampler order (no image loading / collation for
+        skipped batches — resume at step 50k must not redo 50k batches of
+        pixel decode)."""
         args = self.args
         sampler = LengthGroupedSampler(
             args.per_device_train_batch_size,
@@ -141,7 +145,8 @@ class Trainer:
         )
         sampler.set_epoch(epoch)
         order = list(iter(sampler))
-        for i in range(0, len(order) - self.global_batch + 1,
+        for i in range(skip * self.global_batch,
+                       len(order) - self.global_batch + 1,
                        self.global_batch):
             samples = [self.dataset[j] for j in order[i:i + self.global_batch]]
             max_ids = max(len(s["input_ids"]) for s in samples)
@@ -253,10 +258,7 @@ class Trainer:
         skip_in_epoch = self.step % steps_per_epoch
         for epoch in range(start_epoch, self.args.num_train_epochs):
             to_skip = skip_in_epoch if epoch == start_epoch else 0
-            for batch in self._epoch_batches(epoch):
-                if to_skip > 0:
-                    to_skip -= 1
-                    continue
+            for batch in self._epoch_batches(epoch, skip=to_skip):
                 if self.step >= budget:
                     break
                 t0 = time.time()
