@@ -1,0 +1,107 @@
+"""Paged-KV engine: kernel parity is covered on TPU; here the engine's
+outputs must match the slot engine token-for-token (CPU, interpret-mode
+paged kernel), pages must recycle, and ragged contexts must pack."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcoder_tpu.config import VCoderConfig
+from vcoder_tpu.constants import IMAGE_TOKEN_INDEX, SEG_TOKEN_INDEX
+from vcoder_tpu.models import vcoder as model_mod
+from vcoder_tpu.serve.engine import ServingEngine
+from vcoder_tpu.serve.paged_engine import PagedServingEngine
+
+
+@pytest.fixture(scope="module")
+def setup():
+    # The paged kernel requires MHA.
+    base = VCoderConfig.tiny("vcoder_llava")
+    cfg = dataclasses.replace(
+        base, text=dataclasses.replace(base.text, num_kv_heads=4)
+    )
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+    hw = cfg.vision.image_size
+    px = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (1, hw, hw, 3))
+    )
+    return cfg, params, px
+
+
+def _prompt(i):
+    return [1, 10 + i, 11, IMAGE_TOKEN_INDEX, SEG_TOKEN_INDEX, 12, 13 + i]
+
+
+def test_paged_matches_slot_engine(setup):
+    cfg, params, px = setup
+    slot = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla"
+    )
+    paged = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla",
+    )
+    outs = {}
+    for name, eng in (("slot", slot), ("paged", paged)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, max_new_tokens=5
+            )
+            for i in range(3)
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["paged"] == outs["slot"]
+
+
+def test_pages_recycle(setup):
+    cfg, params, px = setup
+    eng = PagedServingEngine(
+        cfg, params, max_batch=1, max_len=768, page_size=64,
+        total_pages=16, attn_impl="xla",
+    )
+    free0 = len(eng.free_pages)
+    for i in range(3):
+        eng.add_request(_prompt(i), images=px, segs=px, max_new_tokens=3)
+    out = eng.run()
+    assert len(out) == 3
+    assert len(eng.free_pages) == free0  # everything returned
+    assert all(not p for p in eng.row_pages)
+
+
+def test_ragged_contexts_pack(setup):
+    """A text-only request and a multimodal one occupy very different page
+    counts — the allocator hands out only what each needs."""
+    cfg, params, px = setup
+    eng = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla",
+    )
+    r_mm = eng.add_request(
+        _prompt(0), images=px, segs=px, max_new_tokens=2
+    )
+    r_txt = eng.add_request([1, 5, 6, 7], max_new_tokens=2)
+    eng._admit()
+    pages_used = [len(p) for p in eng.row_pages]
+    # multimodal prompt expands to ~1157 tokens? (tiny config: 2x4=8
+    # patches) -> few pages; text-only: 1 page.
+    assert pages_used[1] == 1
+    assert pages_used[0] >= 1
+    out = eng.run()
+    assert set(out) == {r_mm, r_txt}
+
+
+def test_page_pool_exhaustion_raises(setup):
+    cfg, params, px = setup
+    eng = PagedServingEngine(
+        cfg, params, max_batch=1, max_len=768, page_size=64,
+        total_pages=3, attn_impl="xla",  # 1 usable page
+    )
+    with pytest.raises(RuntimeError, match="page pool exhausted"):
+        eng.add_request(
+            list(range(2, 80)), max_new_tokens=2
+        )
+        eng.run()

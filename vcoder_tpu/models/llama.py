@@ -336,6 +336,74 @@ def llama_forward(
     return x, new_cache
 
 
+def llama_paged_decode(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # [B, 1, D]
+    positions: jnp.ndarray,  # [B] absolute position of the new token
+    k_pages: jnp.ndarray,  # [L, n_pages, KH, page, HD]
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,  # [B, P_max] int32
+    lengths: jnp.ndarray,  # [B] tokens BEFORE this step
+    active: jnp.ndarray,  # [B] bool
+    *,
+    interpret: bool = False,
+):
+    """One decode step over paged KV storage (vLLM-style).
+
+    Appends the step's K/V into each row's current page, then attends with
+    the Pallas paged kernel (ops/paged_attention.py). Returns
+    (hidden [B, 1, D], new_k_pages, new_v_pages).
+    """
+    from vcoder_tpu.ops.paged_attention import append_token, paged_attention
+
+    B, T, D = inputs_embeds.shape
+    assert T == 1
+    H, KH, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    page = k_pages.shape[3]
+
+    cos, sin = rope_cos_sin(positions[:, None], HD, cfg.rope_theta)
+    row_pages = jnp.take_along_axis(
+        page_table, (positions // page)[:, None], axis=1
+    )[:, 0]
+    offsets = positions % page
+    # Attention spans the pre-existing tokens plus the one just written.
+    attn_lengths = lengths + active.astype(jnp.int32)
+
+    def layer(x, per_layer):
+        lp = per_layer["p"]
+        pk, pv = per_layer["pk"], per_layer["pv"]
+        residual = x
+        h = rms_norm(x, lp["input_layernorm"], eps)
+        q = qm(h, lp["q_proj"]).reshape(B, 1, H, HD)
+        k = qm(h, lp["k_proj"]).reshape(B, 1, KH, HD)
+        v = qm(h, lp["v_proj"]).reshape(B, 1, KH, HD)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        pk = append_token(pk, k[:, 0], row_pages, offsets, active)
+        pv = append_token(pv, v[:, 0], row_pages, offsets, active)
+        attn = paged_attention(
+            q[:, 0], pk, pv, page_table, attn_lengths,
+            interpret=interpret,
+        )  # [B, H, HD]
+        x = residual + qm(attn.reshape(B, 1, H * HD), lp["o_proj"])
+        residual = x
+        h = rms_norm(x, lp["post_attention_layernorm"], eps)
+        mlp = qm(
+            jax.nn.silu(qm(h, lp["gate_proj"])) * qm(h, lp["up_proj"]),
+            lp["down_proj"],
+        )
+        return residual + mlp, (pk, pv)
+
+    per_layer = {"p": params["layers"], "pk": k_pages, "pv": v_pages}
+    x, (new_k, new_v) = jax.lax.scan(
+        lambda c, pl_in: layer(c, pl_in), inputs_embeds, per_layer
+    )
+    x = rms_norm(x, params["norm"], eps)
+    return x, new_k, new_v
+
+
 def lm_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """[B, T, D] -> [B, T, V] logits (f32 for stable softmax/sampling)."""
     return jnp.asarray(qm(hidden, params["lm_head"]), dtype=jnp.float32)

