@@ -43,6 +43,11 @@ def _bucket(n: int) -> int:
     raise ValueError(f"prompt too long: {n}")
 
 
+class DeferAdmission(Exception):
+    """Raised by a _prefill override to pause admission (e.g. paged pool
+    exhausted); the request must already be back in the queue."""
+
+
 @dataclasses.dataclass
 class Request:
     request_id: int
@@ -191,10 +196,8 @@ class ServingEngine:
         self.max_batch = max_batch
         self.max_len = max_len
         self.attn_impl = attn_impl
-        dtype = params["lm"]["embed_tokens"].dtype
-        self.cache = KVCache.create(
-            cfg.text, max_batch, max_len, dtype, quantized=kv_quant
-        )
+        self.kv_quant = kv_quant
+        self.cache = self._make_cache()
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.active = np.zeros((max_batch,), bool)
         self.temps = np.zeros((max_batch,), np.float32)
@@ -288,6 +291,66 @@ class ServingEngine:
 
     # ---- internals ----
 
+    def _make_cache(self):
+        return KVCache.create(
+            self.cfg.text,
+            self.max_batch,
+            self.max_len,
+            self.params["lm"]["embed_tokens"].dtype,
+            quantized=self.kv_quant,
+        )
+
+    def _plan_request(self, req: Request, *, pad_round: int = 1):
+        """Shared prompt planning: exact-length probe, max_len guard,
+        bucketed re-plan (optionally rounded to ``pad_round``), pixel cast
+        to the COMPUTE dtype (never a quantized storage dtype — int8 would
+        truncate normalized pixels to ~4 levels). Returns
+        (plan, plan_arrays, px_fn)."""
+        cfg = self.cfg
+        plan_kwargs = dict(
+            num_patches=cfg.vision.num_patches,
+            has_image=req.images is not None,
+            has_seg=req.segs is not None,
+            has_depth=req.depths is not None,
+            ds_mode=cfg.model_type == "vcoder_ds_llava",
+            it_mode=cfg.model_type == "vcoder_it_llava",
+        )
+        # Exact expanded length first (the DS splice quirk drops depth
+        # tokens, so a worst-case estimate would overshoot the cache).
+        probe = build_splice_plan(
+            [req.input_ids], pad_multiple=1, **plan_kwargs
+        )
+        exact = int(probe.seq_lens[0])
+        if exact > self.max_len - 1:
+            raise ValueError(
+                f"prompt expands to {exact} tokens; engine max_len"
+                f" {self.max_len} is too small"
+            )
+        # A bucket may overshoot max_len even though the prompt fits; cap
+        # it (one extra compiled shape at the boundary).
+        pad_to = min(_bucket(exact), self.max_len - 1)
+        pad_to = -(-pad_to // pad_round) * pad_round
+        plan = build_splice_plan(
+            [req.input_ids], pad_to=pad_to, **plan_kwargs
+        )
+        req.prompt_len = exact
+        arrays = model_mod.plan_to_arrays(plan)
+        dummy = jnp.zeros((0,), jnp.float32)
+        dtype = self.params["lm"]["embed_tokens"].dtype
+
+        def px(x):
+            return jnp.asarray(x, dtype) if x is not None else dummy
+
+        return plan, arrays, px
+
+    def _sample_first(self, logits, req: Request) -> int:
+        if req.temperature > 0.0:
+            self.rng, sub = jax.random.split(self.rng)
+            return int(
+                jax.random.categorical(sub, logits / req.temperature)
+            )
+        return int(jnp.argmax(logits))
+
     def _admit(self) -> List[Tuple[int, int, bool]]:
         """Fill free slots from the queue; returns first-token events."""
         events: List[Tuple[int, int, bool]] = []
@@ -303,6 +366,10 @@ class ServingEngine:
                 req.error = str(e)
                 events.append((req.request_id, self.eos_id, True))
                 continue
+            except DeferAdmission:
+                # Resources unavailable right now; the request is back in
+                # the queue — stop admitting, keep decoding.
+                break
             req.slot = slot
             req.generated.append(first_tok)
             self.slots[slot] = req
@@ -319,45 +386,7 @@ class ServingEngine:
 
     def _prefill(self, req: Request, slot: int) -> int:
         cfg = self.cfg
-        ds_mode = cfg.model_type == "vcoder_ds_llava"
-        plan_kwargs = dict(
-            num_patches=cfg.vision.num_patches,
-            has_image=req.images is not None,
-            has_seg=req.segs is not None,
-            has_depth=req.depths is not None,
-            ds_mode=ds_mode,
-            it_mode=cfg.model_type == "vcoder_it_llava",
-        )
-        # Exact expanded length first (the DS splice quirk drops depth
-        # tokens, so a worst-case estimate can overshoot the slot cache),
-        # then re-plan at the bucketed length.
-        probe = build_splice_plan(
-            [req.input_ids], pad_multiple=1, **plan_kwargs
-        )
-        exact = int(probe.seq_lens[0])
-        if exact > self.max_len - 1:
-            raise ValueError(
-                f"prompt expands to {exact} tokens; engine max_len"
-                f" {self.max_len} is too small"
-            )
-        # A bucket may overshoot max_len even though the prompt fits;
-        # cap it (costs one extra compiled shape at the boundary).
-        pad_to = min(_bucket(exact), self.max_len - 1)
-        plan = build_splice_plan(
-            [req.input_ids], pad_to=pad_to, **plan_kwargs
-        )
-        req.prompt_len = int(plan.seq_lens[0])
-        arrays = model_mod.plan_to_arrays(plan)
-        dummy = jnp.zeros((0,), jnp.float32)
-        # Pixels cast to the COMPUTE dtype, never the cache storage dtype
-        # (an int8-quantized cache would truncate normalized pixels to
-        # ~4 integer levels).
-        dtype = self.params["lm"]["embed_tokens"].dtype
-
-        def px(x):
-            return (
-                jnp.asarray(x, dtype) if x is not None else dummy
-            )
+        plan, arrays, px = self._plan_request(req)
 
         logits, self.cache = _prefill_insert(
             self.params,
@@ -374,11 +403,4 @@ class ServingEngine:
             has_depths=req.depths is not None,
             attn_impl=self.attn_impl,
         )
-        if req.temperature > 0.0:
-            self.rng, sub = jax.random.split(self.rng)
-            tok = int(
-                jax.random.categorical(sub, logits / req.temperature)
-            )
-        else:
-            tok = int(jnp.argmax(logits))
-        return tok
+        return self._sample_first(logits, req)

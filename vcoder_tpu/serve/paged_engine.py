@@ -8,9 +8,11 @@ the Pallas paged-attention kernel — the BASELINE.json north star's
 "continuous-batched decode with a Pallas paged KV-cache".
 
 Memory: page pools [L, n_pages, KH, page, HD]; a request holds exactly
-ceil(context/page) pages, freed on completion. Prefill still runs the
-fused dense graph at bucketed lengths (compute-optimal), then its KV
-scatters into pages in one jitted insert.
+ceil(context/page) pages, freed on completion. Prefill runs the fused
+dense graph at bucketed lengths (compute-optimal, one compile per
+bucket), then a separate small jitted scatter moves its KV into pages
+(one compile per page count). Pool exhaustion defers admission; a
+boundary-allocation failure mid-generation ends only that request.
 """
 
 from __future__ import annotations
@@ -26,38 +28,34 @@ from vcoder_tpu.config import VCoderConfig
 from vcoder_tpu.models import llama as llama_mod
 from vcoder_tpu.models import vcoder as model_mod
 from vcoder_tpu.models.llama import KVCache
-from vcoder_tpu.serve.engine import Request, ServingEngine, _bucket
+from vcoder_tpu.ops.paged_attention import write_prompt_pages
+from vcoder_tpu.serve.engine import DeferAdmission, Request, ServingEngine
 
 
 @partial(
     jax.jit,
     static_argnames=("cfg", "use_vcoder_emb", "has_images", "has_segs",
-                     "has_depths", "attn_impl", "n_new_pages"),
-    donate_argnums=(6, 7),
+                     "has_depths", "attn_impl"),
 )
-def _prefill_to_pages(
+def _dense_prefill(
     params,
     cfg: VCoderConfig,
     plan_arrays,
     images,
     segs,
     depths,
-    k_pages,  # [L, n_pages, KH, page, HD]
-    v_pages,
-    page_ids,  # [n_new_pages] int32
     *,
     use_vcoder_emb: bool,
     has_images: bool,
     has_segs: bool,
     has_depths: bool,
     attn_impl: str,
-    n_new_pages: int,
 ):
-    """Fused dense prefill, then scatter the prompt KV into pages."""
+    """Fused dense prefill into a temporary cache (compiled per length
+    bucket, independent of page accounting)."""
     T = plan_arrays["safe_ids"].shape[1]
-    page = k_pages.shape[3]
     tmp = KVCache.create(
-        cfg.text, 1, T, dtype=k_pages.dtype
+        cfg.text, 1, T, dtype=params["lm"]["embed_tokens"].dtype
     )
     logits, tmp = model_mod.prefill(
         params,
@@ -70,25 +68,37 @@ def _prefill_to_pages(
         use_vcoder_emb=use_vcoder_emb,
         attn_impl=attn_impl,
     )
+    return logits[0], tmp.k, tmp.v
 
-    # tmp.k: [L, 1, T, KH, HD] -> [L, T/page, KH, page, HD] page chunks.
-    def chunks(x):
-        L, _, _, KH, HD = x.shape
-        c = x[:, 0].reshape(L, T // page, page, KH, HD)
-        return c.transpose(0, 1, 3, 2, 4)
 
-    k_pages = k_pages.at[:, page_ids].set(
-        chunks(tmp.k)[:, :n_new_pages].astype(k_pages.dtype)
-    )
-    v_pages = v_pages.at[:, page_ids].set(
-        chunks(tmp.v)[:, :n_new_pages].astype(v_pages.dtype)
-    )
-    return logits[0], k_pages, v_pages
+@partial(jax.jit, static_argnames=("n_pages_used",), donate_argnums=(0, 1))
+def _scatter_pages(
+    k_pages,  # [L, n_pages, KH, page, HD]
+    v_pages,
+    tmp_k,  # [L, 1, T, KH, HD]
+    tmp_v,
+    page_ids,  # [n_pages_used] int32
+    *,
+    n_pages_used: int,
+):
+    """Move a prompt's KV into its pages (cheap; compiled per page count).
+    Only the first n_pages_used * page tokens scatter — padding KV past
+    the prompt never lands in the pool."""
+    page = k_pages.shape[3]
+    T_used = n_pages_used * page
+
+    def one_layer(pages, kv_l):
+        # kv_l: [T, KH, HD] (dense prompt slice)
+        return write_prompt_pages(pages, kv_l, page_ids)
+
+    k_pages = jax.vmap(one_layer)(k_pages, tmp_k[:, 0, :T_used])
+    v_pages = jax.vmap(one_layer)(v_pages, tmp_v[:, 0, :T_used])
+    return k_pages, v_pages
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "attn_impl"),
+    static_argnames=("cfg",),
     donate_argnums=(3, 4),
 )
 def _paged_decode_all(
@@ -102,8 +112,6 @@ def _paged_decode_all(
     active,  # [B] bool
     temperature,  # [B] f32
     rng,
-    *,
-    attn_impl: str,
 ):
     embeds = llama_mod.embed_tokens(params["lm"], tokens[:, None])
     hidden, k_pages, v_pages = llama_mod.llama_paged_decode(
@@ -147,19 +155,22 @@ class PagedServingEngine(ServingEngine):
         assert cfg.text.num_kv_heads == cfg.text.num_heads, (
             "paged engine requires MHA (the production Vicuna models are)"
         )
+        assert max_len % page_size == 0, (
+            f"max_len {max_len} must be a multiple of page_size {page_size}"
+        )
+        self.page_size = page_size
         super().__init__(
             cfg,
             params,
             max_batch=max_batch,
-            max_len=page_size,  # dummy slot cache stays tiny
+            max_len=max_len,
             attn_impl=attn_impl,
             seed=seed,
         )
-        self.max_len = max_len
-        self.page_size = page_size
         self.p_max = max_len // page_size
         if total_pages is None:
-            # Default: enough for every slot at max_len plus scratch.
+            # Default: enough for every slot at max_len plus sentinel +
+            # scratch. Set lower to oversubscribe (the point of paging).
             total_pages = max_batch * self.p_max + 2
         self.total_pages = total_pages
         L = cfg.text.num_layers
@@ -178,11 +189,15 @@ class PagedServingEngine(ServingEngine):
         self.lengths = np.zeros((max_batch,), np.int32)
         self.table = np.zeros((max_batch, self.p_max), np.int32)
 
+    def _make_cache(self):
+        # No slot cache: KV lives in the page pools.
+        return None
+
     # ---- paged allocation ----
 
     def _alloc(self, n: int) -> List[int]:
         if len(self.free_pages) < n:
-            raise RuntimeError(
+            raise PoolExhausted(
                 f"page pool exhausted: need {n}, free {len(self.free_pages)}"
             )
         out = self.free_pages[:n]
@@ -195,104 +210,104 @@ class PagedServingEngine(ServingEngine):
         self.lengths[slot] = 0
         self.table[slot, :] = 0
 
+    # ---- request lifecycle ----
+
     def _admit(self):
         events = super()._admit()
-        # Requests that finished AT admission (EOS on first token /
-        # max_new_tokens <= 1) vacated their slot; reclaim their pages.
+        # Requests that finished AT admission vacated their slot before the
+        # base loop could reuse it; _prefill frees on reuse, but reclaim
+        # anything still attached to an inactive slot here too.
         for slot in range(self.max_batch):
-            if not self.active[slot] and self.row_pages[slot]:
-                self._free_row(slot)
+            if not self.active[slot] and self.slots[slot] is None:
+                if self.row_pages[slot]:
+                    self._free_row(slot)
         return events
 
-    # ---- overridden request lifecycle ----
-
     def _prefill(self, req: Request, slot: int) -> int:
-        cfg = self.cfg
-        from vcoder_tpu.multimodal import build_splice_plan
+        # The previous occupant may have finished at admission and this
+        # slot is being reused within the same _admit loop — reclaim.
+        if self.row_pages[slot]:
+            self._free_row(slot)
 
-        plan_kwargs = dict(
-            num_patches=cfg.vision.num_patches,
-            has_image=req.images is not None,
-            has_seg=req.segs is not None,
-            has_depth=req.depths is not None,
-            ds_mode=cfg.model_type == "vcoder_ds_llava",
-            it_mode=cfg.model_type == "vcoder_it_llava",
+        plan, arrays, px = self._plan_request(
+            req, pad_round=self.page_size
         )
-        probe = build_splice_plan(
-            [req.input_ids], pad_multiple=1, **plan_kwargs
-        )
-        exact = int(probe.seq_lens[0])
-        if exact > self.max_len - 1:
-            raise ValueError(
-                f"prompt expands to {exact} tokens; max_len {self.max_len}"
-            )
-        pad_to = min(_bucket(exact), self.max_len)
-        pad_to = -(-pad_to // self.page_size) * self.page_size
-        plan = build_splice_plan(
-            [req.input_ids], pad_to=pad_to, **plan_kwargs
-        )
-        req.prompt_len = exact
+        n_used = -(-req.prompt_len // self.page_size)
+        try:
+            ids = self._alloc(n_used)
+        except PoolExhausted as e:
+            if not any(self.active):
+                # Nothing running that could ever free pages: the pool is
+                # simply too small for this request — fail it.
+                raise ValueError(str(e))
+            # Defer: requeue at the front and let the caller proceed with
+            # whatever is running; pages free as requests finish.
+            self.queue.insert(0, req)
+            raise DeferAdmission()
 
-        n_used = -(-exact // self.page_size)
-        n_insert = pad_to // self.page_size
-        ids = self._alloc(n_insert)
-
-        arrays = model_mod.plan_to_arrays(plan)
-        dummy = jnp.zeros((0,), jnp.float32)
-        dtype = self.params["lm"]["embed_tokens"].dtype
-
-        def px(x):
-            return jnp.asarray(x, dtype) if x is not None else dummy
-
-        logits, self.k_pages, self.v_pages = _prefill_to_pages(
+        logits, tmp_k, tmp_v = _dense_prefill(
             self.params,
-            cfg,
+            self.cfg,
             arrays,
             px(req.images),
             px(req.segs),
             px(req.depths),
-            self.k_pages,
-            self.v_pages,
-            jnp.asarray(ids, jnp.int32),
-            use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
+            use_vcoder_emb=plan.use_vcoder_emb
+            and self.cfg.use_vcoder_lm_emb,
             has_images=req.images is not None,
             has_segs=req.segs is not None,
             has_depths=req.depths is not None,
             attn_impl=self.attn_impl,
-            n_new_pages=n_insert,
         )
-        # Keep only the pages covering real tokens; padding pages recycle
-        # (their stale contents sit beyond every owner's length).
-        self.row_pages[slot] = ids[:n_used]
-        self.free_pages.extend(ids[n_used:])
-        self.lengths[slot] = exact
+        self.k_pages, self.v_pages = _scatter_pages(
+            self.k_pages,
+            self.v_pages,
+            tmp_k,
+            tmp_v,
+            jnp.asarray(ids, jnp.int32),
+            n_pages_used=n_used,
+        )
+        self.row_pages[slot] = ids
+        self.lengths[slot] = req.prompt_len
         self.table[slot, :] = 0
-        self.table[slot, : n_used] = self.row_pages[slot]
-
-        if req.temperature > 0.0:
-            self.rng, sub = jax.random.split(self.rng)
-            tok = int(jax.random.categorical(sub, logits / req.temperature))
-        else:
-            tok = int(jnp.argmax(logits))
-        return tok
+        self.table[slot, :n_used] = ids
+        return self._sample_first(logits, req)
 
     def step(self) -> List[Tuple[int, int, bool]]:
         events = self._admit()
         if not any(self.active):
             return events
 
-        # Ensure every active row has a page for its next position.
+        # Ensure every active row has a page for its next position; a row
+        # that cannot get one is preempted (ended) rather than corrupting
+        # the pool or killing the whole engine.
         for slot in range(self.max_batch):
             if not self.active[slot]:
                 continue
             pos = int(self.lengths[slot])
-            if pos % self.page_size == 0:
-                needed_idx = pos // self.page_size
-                if needed_idx >= self.p_max:
-                    continue  # max-length handling below ends the request
+            if pos % self.page_size != 0:
+                continue
+            needed_idx = pos // self.page_size
+            req = self.slots[slot]
+            if needed_idx >= self.p_max:
+                ended = self._end_request(
+                    slot, "context reached max_len"
+                )
+                events.append((ended.request_id, self.eos_id, True))
+                continue
+            try:
                 pid = self._alloc(1)[0]
-                self.row_pages[slot].append(pid)
-                self.table[slot, needed_idx] = pid
+            except PoolExhausted:
+                ended = self._end_request(
+                    slot, "preempted: page pool exhausted"
+                )
+                events.append((ended.request_id, self.eos_id, True))
+                continue
+            self.row_pages[slot].append(pid)
+            self.table[slot, needed_idx] = pid
+
+        if not any(self.active):
+            return events
 
         self.rng, sub = jax.random.split(self.rng)
         with self.timer.measure("decode_step"):
@@ -307,7 +322,6 @@ class PagedServingEngine(ServingEngine):
                 jnp.asarray(self.active),
                 jnp.asarray(self.temps),
                 sub,
-                attn_impl=self.attn_impl,
             )
             self.tokens = nxt
             nxt_host = np.asarray(nxt)
@@ -318,10 +332,12 @@ class PagedServingEngine(ServingEngine):
                 continue
             tok = int(nxt_host[slot])
             req.generated.append(tok)
+            # Same cap expression as the slot engine (token-for-token
+            # parity when the max_len cap binds).
             done = (
                 tok == self.eos_id
                 or len(req.generated) >= req.max_new_tokens
-                or int(self.lengths[slot]) >= self.max_len - 1
+                or req.prompt_len + len(req.generated) >= self.max_len - 1
             )
             events.append((req.request_id, tok, done))
             if done:
@@ -330,3 +346,16 @@ class PagedServingEngine(ServingEngine):
                 self.slots[slot] = None
                 self._free_row(slot)
         return events
+
+    def _end_request(self, slot: int, reason: str) -> Request:
+        req = self.slots[slot]
+        req.done = True
+        req.error = reason
+        self.active[slot] = False
+        self.slots[slot] = None
+        self._free_row(slot)
+        return req
+
+
+class PoolExhausted(RuntimeError):
+    pass
