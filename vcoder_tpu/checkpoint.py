@@ -264,6 +264,33 @@ def load_torch_bin(path: str) -> StateDict:
     return state
 
 
+def auto_upgrade(model_dir: str, assume_yes: bool = False) -> None:
+    """Upgrade a v0-era checkpoint whose config still says
+    ``model_type: llama`` to ``llava`` (reference:
+    vcoder_llava/model/utils.py:4-20). Rewrites config.json in place."""
+    cfg_path = os.path.join(model_dir, "config.json")
+    with open(cfg_path) as f:
+        hf = json.load(f)
+    if "llava" in model_dir and "llava" not in hf.get("model_type", ""):
+        assert hf.get("model_type") == "llama", hf.get("model_type")
+        print(
+            "You are using newer LLaVA code base, while the checkpoint of"
+            " v0 is from older code base."
+        )
+        if not assume_yes:
+            confirm = input(
+                "Please confirm that you want to upgrade the checkpoint."
+                " [Y/N]"
+            )
+            if confirm.lower() not in ("y", "yes"):
+                raise SystemExit("Checkpoint upgrade aborted.")
+        hf["model_type"] = "llava"
+        hf["architectures"] = ["LlavaLlamaForCausalLM"]
+        with open(cfg_path, "w") as f:
+            json.dump(hf, f, indent=2)
+        print("Checkpoint upgraded.")
+
+
 # ---------------------------------------------------------------------------
 # Export (pytree -> HF layout)
 # ---------------------------------------------------------------------------
