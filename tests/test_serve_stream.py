@@ -1,0 +1,99 @@
+"""Streaming generation + chat worker protocol tests."""
+
+import base64
+import json
+import os
+from io import BytesIO
+
+import jax
+import numpy as np
+import pytest
+
+from vcoder_tpu.checkpoint import save_pretrained
+from vcoder_tpu.config import VCoderConfig
+from vcoder_tpu.constants import IMAGE_TOKEN_INDEX, SEG_TOKEN_INDEX
+from vcoder_tpu.generation import generate, generate_stream
+from vcoder_tpu.models import vcoder as model_mod
+from vcoder_tpu.simple_tokenizer import SimpleTokenizer
+
+PIL = pytest.importorskip("PIL.Image")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = VCoderConfig.tiny("vcoder_llava")
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+    hw = cfg.vision.image_size
+    px = jax.numpy.asarray(
+        np.random.RandomState(0).randn(1, hw, hw, 3), jax.numpy.float32
+    )
+    tok = SimpleTokenizer.build_from_texts(
+        ["USER: ASSISTANT: what objects are in the image two people a car"]
+    )
+    return cfg, params, px, tok
+
+
+def test_generate_stream_matches_fused(setup):
+    cfg, params, px, tok = setup
+    ids = [1, 5, IMAGE_TOKEN_INDEX, SEG_TOKEN_INDEX, 7, 8]
+    fused = generate(
+        params, cfg, [ids], px, px, max_new_tokens=6, temperature=0.0,
+        attn_impl="xla", pad_to=512, tokenizer=tok,
+    )
+    chunks = list(
+        generate_stream(
+            params, cfg, [ids], px, px, tokenizer=tok,
+            max_new_tokens=6, temperature=0.0, attn_impl="xla",
+        )
+    )
+    # Stream yields accumulated text; final chunk equals the fused text.
+    assert chunks, "no stream output"
+    assert chunks[-1] == fused.texts[0]
+    # Monotone accumulation.
+    for a, b in zip(chunks, chunks[1:]):
+        assert b.startswith(a[: len(a) // 2]) or len(b) >= len(a)
+
+
+def test_chat_worker_protocol(setup, tmp_path):
+    cfg, params, px, tok = setup
+    ckpt = str(tmp_path / "vcoder_llava-tiny")
+    save_pretrained(ckpt, params, cfg)
+    tok.save_pretrained(ckpt)
+
+    from vcoder_tpu.serve.chat import Chat
+
+    chat = Chat(ckpt, tokenizer=tok)
+    assert chat.is_seg and not chat.is_depth
+
+    img = PIL.fromarray(
+        np.random.RandomState(1).randint(0, 255, (32, 40, 3), np.uint8)
+    )
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+
+    prompt = "USER: <seg>\n<image>\nwhat objects ASSISTANT:"
+    chunks = list(
+        chat.generate_stream_gate(
+            {
+                "prompt": prompt,
+                "images": [b64],
+                "segs": [b64],
+                "temperature": 0.0,
+                "max_new_tokens": 4,
+                "stop": "</s>",
+            }
+        )
+    )
+    assert chunks
+    payloads = [json.loads(c.decode().rstrip("\0")) for c in chunks]
+    assert all(p["error_code"] == 0 for p in payloads)
+    assert payloads[-1]["text"].startswith(prompt)
+
+    # Sentinel mismatch -> gated error payload, not an exception.
+    bad = list(
+        chat.generate_stream_gate(
+            {"prompt": "no sentinel", "images": [b64], "temperature": 0.0}
+        )
+    )
+    assert json.loads(bad[-1].decode())["error_code"] == 1
