@@ -18,7 +18,6 @@ analog; SURVEY.md §7.3).
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Optional, Sequence
 

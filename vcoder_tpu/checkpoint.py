@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np

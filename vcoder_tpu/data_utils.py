@@ -16,7 +16,7 @@ from typing import List, Tuple
 import numpy as np
 
 from vcoder_tpu.eval import nlp
-from vcoder_tpu.eval.extraction import SPECIAL_WORDS, obtain_nouns
+from vcoder_tpu.eval.extraction import obtain_nouns
 
 
 def generate_qa_pairs(text: str) -> List[Tuple[str, str]]:

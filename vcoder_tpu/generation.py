@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,7 @@ import numpy as np
 from vcoder_tpu.config import VCoderConfig
 from vcoder_tpu.models import vcoder as model_mod
 from vcoder_tpu.models.llama import KVCache
-from vcoder_tpu.multimodal import SplicePlan, build_splice_plan
+from vcoder_tpu.multimodal import build_splice_plan
 
 
 def sample_token(

@@ -15,7 +15,6 @@ Layout convention throughout the framework: ``[batch, seq, heads, head_dim]``
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -22,7 +22,6 @@ ops/flash_attention.py. BASELINE.json's north star names this component
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ TPU analog; deltas vs the CUDA path are documented in SURVEY.md §7.3.
 from __future__ import annotations
 
 import dataclasses
-from typing import Union
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
 
 from vcoder_tpu import generation as gen_mod
 from vcoder_tpu.builder import load_pretrained_model

@@ -17,15 +17,10 @@ import copy
 import json
 import os
 import random as _random_mod
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List
 
 import numpy as np
 
-from vcoder_tpu.constants import (
-    DEFAULT_DEPTH_TOKEN,
-    DEFAULT_IMAGE_TOKEN,
-    DEFAULT_SEG_TOKEN,
-)
 from vcoder_tpu.data_utils import generate_qa_pairs
 from vcoder_tpu.eval.extraction import obtain_seg_texts
 from vcoder_tpu.preprocess import process_images

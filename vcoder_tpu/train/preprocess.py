@@ -24,7 +24,6 @@ them to build_splice_plan).
 
 from __future__ import annotations
 
-import copy
 from typing import Dict, List, Optional, Sequence
 
 from vcoder_tpu.constants import (
