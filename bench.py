@@ -180,11 +180,61 @@ def main():
     jax_block(tokb)
     serve_tok_per_s = Bcb * n_steps / (time.perf_counter() - t0)
 
+    del cache
+
+    # --- secondary: paged-KV decode aggregate (int8 weights, B=8) ---
+    from vcoder_tpu.models.llama import llama_paged_decode
+
+    page = 64
+    Bp = 8
+    p_max = (T + 64) // page
+    n_pages = Bp * p_max + 2
+    L = cfg.text.num_layers
+    KH, HD = cfg.text.num_kv_heads, cfg.text.head_dim
+    k_pages = jnp.zeros((L, n_pages, KH, page, HD), jnp.bfloat16)
+    v_pages = jnp.zeros((L, n_pages, KH, page, HD), jnp.bfloat16)
+    table = jnp.asarray(
+        np.arange(1, Bp * p_max + 1).reshape(Bp, p_max).astype(np.int32)
+    )
+    lengths0 = jnp.full((Bp,), T, jnp.int32)
+    active = jnp.ones((Bp,), bool)
+
+    @partial(jax.jit, donate_argnums=(2, 3))
+    def paged_decode_n(params, tok, k_pages, v_pages):
+        def body(i, carry):
+            tok, k_pages, v_pages = carry
+            embeds = jnp.take(
+                params["lm"]["embed_tokens"], tok[:, None], axis=0
+            )
+            hidden, k_pages, v_pages = llama_paged_decode(
+                params["lm"], cfg.text, embeds, lengths0 + i, k_pages,
+                v_pages, table, lengths0 + i, active,
+            )
+            logits = hidden[:, 0] @ (
+                params["lm"]["lm_head"].q.astype(jnp.bfloat16)
+                if hasattr(params["lm"]["lm_head"], "q")
+                else params["lm"]["lm_head"]
+            )
+            return (
+                jnp.argmax(logits, -1).astype(jnp.int32), k_pages, v_pages
+            )
+
+        return jax.lax.fori_loop(0, n_steps, body, (tok, k_pages, v_pages))
+
+    tokp = jnp.zeros((Bp,), jnp.int32)
+    tokp, k_pages, v_pages = paged_decode_n(qparams, tokp, k_pages, v_pages)
+    jax_block(tokp)
+    t0 = time.perf_counter()
+    tokp, k_pages, v_pages = paged_decode_n(qparams, tokp, k_pages, v_pages)
+    jax_block(tokp)
+    paged_tok_per_s = Bp * n_steps / (time.perf_counter() - t0)
+
     print(
         f"secondary: vision_encode={img_per_s:.1f} img/s/chip  "
         f"decode={tok_per_s:.1f} tok/s (7B bf16, B=1)  "
         f"decode_int8={tok_per_s_int8:.1f} tok/s  "
-        f"serve_int8_B8={serve_tok_per_s:.1f} tok/s aggregate",
+        f"serve_int8_B8={serve_tok_per_s:.1f} tok/s aggregate  "
+        f"paged_int8_B8={paged_tok_per_s:.1f} tok/s aggregate",
         file=sys.stderr,
     )
 
