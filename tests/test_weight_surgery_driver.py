@@ -1,5 +1,6 @@
 """Weight surgery round-trip + full train-driver smoke test."""
 
+import json
 import os
 import sys
 
@@ -98,3 +99,48 @@ def test_train_driver_end_to_end(tmp_path):
     assert os.path.exists(str(out / "adapters.safetensors"))
     assert os.path.exists(str(out / "final" / "model.safetensors"))
     assert os.path.exists(str(out / "final" / "vcoder_tokenizer.json"))
+
+
+def test_train_driver_it_stage(tmp_path):
+    """The IT stage: seg projector bootstraps as a COPY of mm_projector and
+    the it trainable mask includes the LLM."""
+    import numpy as np
+
+    from tests.test_train_pipeline import _make_cost_tree
+    from vcoder_tpu.train.drivers import build_arg_parser, run_stage
+
+    ckpt = tmp_path / "llava-tiny"
+    cfg = VCoderConfig.tiny("llava")
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+    save_pretrained(str(ckpt), params, cfg)
+    tok = SimpleTokenizer.build_from_texts(
+        [
+            "A chat between a curious user and an artificial intelligence"
+            " assistant. The assistant gives helpful, detailed, and polite"
+            " answers to the user's questions. USER: ASSISTANT: What"
+            " objects can be seen in the image? The objects present in the"
+            " image are: two people, a car, wall semantic instance panoptic"
+        ]
+    )
+    tok.save_pretrained(str(ckpt))
+    data_root = tmp_path / "cost"
+    _make_cost_tree(str(data_root))
+
+    args = build_arg_parser().parse_args(
+        [
+            "--model-path", str(ckpt),
+            "--output-dir", str(tmp_path / "out"),
+            "--image-folder", str(data_root),
+            "--seg-data-path", str(data_root),
+            "--per-device-train-batch-size", "2",
+            "--num-train-epochs", "1",
+            "--max-steps", "2",
+            "--mesh-data", "1", "--mesh-fsdp", "1", "--mesh-model", "1",
+        ]
+    )
+    run_stage("it", args)
+    assert os.path.exists(str(tmp_path / "out" / "metrics.jsonl"))
+    lines = open(str(tmp_path / "out" / "metrics.jsonl")).readlines()
+    assert len(lines) >= 2
+    loss = json.loads(lines[-1])["loss"]
+    assert np.isfinite(loss)
