@@ -172,6 +172,50 @@ def test_sampling_seeds_differ():
     assert not np.array_equal(r1.sequences, r2.sequences)
 
 
+def test_stop_string_halts_generation_early():
+    """A stop keyword firing mid-budget must halt decode within one window
+    (reference KeywordsStoppingCriteria semantics, mm_utils.py:128-151),
+    not merely be stripped from the final text."""
+    from vcoder_tpu.mm_tokens import KeywordsStoppingCriteria
+    from vcoder_tpu.simple_tokenizer import SimpleTokenizer
+
+    cfg, params = _tiny("llava")
+    images = _pixels(cfg, 1, 7)
+    ids = [[5, 6, IMG, 8, 9]]
+    n = 24
+
+    baseline = generate(
+        params, cfg, ids, images, max_new_tokens=n, temperature=0.0,
+        attn_impl="xla",
+    )
+    base_toks = baseline.sequences[0, : baseline.num_generated[0]].tolist()
+    assert len(base_toks) >= 6, "tiny model must generate enough to stop in"
+
+    # Word-level tokenizer whose vocab covers every generated id, so the
+    # keyword decodes to exactly one generated token's text.
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3}
+    vocab.update({f"w{i}": i for i in range(4, cfg.text.vocab_size)})
+    tok = SimpleTokenizer(vocab=vocab)
+    target = base_toks[4]
+    k = base_toks.index(target)  # first occurrence fires the criteria
+    keyword = f"w{target}"
+    criteria = KeywordsStoppingCriteria([keyword], tok, input_len=len(ids[0]))
+
+    result = generate(
+        params, cfg, ids, images, max_new_tokens=n, temperature=0.0,
+        attn_impl="xla", tokenizer=tok, stopping_criteria=criteria,
+    )
+    got = int(result.num_generated[0])
+    # Stops exactly at the keyword (inclusive), well before the budget.
+    assert got == k + 1 < len(base_toks)
+    assert result.sequences[0, :got].tolist() == base_toks[: k + 1]
+    # Everything after the stop is EOS fill — decode really halted.
+    eos = cfg.text.eos_token_id
+    assert (result.sequences[0, got:] == eos).all()
+    # The stop string is stripped from the text like the reference does.
+    assert not result.texts[0].endswith(keyword)
+
+
 def test_train_forward_loss_finite():
     cfg, params = _tiny("vcoder_llava")
     images = _pixels(cfg, 2, 5)

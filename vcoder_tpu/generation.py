@@ -5,9 +5,12 @@ vcoder_llava/serve/cli.py:121-132, eval/model_seg_loader.py:127-149) with a
 TPU-native design: prefill is one compiled graph, decode is a
 ``lax.while_loop`` that stays on device until every row hits EOS or the
 token budget — no per-token host round-trips. Stop-*strings* (the
-reference's ``KeywordsStoppingCriteria``) are applied host-side on the
-decoded text afterwards, which is equivalent for the reference's stop
-criteria (the conversation separator) because generation also stops at EOS.
+reference's ``KeywordsStoppingCriteria``, mm_utils.py:128-151) terminate
+generation early: when a ``stopping_criteria`` is passed, decode runs in
+fixed-size on-device windows and the criteria is evaluated host-side on
+each window's tokens, halting a row within one window of its stop string
+(matching the reference's per-step criteria without per-token host
+round-trips). Without criteria, decode is one fused loop to EOS/budget.
 
 Sampling matches HF semantics: temperature scaling then top-p nucleus
 filtering (reference serve path uses temperature 0.2; eval uses greedy).
@@ -195,6 +198,67 @@ def _prefill_jit(
 
 @partial(
     jax.jit,
+    static_argnames=(
+        "cfg",
+        "window",
+        "temperature",
+        "top_p",
+        "eos_id",
+        "attn_impl",
+    ),
+    donate_argnums=(2,),
+)
+def _decode_window_jit(
+    params,
+    cfg: VCoderConfig,
+    cache,
+    tok,
+    done,
+    positions0,
+    rng,
+    *,
+    window: int,
+    temperature: float,
+    top_p: float,
+    eos_id: int,
+    attn_impl: str,
+):
+    """``window`` decode steps on device; rows already ``done`` emit EOS.
+
+    ``tok`` is the last sampled token per row, fed at ``positions0``; the
+    window returns the next ``window`` tokens (EOS-filled once a row
+    finishes) plus the carried state, so the host can inspect tokens
+    between windows for stop-string termination.
+    """
+    B = tok.shape[0]
+    buf = jnp.full((B, window), eos_id, jnp.int32)
+
+    def cond(state):
+        step, _, _, done, _, _ = state
+        return (step < window) & ~jnp.all(done)
+
+    def body(state):
+        step, tok, cache, done, buf, rng = state
+        logits, cache = model_mod.decode_step(
+            params, cfg, tok, positions0 + step, cache, attn_impl=attn_impl
+        )
+        rng, sub = jax.random.split(rng)
+        nxt = sample_token(logits, sub, temperature=temperature, top_p=top_p)
+        nxt = jnp.where(done, eos_id, nxt)
+        buf = jax.lax.dynamic_update_slice_in_dim(
+            buf, nxt[:, None], step, axis=1
+        )
+        done = done | (nxt == eos_id)
+        return step + 1, nxt, cache, done, buf, rng
+
+    _, tok, cache, done, buf, rng = jax.lax.while_loop(
+        cond, body, (0, tok, cache, done, buf, rng)
+    )
+    return buf, tok, done, cache, rng
+
+
+@partial(
+    jax.jit,
     static_argnames=("cfg", "temperature", "top_p", "attn_impl"),
     donate_argnums=(3,),
 )
@@ -304,6 +368,125 @@ def generate_stream(
         )
 
 
+def _criteria_fires(stopping_criteria, prompt_row, gen_ids) -> bool:
+    """Evaluate a KeywordsStoppingCriteria on prompt + generated ids."""
+    try:
+        return bool(stopping_criteria(list(prompt_row) + list(gen_ids)))
+    except TypeError:
+        # HF-style criteria signature; not supported host-side — skip.
+        return False
+
+
+def _generate_windowed(
+    params,
+    cfg: VCoderConfig,
+    plan,
+    plan_arrays,
+    images,
+    segs,
+    depths,
+    *,
+    max_new_tokens: int,
+    temperature: float,
+    top_p: float,
+    seed: int,
+    use_vcoder_emb: bool,
+    attn_impl: str,
+    has_images: bool,
+    has_segs: bool,
+    has_depths: bool,
+    stopping_criteria,
+    prompt_ids,
+    window: int = 16,
+):
+    """Decode in on-device windows, checking stop strings between windows.
+
+    Mirrors the reference's per-step ``KeywordsStoppingCriteria``
+    (mm_utils.py:128-151) at window granularity: a row whose decoded tail
+    hits a stop keyword at generated index j is frozen (its tokens after j
+    are cleared to EOS and it is masked done on device) before the next
+    window launches, so at most ``window - 1`` decode steps are wasted —
+    versus the full remaining budget in the fused loop. Per-row, so it
+    generalizes the reference's batch-1-only criteria.
+    """
+    eos = cfg.text.eos_token_id
+    B, T = plan_arrays["safe_ids"].shape
+    window = max(1, min(window, max_new_tokens))
+    n_windows = -(-(max_new_tokens - 1) // window) if max_new_tokens > 1 else 0
+    total = 1 + n_windows * window
+    logits, cache = _prefill_jit(
+        params,
+        cfg,
+        plan_arrays,
+        images,
+        segs,
+        depths,
+        cache_len=T + total,
+        use_vcoder_emb=use_vcoder_emb,
+        attn_impl=attn_impl,
+        has_images=has_images,
+        has_segs=has_segs,
+        has_depths=has_depths,
+    )
+    rng = jax.random.PRNGKey(seed)
+    rng, sub = jax.random.split(rng)
+    tok = sample_token(
+        logits, sub, temperature=float(temperature), top_p=float(top_p)
+    )
+    seqs = np.full((B, total), eos, np.int32)
+    seqs[:, 0] = np.asarray(tok)
+    done = seqs[:, 0] == eos
+    for b in range(B):
+        if not done[b] and _criteria_fires(
+            stopping_criteria, prompt_ids[b], seqs[b, :1]
+        ):
+            done[b] = True
+
+    seq_lens = jnp.asarray(plan.seq_lens)
+    done_dev = jnp.asarray(done)
+    g = 1
+    while g < max_new_tokens and not done.all():
+        rng, sub = jax.random.split(rng)
+        buf, tok, done_dev, cache, _ = _decode_window_jit(
+            params,
+            cfg,
+            cache,
+            tok,
+            done_dev,
+            seq_lens + g - 1,
+            sub,
+            window=window,
+            temperature=float(temperature),
+            top_p=float(top_p),
+            eos_id=eos,
+            attn_impl=attn_impl,
+        )
+        buf_h = np.asarray(buf)
+        seqs[:, g : g + window] = buf_h
+        host_stopped = False
+        for b in range(B):
+            if done[b]:
+                continue
+            for j in range(window):
+                if int(buf_h[b, j]) == eos:
+                    done[b] = True
+                    break
+                if _criteria_fires(
+                    stopping_criteria, prompt_ids[b], seqs[b, : g + j + 1]
+                ):
+                    # Keep the keyword tokens (callers strip the stop
+                    # string from text, like the reference), drop the
+                    # window's overshoot past it.
+                    seqs[b, g + j + 1 :] = eos
+                    done[b] = True
+                    host_stopped = True
+                    break
+        if host_stopped:
+            done_dev = jnp.asarray(done)
+        g += window
+    return seqs[:, :max_new_tokens], min(g, max_new_tokens)
+
+
 def generate(
     params: dict,
     cfg: VCoderConfig,
@@ -343,25 +526,52 @@ def generate(
     plan_arrays = model_mod.plan_to_arrays(plan)
 
     dummy = jnp.zeros((0,), jnp.float32)
-    out_buf, steps = _generate_jit(
-        params,
-        cfg,
-        plan_arrays,
-        images if images is not None else dummy,
-        segs if segs is not None else dummy,
-        depths if depths is not None else dummy,
-        jax.random.PRNGKey(seed),
-        max_new_tokens=max_new_tokens,
-        temperature=float(temperature),
-        top_p=float(top_p),
-        eos_id=cfg.text.eos_token_id,
-        use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
-        attn_impl=attn_impl,
-        has_images=images is not None,
-        has_segs=segs is not None,
-        has_depths=depths is not None,
+    use_windowed = bool(
+        stopping_criteria is not None
+        and getattr(stopping_criteria, "keywords", None)
+        and tokenizer is not None
     )
-    seqs = np.asarray(out_buf)
+    if use_windowed:
+        seqs, steps = _generate_windowed(
+            params,
+            cfg,
+            plan,
+            plan_arrays,
+            images if images is not None else dummy,
+            segs if segs is not None else dummy,
+            depths if depths is not None else dummy,
+            max_new_tokens=max_new_tokens,
+            temperature=float(temperature),
+            top_p=float(top_p),
+            seed=seed,
+            use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
+            attn_impl=attn_impl,
+            has_images=images is not None,
+            has_segs=segs is not None,
+            has_depths=depths is not None,
+            stopping_criteria=stopping_criteria,
+            prompt_ids=input_ids,
+        )
+    else:
+        out_buf, steps = _generate_jit(
+            params,
+            cfg,
+            plan_arrays,
+            images if images is not None else dummy,
+            segs if segs is not None else dummy,
+            depths if depths is not None else dummy,
+            jax.random.PRNGKey(seed),
+            max_new_tokens=max_new_tokens,
+            temperature=float(temperature),
+            top_p=float(top_p),
+            eos_id=cfg.text.eos_token_id,
+            use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
+            attn_impl=attn_impl,
+            has_images=images is not None,
+            has_segs=segs is not None,
+            has_depths=depths is not None,
+        )
+        seqs = np.asarray(out_buf)
     eos = cfg.text.eos_token_id
 
     num_gen = np.zeros((seqs.shape[0],), np.int64)
