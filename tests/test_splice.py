@@ -192,3 +192,18 @@ def test_ragged_batch_padding():
     np.testing.assert_array_equal(
         plan.position_ids[1, :3], np.arange(3, dtype=np.int32)
     )
+
+
+def test_multi_occurrence_sentinel_raises():
+    """Repeated sentinels per modality are an explicit error: the reference
+    consumes the NEXT image's features per occurrence (llava_arch.py:141-162)
+    which the single-block splice cannot replicate — silently reusing the
+    block would be a wrong answer, so reject loudly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="2 <image> sentinel"):
+        build_splice_plan([[1, IMG, 5, IMG, 6]], num_patches=N, pad_multiple=8)
+    with pytest.raises(ValueError, match="<seg> sentinel"):
+        build_splice_plan(
+            [[1, IMG, SEG, 5, SEG]], num_patches=N, has_seg=True, pad_multiple=8
+        )

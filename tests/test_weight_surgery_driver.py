@@ -144,3 +144,58 @@ def test_train_driver_it_stage(tmp_path):
     assert len(lines) >= 2
     loss = json.loads(lines[-1])["loss"]
     assert np.isfinite(loss)
+
+
+def test_train_driver_it_lora_stage(tmp_path):
+    """--lora-enable on the IT stage: LM linears get LoRA-wrapped, only
+    a/b leaves + seg projector train, adapters export the a/b leaves, and
+    final/ holds a merged plain checkpoint that reloads."""
+    import numpy as np
+    from safetensors.numpy import load_file
+
+    from tests.test_train_pipeline import _make_cost_tree
+    from vcoder_tpu.train.drivers import build_arg_parser, run_stage
+
+    ckpt = tmp_path / "llava-tiny"
+    cfg = VCoderConfig.tiny("llava")
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+    save_pretrained(str(ckpt), params, cfg)
+    tok = SimpleTokenizer.build_from_texts(
+        [
+            "A chat between a curious user and an artificial intelligence"
+            " assistant. The assistant gives helpful, detailed, and polite"
+            " answers to the user's questions. USER: ASSISTANT: What"
+            " objects can be seen in the image? The objects present in the"
+            " image are: two people, a car, wall semantic instance panoptic"
+        ]
+    )
+    tok.save_pretrained(str(ckpt))
+    data_root = tmp_path / "cost"
+    _make_cost_tree(str(data_root))
+
+    args = build_arg_parser().parse_args(
+        [
+            "--model-path", str(ckpt),
+            "--output-dir", str(tmp_path / "out"),
+            "--image-folder", str(data_root),
+            "--seg-data-path", str(data_root),
+            "--lora-enable", "--lora-r", "4", "--lora-alpha", "8",
+            "--per-device-train-batch-size", "2",
+            "--num-train-epochs", "1",
+            "--max-steps", "2",
+            "--mesh-data", "1", "--mesh-fsdp", "1", "--mesh-model", "1",
+        ]
+    )
+    run_stage("it", args)
+    out = tmp_path / "out"
+    loss = json.loads(open(str(out / "metrics.jsonl")).readlines()[-1])["loss"]
+    assert np.isfinite(loss)
+    adapters = load_file(str(out / "adapters.safetensors"))
+    assert any(k.endswith("/a") for k in adapters)
+    assert any(k.startswith("seg_projector") for k in adapters)
+    assert not any("/base" in k for k in adapters), "frozen bases leaked"
+    # Merged final checkpoint reloads as a plain model.
+    from vcoder_tpu.builder import load_pretrained_model
+
+    _, model2, *_ = load_pretrained_model(str(out / "final"))
+    assert model2.config.model_type == "vcoder_it_llava"

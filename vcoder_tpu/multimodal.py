@@ -226,6 +226,21 @@ def _splice_row(
     values: List[int] = []
     lab_out: Optional[List[int]] = [] if labels is not None else None
 
+    for name, sentinel in (
+        ("image", IMAGE_TOKEN_INDEX),
+        ("seg", SEG_TOKEN_INDEX),
+        ("depth", DEPTH_TOKEN_INDEX),
+    ):
+        n_occ = ids.count(sentinel)
+        if n_occ > 1:
+            raise ValueError(
+                f"row contains {n_occ} <{name}> sentinel tokens; at most one "
+                "occurrence per modality is supported. The reference consumes "
+                "the NEXT image's features per occurrence (llava_arch.py:"
+                "141-162) — this splice has one feature block per modality "
+                "and reusing it would silently produce wrong answers."
+            )
+
     has_img_tok = IMAGE_TOKEN_INDEX in ids
     has_seg_tok = SEG_TOKEN_INDEX in ids
     # Reference hack-path conditions (pure-text passthrough):
@@ -257,9 +272,8 @@ def _splice_row(
                 lab_out.append(labs[j])
 
     def emit_features(modality: str):
-        # One feature block per modality per row; multiple sentinel
-        # occurrences in a row reuse the same block (the production prompts
-        # of the reference contain at most one occurrence per modality).
+        # One feature block per modality per row; >1 occurrence per modality
+        # is rejected above, so each block is consumed exactly once.
         start = base[modality]
         for p in range(num_patches):
             kinds.append(False)

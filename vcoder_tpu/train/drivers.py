@@ -60,6 +60,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--max-steps", type=int, default=None)
+    # LoRA (reference: scripts/v1_5/finetune_lora.sh, vcoder_it_lora.sh —
+    # lora_r 128, lora_alpha 256; adapters over every LM linear)
+    p.add_argument(
+        "--lora-enable",
+        action=argparse.BooleanOptionalAction,
+        default=False,
+    )
+    p.add_argument("--lora-r", type=int, default=128)
+    p.add_argument("--lora-alpha", type=float, default=256.0)
     # mesh
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-fsdp", type=int, default=None)
@@ -113,6 +122,26 @@ def run_stage(stage: str, args) -> None:
             model.params, cfg, _jax.random.PRNGKey(args.seed)
         )
         model.config = cfg
+
+    # LoRA stages wrap every LM linear with fresh adapters and train only
+    # the a/b leaves (+ the stage's projector) — see step.STAGE_TRAINABLE.
+    train_stage = stage
+    lora_enable = bool(getattr(args, "lora_enable", False))
+    if lora_enable:
+        if stage not in ("full", "it"):
+            raise SystemExit(
+                "--lora-enable applies to the full-finetune and it stages "
+                "(reference: scripts/v1_5/finetune_lora.sh, vcoder_it_lora.sh)"
+            )
+        from vcoder_tpu.lora import add_lora
+
+        model.params = add_lora(
+            model.params,
+            _jax.random.PRNGKey(args.seed + 17),
+            rank=args.lora_r,
+            alpha=args.lora_alpha,
+        )
+        train_stage = "lora" if stage == "full" else "it_lora"
 
     seed = args.seed
     if stage in ("pretrain", "full"):
@@ -177,7 +206,7 @@ def run_stage(stage: str, args) -> None:
     )
     targs = TrainArgs(
         output_dir=args.output_dir,
-        stage=stage,
+        stage=train_stage,
         learning_rate=args.learning_rate,
         num_train_epochs=args.num_train_epochs,
         per_device_train_batch_size=args.per_device_train_batch_size,
@@ -202,8 +231,17 @@ def run_stage(stage: str, args) -> None:
 
         from vcoder_tpu.checkpoint import save_pretrained
 
+        final_params = trainer.params
+        if lora_enable:
+            # Fold adapters into dense weights so final/ is a plain
+            # checkpoint (the reference instead saves adapter_model.bin and
+            # merges at load — scripts/merge_lora_weights.py; adapters.
+            # safetensors above keeps the unmerged a/b leaves).
+            from vcoder_tpu.lora import merge_lora
+
+            final_params = merge_lora(final_params)
         save_pretrained(
-            os.path.join(args.output_dir, "final"), trainer.params, cfg
+            os.path.join(args.output_dir, "final"), final_params, cfg
         )
         if hasattr(tokenizer, "save_pretrained"):
             try:
