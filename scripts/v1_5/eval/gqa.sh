@@ -15,4 +15,5 @@ python -m vcoder_tpu.eval.converters gqa \
     --dst $D/data/testdev_balanced_predictions.json
 python -m vcoder_tpu.eval.gqa_eval \
     --questions $D/data/testdev_balanced_questions.json \
-    --predictions $D/data/testdev_balanced_predictions.json
+    --predictions $D/data/testdev_balanced_predictions.json \
+    ${CHOICES:+--choices $CHOICES}

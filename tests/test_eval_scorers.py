@@ -175,3 +175,110 @@ def test_generate_qa_pairs():
     for q, a in pairs:
         assert q.endswith("in the image?")
         assert a in ("Yes.", "No.") or a.endswith("in the image.")
+
+
+# ---- GQA official scorer -------------------------------------------------
+
+
+def _gqa_q(answer, structural="query", semantic="attr", detailed="x",
+           question="what color is the car ?", steps=None, entailed=(),
+           balanced=True, group=None):
+    return {
+        "answer": answer,
+        "isBalanced": balanced,
+        "question": question,
+        "types": {
+            "structural": structural,
+            "semantic": semantic,
+            "detailed": detailed,
+        },
+        "semantic": steps if steps is not None else [
+            {"operation": "select", "argument": "car"},
+            {"operation": "query: name", "argument": ""},
+        ],
+        "entailed": list(entailed),
+        "groups": {"global": group},
+    }
+
+
+def test_gqa_official_accuracy_binary_open_and_balanced_filter():
+    from vcoder_tpu.eval.gqa_eval import evaluate
+
+    questions = {
+        "q1": _gqa_q("red", structural="query"),
+        "q2": _gqa_q("yes", structural="verify"),
+        "q3": _gqa_q("no", structural="logical"),
+        # unbalanced rows are excluded from every metric
+        "q4": _gqa_q("blue", balanced=False),
+    }
+    preds = {"q1": "red", "q2": "no", "q3": "no"}
+    out = evaluate(questions, preds)
+    assert out["n"] == 3
+    assert out["accuracy"] == round(2 / 3 * 100, 2)
+    assert out["open"] == 100.0  # q1 only (structural == query)
+    assert out["binary"] == 50.0  # q2 wrong, q3 right
+    assert out["accuracyPerStructuralType"]["verify"] == (0.0, 1)
+
+
+def test_gqa_official_validity_common_normalization():
+    from vcoder_tpu.eval.gqa_eval import evaluate
+
+    questions = {
+        "q1": _gqa_q("red", detailed="typeVerifyC"),
+        "q2": _gqa_q("red", detailed="chooseCommon"),
+    }
+    # q2's detailed type contains "Common": the group becomes
+    # ["color","material","shape"] regardless of the choices file
+    # (official belongs(), eval.py:232-237) — so "material" scores valid
+    # AND plausible even though the choices lists don't contain it.
+    choices = {
+        "q1": {"valid": ["red", "blue"], "plausible": ["red"]},
+        "q2": {"valid": ["red"], "plausible": ["red"]},
+    }
+    preds = {"q1": "green", "q2": "material"}
+    out = evaluate(questions, preds, choices=choices)
+    assert out["validity"] == 50.0  # q1 invalid; q2 valid via Common
+    assert out["plausibility"] == 50.0
+
+
+def test_gqa_official_consistency_and_missing_prediction():
+    import pytest
+
+    from vcoder_tpu.eval.gqa_eval import evaluate
+
+    questions = {
+        "q1": _gqa_q("red", entailed=["e1", "e2"]),
+        "e1": _gqa_q("yes", structural="verify", balanced=False),
+        "e2": _gqa_q("no", structural="verify", balanced=False),
+    }
+    preds = {"q1": "red", "e1": "yes", "e2": "yes"}
+    out = evaluate(questions, preds, consistency=True)
+    assert out["consistency"] == 50.0  # e1 right, e2 wrong
+    # wrong source answer -> no consistency contribution
+    out2 = evaluate(questions, {**preds, "q1": "blue"}, consistency=True)
+    assert out2["consistency"] == 0.0
+    # consistency demands predictions for ALL questions
+    with pytest.raises(ValueError, match="no prediction"):
+        evaluate(questions, {"q1": "red"}, consistency=True)
+
+
+def test_gqa_official_distribution_and_steps():
+    from vcoder_tpu.eval.gqa_eval import evaluate
+
+    steps = [
+        {"operation": "select", "argument": "car"},
+        {"operation": "filter color", "argument": "red"},
+        {"operation": "exist", "argument": "?"},  # excluded
+    ]
+    questions = {
+        "q1": _gqa_q("red", group="color", steps=steps),
+        "q2": _gqa_q("blue", group="color"),
+    }
+    preds = {"q1": "red", "q2": "red"}
+    out = evaluate(questions, preds)
+    # gold hist {red:1, blue:1}; predicted {red:2}:
+    # chi = ((2-1)^2/1 + (0-1)^2/1) * 2 / 2 = 2.0; reported /100
+    assert out["distribution"] == round(2.0 / 100.0, 2)
+    # q1 counts 2 steps (exist excluded); q2's default counts 1
+    assert out["accuracyPerSteps"][2] == (100.0, 1)
+    assert out["accuracyPerSteps"][1] == (0.0, 1)
