@@ -91,3 +91,37 @@ def test_cls_patch_feature(tiny_clip):
     )
     assert got.shape == ref.shape  # CLS retained
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=2e-3)
+
+
+def test_golden_vectors_anchor_clip():
+    """Patch features must match the COMMITTED HF CLIP activations
+    (tests/golden/hf_golden.npz) — select_layer -2, CLS dropped."""
+    import os
+
+    import jax.numpy as jnp
+
+    from vcoder_tpu.checkpoint import import_clip
+    from vcoder_tpu.models.clip import clip_encode
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "hf_golden.npz")
+    g = np.load(path, allow_pickle=False)
+    state = {
+        k[len("clip.state."):]: g[k]
+        for k in g.files
+        if k.startswith("clip.state.")
+    }
+    cfg = VisionConfig(
+        image_size=28,
+        patch_size=14,
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=3,
+        num_heads=4,
+    )
+    params = import_clip(state, cfg, prefix="vision_model.")
+    pix = g["clip.pixel_values"]
+    got = clip_encode(
+        params, cfg, jnp.asarray(pix.transpose(0, 2, 3, 1)), attn_impl="xla"
+    )
+    ref = g["clip.hidden_m2"][:, 1:, :]
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=2e-3)

@@ -179,3 +179,80 @@ def test_ragged_prefill_masking(tiny_pair):
     )
     padded = run(padded_ids, padded_mask)
     np.testing.assert_allclose(padded[:, :5], unpadded, atol=1e-5, rtol=1e-4)
+
+
+def test_golden_vectors_anchor_llama():
+    """Logits must match the COMMITTED HF activations (tests/golden/
+    hf_golden.npz, recorded by record_golden.py) — parity anchored to real
+    transformers numerics independent of the installed version."""
+    import os
+
+    import jax.numpy as jnp
+
+    from vcoder_tpu.checkpoint import import_llama
+    from vcoder_tpu.models.llama import embed_tokens, llama_forward, lm_head
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "hf_golden.npz")
+    g = np.load(path, allow_pickle=False)
+    state = {
+        k[len("llama.state."):]: g[k]
+        for k in g.files
+        if k.startswith("llama.state.")
+    }
+    cfg = TextConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        max_position_embeddings=128,
+    )
+    params = import_llama(state, cfg)
+    ids = g["llama.input_ids"]
+    B, T = ids.shape
+    hidden, _ = llama_forward(
+        params,
+        cfg,
+        embed_tokens(params, jnp.asarray(ids)),
+        attn_mask=jnp.ones((B, T), bool),
+        position_ids=jnp.broadcast_to(jnp.arange(T), (B, T)),
+        attn_impl="xla",
+    )
+    got = np.asarray(lm_head(params, hidden))
+    np.testing.assert_allclose(got, g["llama.logits"], atol=2e-4, rtol=2e-3)
+
+
+def test_live_transformers_matches_golden_llama():
+    """If the installed transformers drifts from the recorded activations,
+    fail HERE (environment signal), not in the impl-parity tests."""
+    import os
+
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "hf_golden.npz")
+    g = np.load(path, allow_pickle=False)
+    hf_cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    hf.load_state_dict(
+        {
+            k[len("llama.state."):]: torch.tensor(g[k])
+            for k in g.files
+            if k.startswith("llama.state.")
+        }
+    )
+    with torch.no_grad():
+        live = hf(torch.tensor(g["llama.input_ids"])).logits.numpy()
+    np.testing.assert_allclose(live, g["llama.logits"], atol=1e-5, rtol=1e-4)
