@@ -7,6 +7,17 @@ lazily — ``import vcoder_tpu`` stays cheap.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("VCODER_TPU_PLATFORM"):
+    # Explicit platform override for CLI runs on mixed hosts (some TPU
+    # images force-select the TPU platform at interpreter start, which a
+    # plain JAX_PLATFORMS env var cannot undo). Set e.g.
+    # VCODER_TPU_PLATFORM=cpu to run evals/tools on the host CPU.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["VCODER_TPU_PLATFORM"])
+
 from vcoder_tpu.constants import (  # noqa: F401
     DEFAULT_DEPTH_TOKEN,
     DEFAULT_IMAGE_TOKEN,

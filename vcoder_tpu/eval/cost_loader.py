@@ -77,6 +77,9 @@ def eval_model(args, task: str) -> str:
 
     images = sorted(glob.glob(os.path.join(args.image_folder, "*.jpg")))
     images = get_chunk(images, args.num_chunks, args.chunk_idx)
+    max_samples = getattr(args, "max_samples", None)
+    if max_samples:
+        images = images[: int(max_samples)]
 
     seg_folder = None
     if use_seg:
@@ -207,6 +210,10 @@ def main():
     parser.add_argument("--num_beams", type=int, default=1)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--max-samples", type=int, default=None,
+        help="cap images per task (subset runs, e.g. the parity runbook)",
+    )
     parser.add_argument(
         "--tasks",
         type=str,

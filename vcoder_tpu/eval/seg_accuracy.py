@@ -127,9 +127,16 @@ def main():
     parser = argparse.ArgumentParser(description="COST CS/HS scorer")
     parser.add_argument("--gt_path", type=str, required=True)
     parser.add_argument("--pred_path", type=str, required=True)
+    parser.add_argument(
+        "--tasks", type=str, default=",".join(TASKS),
+        help="comma-separated subset of semantic,instance,panoptic",
+    )
     args = parser.parse_args()
 
-    acc, hall = calculate_accuracy_hallucination(args.gt_path, args.pred_path)
+    acc, hall = calculate_accuracy_hallucination(
+        args.gt_path, args.pred_path,
+        tasks=tuple(t.strip() for t in args.tasks.split(",") if t.strip()),
+    )
     for k, v in acc.items():
         print(
             "Average accuracy for {} segmentation is: {}".format(
