@@ -273,6 +273,59 @@ def main():
     jax_block(tokp)
     paged_tok_per_s = Bp * n_steps / (time.perf_counter() - t0)
 
+    # --- secondary: 13B int8 weights + int8 KV (BASELINE.json asks for
+    # TTFT + decode at 7B AND 13B; 13B bf16 is 26 GB and can only exist
+    # quantized on one 16 GB chip — commit cea4bc3 feasibility) ---
+    del qparams, k_pages, v_pages, tokp
+    cfg13 = VCoderConfig.standard("vcoder_ds_llava", "13b")
+    from vcoder_tpu.quant import init_quantized_params
+
+    params13 = init_quantized_params(jax.random.PRNGKey(3), cfg13, bits=8)
+    batch13 = _example_batch(cfg13, batch_size=1)
+
+    @jax.jit
+    def ttft13_step(params, batch):
+        logits, _ = model_mod.prefill(
+            params,
+            cfg13,
+            batch,
+            batch["images"],
+            batch["segs"],
+            batch["depths"],
+            use_vcoder_emb=cfg13.use_vcoder_lm_emb,
+        )
+        return jnp.argmax(logits, axis=-1)
+
+    ttft13_ms = _p50(ttft13_step, params13, batch13, iters=3, windows=3) * 1e3
+    del batch13
+
+    B13 = 2
+    cache13 = KVCache.create(cfg13.text, B13, S_cache, quantized=True)
+    cache13 = KVCache(
+        k=cache13.k, v=cache13.v,
+        kv_mask=jnp.broadcast_to(
+            (jnp.arange(S_cache) < T)[None, :], (B13, S_cache)
+        ),
+        length=jnp.full((B13,), T, jnp.int32),
+        k_scale=cache13.k_scale, v_scale=cache13.v_scale,
+    )
+
+    @partial(jax.jit, donate_argnums=(3,))
+    def decode_one13(params, tok, pos, cache):
+        logits, cache = model_mod.decode_step(params, cfg13, tok, pos, cache)
+        return jnp.argmax(logits, -1).astype(jnp.int32), cache
+
+    tok13 = jnp.zeros((B13,), jnp.int32)
+    pos13 = jnp.full((B13,), T, jnp.int32)
+    tok13, cache13 = decode_one13(params13, tok13, pos13, cache13)
+    jax_block(tok13)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        tok13, cache13 = decode_one13(params13, tok13, pos13, cache13)
+    jax_block(tok13)
+    tok13_per_s = B13 * n_steps / (time.perf_counter() - t0)
+    del cache13, params13
+
     print(
         f"secondary: vision_encode={img_per_s:.1f} img/s/chip  "
         f"decode={tok_per_s:.1f} tok/s (7B bf16, B=1)  "
@@ -280,7 +333,9 @@ def main():
         f"(single-step pipelined, int8 KV)  "
         f"decode_int8={tok_per_s_int8:.1f} tok/s  "
         f"serve_int8_B8={serve_tok_per_s:.1f} tok/s aggregate  "
-        f"paged_int8_B8={paged_tok_per_s:.1f} tok/s aggregate",
+        f"paged_int8_B8={paged_tok_per_s:.1f} tok/s aggregate  "
+        f"13b_ttft={ttft13_ms:.1f} ms p50 (int8)  "
+        f"13b_decode_B2={tok13_per_s:.1f} tok/s aggregate (int8, int8 KV)",
         file=sys.stderr,
     )
 
