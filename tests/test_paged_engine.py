@@ -63,12 +63,12 @@ def test_pages_recycle(setup):
         cfg, params, max_batch=1, max_len=768, page_size=64,
         total_pages=16, attn_impl="xla",
     )
-    free0 = len(eng.free_pages)
+    free0 = sum(len(f) for f in eng.free_pages)
     for i in range(3):
         eng.add_request(_prompt(i), images=px, segs=px, max_new_tokens=3)
     out = eng.run()
     assert len(out) == 3
-    assert len(eng.free_pages) == free0  # everything returned
+    assert sum(len(f) for f in eng.free_pages) == free0  # all returned
     assert all(not p for p in eng.row_pages)
 
 
@@ -119,3 +119,83 @@ def test_pool_oversubscription_defers_admission(setup):
     assert len(out[r1]) >= 1
     assert len(out[r2]) >= 1
     assert all(not p for p in eng.row_pages)
+
+
+# ---- multi-chip paged serving (8-device CPU mesh from conftest) ----------
+
+
+def test_sharded_paged_attention_matches_single():
+    """shard_map'd kernel (rows over data x fsdp, heads over model, global
+    page ids rebased per shard) must equal the single-pool kernel."""
+    from vcoder_tpu.ops.paged_attention import (
+        paged_attention,
+        sharded_paged_attention,
+    )
+    from vcoder_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, model=2)
+    row_shards = 4
+    B, H, D, page, p_max = 4, 4, 16, 8, 3
+    per = 4  # pages per shard (local 0 = sentinel by convention)
+    n_pages = per * row_shards
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    kp = jnp.asarray(
+        rng.standard_normal((n_pages, H, page, D)), jnp.float32
+    )
+    vp = jnp.asarray(
+        rng.standard_normal((n_pages, H, page, D)), jnp.float32
+    )
+    # Row r lives on shard r (rows_per_shard == 1): its table may only
+    # reference pages in [r*per, (r+1)*per).
+    lengths = jnp.asarray([page * 2, page + 3, 0, page * 3 - 1], jnp.int32)
+    table = np.zeros((B, p_max), np.int32)
+    for r in range(B):
+        table[r, :] = r * per  # shard sentinel
+        used = -(-int(lengths[r]) // page)
+        table[r, :used] = r * per + 1 + np.arange(used)
+    table = jnp.asarray(table)
+
+    ref = paged_attention(q, kp, vp, table, lengths, interpret=True)
+    got = sharded_paged_attention(
+        q, kp, vp, table, lengths, mesh, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_paged_engine_multichip_matches_single(setup):
+    """PagedServingEngine over the 8-device mesh (sharded params, per-shard
+    page pools) decodes token-for-token identically to single-device."""
+    from vcoder_tpu.parallel.mesh import make_mesh
+    from vcoder_tpu.parallel.sharding import shard_params
+
+    cfg, params, px = setup
+    mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, model=2)
+
+    single = PagedServingEngine(
+        cfg, params, max_batch=4, max_len=768, page_size=64,
+        attn_impl="xla",
+    )
+    multi = PagedServingEngine(
+        cfg, shard_params(params, mesh), max_batch=4, max_len=768,
+        page_size=64, attn_impl="xla", mesh=mesh,
+    )
+    assert multi.row_shards == 4 and len(multi.free_pages) == 4
+
+    outs = {}
+    for name, eng in (("single", single), ("multi", multi)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, max_new_tokens=5
+            )
+            for i in range(5)  # 5 requests through 4 slots: forces reuse
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["multi"] == outs["single"]
+    # Pools fully recycled on every shard.
+    assert all(
+        len(f) == multi.pages_per_shard - 2 for f in multi.free_pages
+    )

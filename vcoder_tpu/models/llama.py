@@ -355,13 +355,36 @@ def llama_paged_decode(
     the Pallas paged kernel (ops/paged_attention.py). Returns
     (hidden [B, 1, D], new_k_pages, new_v_pages).
     """
-    from vcoder_tpu.ops.paged_attention import append_token, paged_attention
+    from vcoder_tpu.ops.paged_attention import (
+        append_token,
+        paged_attention,
+        sharded_append_token,
+        sharded_paged_attention,
+    )
+    from vcoder_tpu.parallel.mesh import current_mesh
 
     B, T, D = inputs_embeds.shape
     assert T == 1
     H, KH, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     page = k_pages.shape[3]
+
+    mesh = current_mesh()
+    if mesh is not None and mesh.size > 1:
+        # Pallas calls are opaque to GSPMD: shard_map the kernel (rows over
+        # data x fsdp, heads over model) and the page writes. Page ids in
+        # the table/engine are GLOBAL; the wrappers rebase per shard.
+        _append = lambda pk, kv, rp, off, act: sharded_append_token(
+            pk, kv, rp, off, act, mesh
+        )
+        _attend = lambda q, pk, pv, tab, ln: sharded_paged_attention(
+            q, pk, pv, tab, ln, mesh, interpret=interpret
+        )
+    else:
+        _append = append_token
+        _attend = lambda q, pk, pv, tab, ln: paged_attention(
+            q, pk, pv, tab, ln, interpret=interpret
+        )
 
     cos, sin = rope_cos_sin(positions[:, None], HD, cfg.rope_theta)
     row_pages = jnp.take_along_axis(
@@ -381,11 +404,10 @@ def llama_paged_decode(
         v = qm(h, lp["v_proj"]).reshape(B, 1, KH, HD)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        pk = append_token(pk, k[:, 0], row_pages, offsets, active)
-        pv = append_token(pv, v[:, 0], row_pages, offsets, active)
-        attn = paged_attention(
-            q[:, 0], pk, pv, page_table, attn_lengths,
-            interpret=interpret,
+        pk = _append(pk, k[:, 0], row_pages, offsets, active)
+        pv = _append(pv, v[:, 0], row_pages, offsets, active)
+        attn = _attend(
+            q[:, 0], pk, pv, page_table, attn_lengths
         )  # [B, H, HD]
         x = residual + qm(attn.reshape(B, 1, H * HD), lp["o_proj"])
         residual = x

@@ -124,13 +124,24 @@ def paged_attention(
     scale = D**-0.5
 
     grid = (B, P_max)
+    n_pages = k_pages.shape[0]
     kernel = functools.partial(
         _paged_kernel, scale=scale, page_size=page_size
     )
 
     # index_map sees the scalar-prefetch refs: pick row b's j-th page.
+    # Grid steps past the row's live pages CLAMP to the last live page:
+    # the Pallas pipeline skips the DMA when the block index repeats, so
+    # dead iterations fetch nothing (their compute is already predicated
+    # off by page_start < length). Without the clamp every dead step
+    # streamed a garbage page from HBM — bandwidth waste growing with
+    # context raggedness. The clip guards rows with length 0 (empty
+    # slots), whose table holds sentinel ids.
     def page_map(b, j, table, lengths):
-        return (table[b, j], 0, 0, 0)
+        used = (lengths[b] + page_size - 1) // page_size
+        jj = jnp.minimum(j, jnp.maximum(used - 1, 0))
+        page = jnp.clip(table[b, jj], 0, n_pages - 1)
+        return (page, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -163,6 +174,102 @@ def paged_attention(
         out_shape=jax.ShapeDtypeStruct((B, H, D), q.dtype),
         interpret=interpret,
     )(page_table, lengths, q, k_pages, v_pages)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip sharding (SURVEY §2.3 TP goal; 13B serving rides the model axis)
+# ---------------------------------------------------------------------------
+
+ROW_AXES = ("data", "fsdp")
+
+
+def _row_offset(local_n_pages: int) -> jnp.ndarray:
+    """Global-id offset of this row-shard's page-pool slice (row-major over
+    the (data, fsdp) axes, matching PartitionSpec(('data', 'fsdp')))."""
+    idx = 0
+    for ax in ROW_AXES:
+        idx = idx * jax.lax.axis_size(ax) + jax.lax.axis_index(ax)
+    return idx * local_n_pages
+
+
+def sharded_paged_attention(
+    q: jnp.ndarray,  # [B, H, D] rows over (data, fsdp), heads over model
+    k_pages: jnp.ndarray,  # [n_pages, KH, page, D] pages over rows, KH over model
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,  # [B, P_max] GLOBAL page ids, rows over (data, fsdp)
+    lengths: jnp.ndarray,  # [B]
+    mesh,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """shard_map'd paged decode attention.
+
+    Each (row-shard, model-shard) runs the Pallas kernel over its own rows
+    x heads against its local page-pool slice — a row's pages all live in
+    its row-shard, so softmax needs no cross-shard reduction, and heads
+    are embarrassingly parallel (the dense path's TP layout,
+    ops/attention.py::sharded_flash_attention). The engine allocates pages
+    per row-shard and stores GLOBAL ids; the wrapper rebases them to local
+    pool indices with the shard's offset.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+
+    def local(q, kp, vp, table, lengths):
+        local_table = table - _row_offset(kp.shape[0])
+        return paged_attention(
+            q, kp, vp, local_table, lengths, interpret=interpret
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(ROW_AXES, "model", None),
+            P(ROW_AXES, "model", None, None),
+            P(ROW_AXES, "model", None, None),
+            row,
+            row,
+        ),
+        out_specs=P(ROW_AXES, "model", None),
+        check_rep=False,
+    )(q, k_pages, v_pages, page_table, lengths)
+
+
+def sharded_append_token(
+    pages: jnp.ndarray,  # [n_pages, KH, page, D]
+    token_kv: jnp.ndarray,  # [B, KH, D]
+    page_ids: jnp.ndarray,  # [B] GLOBAL ids
+    offsets: jnp.ndarray,  # [B]
+    active: jnp.ndarray,  # [B] bool
+    mesh,
+) -> jnp.ndarray:
+    """shard_map'd decode-token append; same layout as the attention."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+
+    def local(pages, token_kv, page_ids, offsets, active):
+        local_ids = page_ids - _row_offset(pages.shape[0])
+        local_ids = jnp.clip(local_ids, 0, pages.shape[0] - 1)
+        return append_token(pages, token_kv, local_ids, offsets, active)
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(ROW_AXES, "model", None, None),
+            P(ROW_AXES, "model", None),
+            row,
+            row,
+            row,
+        ),
+        out_specs=P(ROW_AXES, "model", None, None),
+        check_rep=False,
+    )(pages, token_kv, page_ids, offsets, active)
 
 
 # ---------------------------------------------------------------------------

@@ -98,7 +98,7 @@ def _scatter_pages(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg",),
+    static_argnames=("cfg", "sharded"),
     donate_argnums=(3, 4),
 )
 def _paged_decode_all(
@@ -112,6 +112,7 @@ def _paged_decode_all(
     active,  # [B] bool
     temperature,  # [B] f32
     rng,
+    sharded: bool = False,  # jit-cache key: trace reads the ambient mesh
 ):
     embeds = llama_mod.embed_tokens(params["lm"], tokens[:, None])
     hidden, k_pages, v_pages = llama_mod.llama_paged_decode(
@@ -151,6 +152,7 @@ class PagedServingEngine(ServingEngine):
         total_pages: Optional[int] = None,
         attn_impl: str = "auto",
         seed: int = 0,
+        mesh=None,
     ):
         assert cfg.text.num_kv_heads == cfg.text.num_heads, (
             "paged engine requires MHA (the production Vicuna models are)"
@@ -159,6 +161,24 @@ class PagedServingEngine(ServingEngine):
             f"max_len {max_len} must be a multiple of page_size {page_size}"
         )
         self.page_size = page_size
+        # Multi-chip: rows (and their page-pool slices) shard over
+        # data x fsdp, heads over model (ops/paged_attention.py sharded
+        # wrappers). Page ids are GLOBAL; each row-shard owns the id range
+        # [s * pages_per_shard, (s+1) * pages_per_shard).
+        self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None:
+            row_shards = mesh.shape["data"] * mesh.shape["fsdp"]
+            assert max_batch % row_shards == 0, (
+                f"max_batch {max_batch} must divide over"
+                f" data*fsdp={row_shards} row shards"
+            )
+            assert cfg.text.num_heads % mesh.shape["model"] == 0, (
+                "num_heads must divide the model axis"
+            )
+        else:
+            row_shards = 1
+        self.row_shards = row_shards
+        self.rows_per_shard = max_batch // row_shards
         super().__init__(
             cfg,
             params,
@@ -169,10 +189,19 @@ class PagedServingEngine(ServingEngine):
         )
         self.p_max = max_len // page_size
         if total_pages is None:
-            # Default: enough for every slot at max_len plus sentinel +
-            # scratch. Set lower to oversubscribe (the point of paging).
-            total_pages = max_batch * self.p_max + 2
+            # Default: enough for every slot at max_len plus a per-shard
+            # sentinel + scratch. Set lower to oversubscribe (the point of
+            # paging).
+            total_pages = row_shards * (
+                self.rows_per_shard * self.p_max + 2
+            )
+        assert total_pages % row_shards == 0, (
+            f"total_pages {total_pages} must divide over {row_shards}"
+            " row shards"
+        )
         self.total_pages = total_pages
+        self.pages_per_shard = total_pages // row_shards
+        assert self.pages_per_shard >= 3, "need sentinel + scratch + 1 page"
         L = cfg.text.num_layers
         KH, HD = cfg.text.num_kv_heads, cfg.text.head_dim
         dtype = params["lm"]["embed_tokens"].dtype
@@ -182,12 +211,38 @@ class PagedServingEngine(ServingEngine):
         self.v_pages = jnp.zeros(
             (L, total_pages, KH, page_size, HD), dtype
         )
-        # Page 0 is a sentinel for unused table entries; the LAST page is
-        # the scratch target for inactive-row writes. Neither is allocated.
-        self.free_pages = list(range(1, total_pages - 1))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            pool_sharding = NamedSharding(
+                self.mesh, P(None, ("data", "fsdp"), "model", None, None)
+            )
+            self.k_pages = jax.device_put(self.k_pages, pool_sharding)
+            self.v_pages = jax.device_put(self.v_pages, pool_sharding)
+        # Within each shard's slice, the local-first page is the sentinel
+        # for unused table entries and the local-last page is the scratch
+        # target for inactive-row writes. Neither is ever allocated.
+        per = self.pages_per_shard
+        self.free_pages: List[List[int]] = [
+            list(range(s * per + 1, (s + 1) * per - 1))
+            for s in range(row_shards)
+        ]
         self.row_pages: List[List[int]] = [[] for _ in range(max_batch)]
         self.lengths = np.zeros((max_batch,), np.int32)
         self.table = np.zeros((max_batch, self.p_max), np.int32)
+        for slot in range(max_batch):
+            self.table[slot, :] = self._shard_of(slot) * per
+
+    def _shard_of(self, slot: int) -> int:
+        return slot // self.rows_per_shard
+
+    def _mesh_ctx(self):
+        from contextlib import nullcontext
+
+        from vcoder_tpu.parallel.mesh import use_mesh
+
+        return use_mesh(self.mesh) if self.mesh is not None else nullcontext()
 
     def _make_cache(self):
         # No slot cache: KV lives in the page pools.
@@ -195,20 +250,23 @@ class PagedServingEngine(ServingEngine):
 
     # ---- paged allocation ----
 
-    def _alloc(self, n: int) -> List[int]:
-        if len(self.free_pages) < n:
+    def _alloc(self, n: int, shard: int = 0) -> List[int]:
+        free = self.free_pages[shard]
+        if len(free) < n:
             raise PoolExhausted(
-                f"page pool exhausted: need {n}, free {len(self.free_pages)}"
+                f"page pool exhausted (shard {shard}): need {n},"
+                f" free {len(free)}"
             )
-        out = self.free_pages[:n]
-        del self.free_pages[:n]
+        out = free[:n]
+        del free[:n]
         return out
 
     def _free_row(self, slot: int) -> None:
-        self.free_pages.extend(self.row_pages[slot])
+        shard = self._shard_of(slot)
+        self.free_pages[shard].extend(self.row_pages[slot])
         self.row_pages[slot] = []
         self.lengths[slot] = 0
-        self.table[slot, :] = 0
+        self.table[slot, :] = shard * self.pages_per_shard
 
     # ---- request lifecycle ----
 
@@ -234,7 +292,7 @@ class PagedServingEngine(ServingEngine):
         )
         n_used = -(-req.prompt_len // self.page_size)
         try:
-            ids = self._alloc(n_used)
+            ids = self._alloc(n_used, self._shard_of(slot))
         except PoolExhausted as e:
             if not any(self.active):
                 # Nothing running that could ever free pages: the pool is
@@ -245,31 +303,32 @@ class PagedServingEngine(ServingEngine):
             self.queue.insert(0, req)
             raise DeferAdmission()
 
-        logits, tmp_k, tmp_v = _dense_prefill(
-            self.params,
-            self.cfg,
-            arrays,
-            px(req.images),
-            px(req.segs),
-            px(req.depths),
-            use_vcoder_emb=plan.use_vcoder_emb
-            and self.cfg.use_vcoder_lm_emb,
-            has_images=req.images is not None,
-            has_segs=req.segs is not None,
-            has_depths=req.depths is not None,
-            attn_impl=self.attn_impl,
-        )
-        self.k_pages, self.v_pages = _scatter_pages(
-            self.k_pages,
-            self.v_pages,
-            tmp_k,
-            tmp_v,
-            jnp.asarray(ids, jnp.int32),
-            n_pages_used=n_used,
-        )
+        with self._mesh_ctx():
+            logits, tmp_k, tmp_v = _dense_prefill(
+                self.params,
+                self.cfg,
+                arrays,
+                px(req.images),
+                px(req.segs),
+                px(req.depths),
+                use_vcoder_emb=plan.use_vcoder_emb
+                and self.cfg.use_vcoder_lm_emb,
+                has_images=req.images is not None,
+                has_segs=req.segs is not None,
+                has_depths=req.depths is not None,
+                attn_impl=self.attn_impl,
+            )
+            self.k_pages, self.v_pages = _scatter_pages(
+                self.k_pages,
+                self.v_pages,
+                tmp_k,
+                tmp_v,
+                jnp.asarray(ids, jnp.int32),
+                n_pages_used=n_used,
+            )
         self.row_pages[slot] = ids
         self.lengths[slot] = req.prompt_len
-        self.table[slot, :] = 0
+        self.table[slot, :] = self._shard_of(slot) * self.pages_per_shard
         self.table[slot, :n_used] = ids
         return self._sample_first(logits, req)
 
@@ -296,7 +355,7 @@ class PagedServingEngine(ServingEngine):
                 events.append((ended.request_id, self.eos_id, True))
                 continue
             try:
-                pid = self._alloc(1)[0]
+                pid = self._alloc(1, self._shard_of(slot))[0]
             except PoolExhausted:
                 ended = self._end_request(
                     slot, "preempted: page pool exhausted"
@@ -310,7 +369,7 @@ class PagedServingEngine(ServingEngine):
             return events
 
         self.rng, sub = jax.random.split(self.rng)
-        with self.timer.measure("decode_step"):
+        with self.timer.measure("decode_step"), self._mesh_ctx():
             nxt, self.k_pages, self.v_pages = _paged_decode_all(
                 self.params,
                 self.cfg,
@@ -322,6 +381,7 @@ class PagedServingEngine(ServingEngine):
                 jnp.asarray(self.active),
                 jnp.asarray(self.temps),
                 sub,
+                sharded=self.mesh is not None,
             )
             self.tokens = nxt
             nxt_host = np.asarray(nxt)
