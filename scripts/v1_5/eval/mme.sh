@@ -1,6 +1,6 @@
 #!/bin/bash
-# MME (reference: scripts/v1_5/eval/mme.sh). Scoring uses MME's own
-# eval_tool/calculation.py over the converted answers.
+# MME (reference: scripts/v1_5/eval/mme.sh). Scoring is self-contained:
+# eval/mme_eval.py implements the MME eval_tool's calculation semantics.
 CKPT=${CKPT:-checkpoints/llava-v1.5-7b}
 D=${D:-playground/data/eval/MME}
 NAME=$(basename $CKPT)
@@ -14,4 +14,4 @@ python -m vcoder_tpu.eval.converters mme \
     --question-file $D/llava_mme.jsonl \
     --result-file $D/answers/$NAME.jsonl \
     --output-dir $D/eval_tool/answers/$NAME
-echo "score with: cd $D/eval_tool && python calculation.py --results_dir answers/$NAME"
+python -m vcoder_tpu.eval.mme_eval --results_dir $D/eval_tool/answers/$NAME

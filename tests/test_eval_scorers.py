@@ -282,3 +282,59 @@ def test_gqa_official_distribution_and_steps():
     # q1 counts 2 steps (exist excluded); q2's default counts 1
     assert out["accuracyPerSteps"][2] == (100.0, 1)
     assert out["accuracyPerSteps"][1] == (0.0, 1)
+
+
+# ---- MME converter -> scorer round-trip ----------------------------------
+
+
+def test_mme_converter_scorer_roundtrip(tmp_path):
+    """convert_mme's per-category txt must feed mme_eval with eval_tool
+    semantics: acc over questions, acc+ over images with both questions
+    right, score = 100*(acc+acc+), perception/cognition group sums."""
+    import json
+
+    from vcoder_tpu.eval.converters import convert_mme
+    from vcoder_tpu.eval.mme_eval import evaluate_dir, parse_pred
+
+    qf = tmp_path / "llava_mme.jsonl"
+    rf = tmp_path / "answers.jsonl"
+    qs = [
+        # existence: img A both right -> acc+ hit; img B one wrong
+        {"question_id": 1, "image": "existence/A.jpg", "text": "Is there a dog?", "answer": "yes", "category": "existence"},
+        {"question_id": 2, "image": "existence/A.jpg", "text": "Is there a cat?", "answer": "no", "category": "existence"},
+        {"question_id": 3, "image": "existence/B.jpg", "text": "Is there a car?", "answer": "yes", "category": "existence"},
+        {"question_id": 4, "image": "existence/B.jpg", "text": "Is there a bus?", "answer": "no", "category": "existence"},
+        # code_reasoning (cognition): one image, both right
+        {"question_id": 5, "image": "code_reasoning/C.jpg", "text": "Will it print 3?", "answer": "yes", "category": "code_reasoning"},
+        {"question_id": 6, "image": "code_reasoning/C.jpg", "text": "Will it crash?", "answer": "no", "category": "code_reasoning"},
+    ]
+    answers = {1: "Yes, there is.", 2: "No", 3: "yes", 4: "Yes it is", 5: "yes", 6: "no."}
+    with open(qf, "w") as f:
+        for q in qs:
+            f.write(json.dumps(q) + "\n")
+    with open(rf, "w") as f:
+        for qid, text in answers.items():
+            f.write(json.dumps({"question_id": qid, "text": text}) + "\n")
+
+    out_dir = tmp_path / "converted"
+    convert_mme(str(qf), str(rf), str(out_dir))
+    assert sorted(p.name for p in out_dir.glob("*.txt")) == [
+        "code_reasoning.txt", "existence.txt",
+    ]
+    # Format: img \t question \t gt \t pred
+    line = open(out_dir / "existence.txt").readline().rstrip("\n").split("\t")
+    assert line[0] == "A.jpg" and line[2] == "yes"
+
+    res = evaluate_dir(str(out_dir))
+    ex = res["categories"]["existence"]
+    assert ex["acc"] == 0.75  # q4 wrong ('Yes it is' vs 'no')
+    assert ex["acc_plus"] == 0.5  # only image A fully right
+    assert abs(ex["score"] - 125.0) < 1e-9
+    cr = res["categories"]["code_reasoning"]
+    assert cr["score"] == 200.0
+    assert abs(res["perception"] - 125.0) < 1e-9
+    assert res["cognition"] == 200.0
+    # prediction normalization quirks
+    assert parse_pred("Yes, there is") == "yes"
+    assert parse_pred("Nothing") == "other"  # 'no' prefix of a word: no match
+    assert parse_pred(" NO.") == "no"

@@ -191,6 +191,34 @@ def build_demo():
                     flag_btn = gr.Button(value="⚠️ Flag")
                     clear_btn = gr.Button(value="🗑️ Clear")
 
+        # Demo example rows (reference: gradio_app.py:279-286; assets in
+        # serve/examples/ are the reference's demo images — data).
+        cur_dir = os.path.dirname(os.path.abspath(__file__))
+        ex = os.path.join(cur_dir, "examples")
+        count_q = "What objects can be seen in the image?"
+        depth_q = (
+            "Can you describe the depth order of the objects in this"
+            " image, from closest to farthest?"
+        )
+        gr.Examples(
+            examples=[
+                [f"{ex}/people.jpg", f"{ex}/people_pan.png", None,
+                 count_q, 0.9, 1.0],
+                [f"{ex}/corgi.jpg", f"{ex}/corgi_pan.png", None,
+                 count_q, 0.6, 0.7],
+                [f"{ex}/suits.jpg", f"{ex}/suits_pan.png",
+                 f"{ex}/suits_depth.jpeg", depth_q, 0.2, 0.5],
+                [f"{ex}/depth.jpeg", f"{ex}/depth_pan.png",
+                 f"{ex}/depth_depth.png", depth_q, 0.2, 0.5],
+                [f"{ex}/friends.jpg", f"{ex}/friends_pan.png", None,
+                 "What is happening in the image?", 0.8, 0.9],
+                [f"{ex}/suits.jpg", f"{ex}/suits_pan.png", None,
+                 count_q, 0.5, 0.5],
+            ],
+            inputs=[imagebox, segbox, depthbox, textbox, temperature,
+                    top_p],
+        )
+
         btn_list = [upvote_btn, downvote_btn, flag_btn]
         upvote_btn.click(
             lambda s: vote_last_response(s, "upvote"), [state], []
