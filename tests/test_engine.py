@@ -117,3 +117,34 @@ def test_engine_temperature_sampling(setup):
     )
     out = eng.run()
     assert len(out[rid]) >= 1
+
+
+def test_slot_engine_multichip_matches_single(setup):
+    """ServingEngine over the 8-device CPU mesh (sharded params, cache rows
+    over data x fsdp + heads over model) decodes token-for-token like the
+    single-device engine."""
+    from vcoder_tpu.parallel.mesh import make_mesh
+    from vcoder_tpu.parallel.sharding import shard_params
+
+    cfg, params, px = setup
+    mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, model=2)
+
+    single = ServingEngine(
+        cfg, params, max_batch=4, max_len=768, attn_impl="xla"
+    )
+    multi = ServingEngine(
+        cfg, shard_params(params, mesh), max_batch=4, max_len=768,
+        attn_impl="xla", mesh=mesh,
+    )
+    outs = {}
+    for name, eng in (("single", single), ("multi", multi)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, depths=px,
+                max_new_tokens=4,
+            )
+            for i in range(5)
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["multi"] == outs["single"]

@@ -190,6 +190,7 @@ class ServingEngine:
         attn_impl: str = "auto",
         seed: int = 0,
         kv_quant: bool = False,
+        mesh=None,
     ):
         self.cfg = cfg
         self.params = params
@@ -197,6 +198,16 @@ class ServingEngine:
         self.max_len = max_len
         self.attn_impl = attn_impl
         self.kv_quant = kv_quant
+        # Multi-chip serving: slot rows shard over data x fsdp, attention
+        # heads over model; the dense graphs partition via GSPMD from the
+        # cache/param NamedShardings (paged engine handles its own pools).
+        if not hasattr(self, "mesh"):
+            self.mesh = mesh if (mesh is not None and mesh.size > 1) else None
+        if self.mesh is not None and type(self) is ServingEngine:
+            assert max_batch % (
+                self.mesh.shape["data"] * self.mesh.shape["fsdp"]
+            ) == 0, "max_batch must divide over data*fsdp"
+            assert cfg.text.num_heads % self.mesh.shape["model"] == 0
         self.cache = self._make_cache()
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.active = np.zeros((max_batch,), bool)
@@ -247,7 +258,7 @@ class ServingEngine:
             return events
 
         self.rng, sub = jax.random.split(self.rng)
-        with self.timer.measure("decode_step"):
+        with self.timer.measure("decode_step"), self._mesh_ctx():
             nxt, self.cache = _decode_all(
                 self.params,
                 self.cfg,
@@ -291,14 +302,42 @@ class ServingEngine:
 
     # ---- internals ----
 
+    def _mesh_ctx(self):
+        from contextlib import nullcontext
+
+        from vcoder_tpu.parallel.mesh import use_mesh
+
+        return use_mesh(self.mesh) if self.mesh is not None else nullcontext()
+
     def _make_cache(self):
-        return KVCache.create(
+        cache = KVCache.create(
             self.cfg.text,
             self.max_batch,
             self.max_len,
             self.params["lm"]["embed_tokens"].dtype,
             quantized=self.kv_quant,
         )
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            rows = ("data", "fsdp")
+
+            def put(x, spec):
+                if x is None:
+                    return None
+                return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+            kv_spec = P(None, rows, None, "model", None)
+            cache = KVCache(
+                k=put(cache.k, kv_spec),
+                v=put(cache.v, kv_spec),
+                kv_mask=put(cache.kv_mask, P(rows, None)),
+                length=put(cache.length, P(rows)),
+                k_scale=put(cache.k_scale, kv_spec),
+                v_scale=put(cache.v_scale, kv_spec),
+            )
+        return cache
 
     def _plan_request(self, req: Request, *, pad_round: int = 1):
         """Shared prompt planning: exact-length probe, max_len guard,
@@ -388,19 +427,21 @@ class ServingEngine:
         cfg = self.cfg
         plan, arrays, px = self._plan_request(req)
 
-        logits, self.cache = _prefill_insert(
-            self.params,
-            cfg,
-            arrays,
-            px(req.images),
-            px(req.segs),
-            px(req.depths),
-            self.cache,
-            jnp.asarray(slot, jnp.int32),
-            use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
-            has_images=req.images is not None,
-            has_segs=req.segs is not None,
-            has_depths=req.depths is not None,
-            attn_impl=self.attn_impl,
-        )
+        with self._mesh_ctx():
+            logits, self.cache = _prefill_insert(
+                self.params,
+                cfg,
+                arrays,
+                px(req.images),
+                px(req.segs),
+                px(req.depths),
+                self.cache,
+                jnp.asarray(slot, jnp.int32),
+                use_vcoder_emb=plan.use_vcoder_emb
+                and cfg.use_vcoder_lm_emb,
+                has_images=req.images is not None,
+                has_segs=req.segs is not None,
+                has_depths=req.depths is not None,
+                attn_impl=self.attn_impl,
+            )
         return self._sample_first(logits, req)

@@ -237,13 +237,6 @@ class PagedServingEngine(ServingEngine):
     def _shard_of(self, slot: int) -> int:
         return slot // self.rows_per_shard
 
-    def _mesh_ctx(self):
-        from contextlib import nullcontext
-
-        from vcoder_tpu.parallel.mesh import use_mesh
-
-        return use_mesh(self.mesh) if self.mesh is not None else nullcontext()
-
     def _make_cache(self):
         # No slot cache: KV lives in the page pools.
         return None
