@@ -134,6 +134,24 @@ def test_backward_bidirectional_unaligned():
     _grad_check(q, k, v, causal=False)
 
 
+def test_backward_gqa_grouped_kv_heads():
+    # dK/dV must SUM over the 4 query heads sharing each KV head.
+    q = _rand(40, (2, 256, 8, 32))
+    k = _rand(41, (2, 256, 2, 32))
+    v = _rand(42, (2, 256, 2, 32))
+    _grad_check(q, k, v, causal=True)
+
+
+def test_backward_gqa_ragged_bidirectional():
+    B, T = 2, 200
+    q = _rand(43, (B, T, 6, 32))
+    k = _rand(44, (B, T, 3, 32))
+    v = _rand(45, (B, T, 3, 32))
+    lens = jnp.array([130, 200])
+    kv_mask = jnp.arange(T)[None, :] < lens[:, None]
+    _grad_check(q, k, v, causal=False, kv_mask=kv_mask)
+
+
 def test_backward_with_ragged_mask():
     import jax.numpy as jnp
 

@@ -18,7 +18,8 @@ from vcoder_tpu.serve.paged_engine import PagedServingEngine
 
 @pytest.fixture(scope="module")
 def setup():
-    # The paged kernel requires MHA.
+    # MHA config (the production Vicuna layout); GQA paths are covered by
+    # the dedicated tests below with the tiny default (4 q / 2 kv heads).
     base = VCoderConfig.tiny("vcoder_llava")
     cfg = dataclasses.replace(
         base, text=dataclasses.replace(base.text, num_kv_heads=4)
@@ -119,6 +120,81 @@ def test_pool_oversubscription_defers_admission(setup):
     assert len(out[r1]) >= 1
     assert len(out[r2]) >= 1
     assert all(not p for p in eng.row_pages)
+
+
+def test_paged_attention_gqa_matches_dense_oracle():
+    """GQA (q heads grouped onto fewer KV heads) in the paged kernel must
+    match a dense gather-then-softmax oracle."""
+    from vcoder_tpu.ops.paged_attention import paged_attention
+
+    B, H, KH, D, page, p_max = 2, 8, 2, 16, 8, 3
+    group = H // KH
+    n_pages = B * p_max + 1
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    kp = jnp.asarray(
+        rng.standard_normal((n_pages, KH, page, D)), jnp.float32
+    )
+    vp = jnp.asarray(
+        rng.standard_normal((n_pages, KH, page, D)), jnp.float32
+    )
+    lengths = np.asarray([2 * page + 3, page - 1], np.int32)
+    table = np.zeros((B, p_max), np.int32)
+    for b in range(B):
+        table[b, :] = 1 + b * p_max + np.arange(p_max)
+
+    out = paged_attention(
+        q, kp, vp, jnp.asarray(table), jnp.asarray(lengths), interpret=True
+    )
+
+    scale = D**-0.5
+    for b in range(B):
+        L = int(lengths[b])
+        ks = np.concatenate(
+            [np.asarray(kp)[table[b, j]] for j in range(p_max)], axis=1
+        )[:, :L]  # [KH, L, D]
+        vs = np.concatenate(
+            [np.asarray(vp)[table[b, j]] for j in range(p_max)], axis=1
+        )[:, :L]
+        for h in range(H):
+            kh = h // group
+            s = np.asarray(q)[b, h] @ ks[kh].T * scale
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            expect = p @ vs[kh]
+            np.testing.assert_allclose(
+                np.asarray(out)[b, h], expect, atol=1e-5, rtol=1e-5
+            )
+
+
+def test_paged_engine_gqa_matches_slot_engine():
+    """End-to-end: the paged engine with a GQA decoder (tiny default:
+    4 q heads / 2 kv heads) matches the dense slot engine."""
+    cfg = VCoderConfig.tiny("vcoder_llava")
+    assert cfg.text.num_kv_heads < cfg.text.num_heads
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(2), cfg)
+    hw = cfg.vision.image_size
+    px = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (1, hw, hw, 3))
+    )
+    slot = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla"
+    )
+    paged = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla",
+    )
+    outs = {}
+    for name, eng in (("slot", slot), ("paged", paged)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, max_new_tokens=4
+            )
+            for i in range(2)
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["paged"] == outs["slot"]
 
 
 # ---- multi-chip paged serving (8-device CPU mesh from conftest) ----------

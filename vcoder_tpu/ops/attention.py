@@ -20,8 +20,6 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_warned_gqa_fallback = False
-
 NEG_INF = -1e30  # large-but-finite; avoids NaNs from (-inf) - (-inf)
 
 
@@ -118,23 +116,6 @@ def multi_head_attention(
         # flash kernel here (measured on v5e), and attention is <10% of
         # ViT FLOPs anyway. The flash kernel wins on long causal decoder
         # prefill (2.1x at T=2048, D=128).
-        impl = "xla"
-    if impl == "pallas" and k.shape[2] != q.shape[2]:
-        # Grouped KV heads: the Pallas backward requires MHA, and a
-        # GQA model under training would fail at trace time inside the
-        # custom_vjp. Production CLIP/Vicuna are MHA; GQA goes to XLA.
-        global _warned_gqa_fallback
-        if not _warned_gqa_fallback:
-            _warned_gqa_fallback = True
-            import logging
-
-            logging.getLogger("vcoder_tpu").warning(
-                "GQA attention (q heads=%d, kv heads=%d) falls back to XLA "
-                "attention — the Pallas flash kernel's backward is MHA-only. "
-                "Long-context GQA training will be slower than MHA.",
-                q.shape[2],
-                k.shape[2],
-            )
         impl = "xla"
     if impl == "pallas":
         from vcoder_tpu.ops.flash_attention import flash_attention

@@ -10,11 +10,13 @@ kernels:
   max/sum/accumulator live in VMEM scratch across KV steps. The kernel also
   emits the per-row log-sum-exp residual for the backward pass.
 * Backward is two kernels (flash-attention-2 style): dQ over
-  ``(B, H, nq, nk)`` and dK/dV over ``(B, H, nk, nq)``, each recomputing
-  the probability block from Q/K and the saved LSE — O(T) memory, no
-  materialized attention matrix. Wired as ``jax.custom_vjp``; GQA
-  (grouped KV heads) is forward-only and falls back to the XLA path for
-  gradients (Vicuna and CLIP are both MHA).
+  ``(B, H, nq, nk)`` and dK/dV over ``(B, KH, nk, group*nq)``, each
+  recomputing the probability block from Q/K and the saved LSE — O(T)
+  memory, no materialized attention matrix. Wired as ``jax.custom_vjp``.
+  GQA (grouped KV heads) is supported end-to-end: the dK/dV grid fuses
+  (query-head-in-group, q-block) into its innermost sequential dimension
+  so the VMEM accumulator sums each KV head's gradient over all of its
+  query heads.
 * Causality is *position-based*: queries carry absolute positions
   (``q_positions``), so the same kernel serves ragged right-padded prefill
   batches and KV-cache attention where T != S. ``kv_mask`` handles
@@ -353,8 +355,8 @@ def _bwd_dkv_kernel(
 def _flash_bwd(q, k, v, q_positions, kv_mask, out, lse, g,
                causal, bq, bk, interpret):
     B, H, Tp, D = q.shape
-    Sp = k.shape[2]
-    assert k.shape[1] == H, "pallas flash bwd requires MHA (group == 1)"
+    KH, Sp = k.shape[1], k.shape[2]
+    group = H // KH
     scale = D**-0.5
 
     delta = jnp.sum(
@@ -376,7 +378,7 @@ def _flash_bwd(q, k, v, q_positions, kv_mask, out, lse, g,
             memory_space=pltpu.VMEM,
         ),
         kv=pl.BlockSpec(
-            (1, 1, bk, D), lambda b, h, i, j: (b, h, j, 0),
+            (1, 1, bk, D), lambda b, h, i, j, g=group: (b, h // g, j, 0),
             memory_space=pltpu.VMEM,
         ),
         row=pl.BlockSpec(
@@ -402,25 +404,36 @@ def _flash_bwd(q, k, v, q_positions, kv_mask, out, lse, g,
         interpret=interpret,
     )(q_positions, kv_mask, q, k, v, g, lse, delta)
 
-    # dkv grid: x = kv block (j), y = q block (i, inner)
+    # dkv grid: h = KV head, x = kv block (j), inner m fuses
+    # (query-head-in-group, q block): m -> head kh*group + m // nq,
+    # q block m % nq. The accumulator init/finalize fire at m == 0 /
+    # m == group*nq - 1, so each KV head's dK/dV sums over all its
+    # query heads — GQA without a separate reduction pass.
+    nq = Tp // bq
+
+    def _qhead(h, m):
+        return h * group + m // nq
+
     dkv_qpos = pl.BlockSpec(
-        (1, 1, bq), lambda b, h, j, i: (b, 0, i), memory_space=pltpu.VMEM
+        (1, 1, bq), lambda b, h, j, m: (b, 0, m % nq),
+        memory_space=pltpu.VMEM,
     )
     dkv_specs = dict(
         kmask=pl.BlockSpec(
-            (1, 1, bk), lambda b, h, j, i: (b, 0, j),
+            (1, 1, bk), lambda b, h, j, m: (b, 0, j),
             memory_space=pltpu.VMEM,
         ),
         q=pl.BlockSpec(
-            (1, 1, bq, D), lambda b, h, j, i: (b, h, i, 0),
+            (1, 1, bq, D), lambda b, h, j, m: (b, _qhead(h, m), m % nq, 0),
             memory_space=pltpu.VMEM,
         ),
         kv=pl.BlockSpec(
-            (1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0),
+            (1, 1, bk, D), lambda b, h, j, m: (b, h, j, 0),
             memory_space=pltpu.VMEM,
         ),
         row=pl.BlockSpec(
-            (1, 1, bq, LANES), lambda b, h, j, i: (b, h, i, 0),
+            (1, 1, bq, LANES),
+            lambda b, h, j, m: (b, _qhead(h, m), m % nq, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -428,7 +441,7 @@ def _flash_bwd(q, k, v, q_positions, kv_mask, out, lse, g,
         functools.partial(
             _bwd_dkv_kernel, scale=scale, causal=causal, block_k=bk
         ),
-        grid=(B, H, Sp // bk, Tp // bq),
+        grid=(B, KH, Sp // bk, group * nq),
         in_specs=[
             dkv_qpos, dkv_specs["kmask"], dkv_specs["q"], dkv_specs["kv"],
             dkv_specs["kv"], dkv_specs["q"], dkv_specs["row"],
@@ -436,17 +449,17 @@ def _flash_bwd(q, k, v, q_positions, kv_mask, out, lse, g,
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0),
+                (1, 1, bk, D), lambda b, h, j, m: (b, h, j, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, bk, D), lambda b, h, j, i: (b, h, j, 0),
+                (1, 1, bk, D), lambda b, h, j, m: (b, h, j, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, Sp, D), k.dtype),
-            jax.ShapeDtypeStruct((B, H, Sp, D), v.dtype),
+            jax.ShapeDtypeStruct((B, KH, Sp, D), k.dtype),
+            jax.ShapeDtypeStruct((B, KH, Sp, D), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((bk, D), jnp.float32),
@@ -512,7 +525,7 @@ def flash_attention(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Flash attention; semantics identical to ops.attention.xla_attention.
-    Differentiable (Pallas backward) when KH == H."""
+    Differentiable (Pallas backward) for both MHA and GQA (KH < H)."""
     B, T, H, D = q.shape
     S, KH = k.shape[1], k.shape[2]
     assert H % KH == 0, (H, KH)

@@ -46,6 +46,7 @@ def _paged_kernel(
     *,
     scale: float,
     page_size: int,
+    group: int,
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -65,15 +66,17 @@ def _paged_kernel(
         q = q_ref[0]  # [H, D]
         k = k_ref[0]  # [KH, page, D]
         v = v_ref[0]
-        H = q.shape[0]
+        H, D = q.shape
         KH = k.shape[0]
-        # MHA assumed (KH == H); per-head q·K over the page.
+        # GQA: consecutive q heads share a KV head (h // group), so the
+        # [H, D] -> [KH, group, D] reshape aligns each group with its
+        # batched KV head. group == 1 is plain MHA.
         s = jax.lax.dot_general(
-            q[:, None, :],
+            q.reshape(KH, group, D),
             k,
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, 0, :]  # [H, page]
+        ).reshape(H, page_size)
         s = s * scale
         tok_ids = page_start + jax.lax.broadcasted_iota(
             jnp.int32, (H, page_size), 1
@@ -88,11 +91,11 @@ def _paged_kernel(
         p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
         l_new = alpha * l_prev + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
-            p[:, None, :].astype(v.dtype),
+            p.reshape(KH, group, page_size).astype(v.dtype),
             v,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, 0, :]  # [H, D]
+        ).reshape(H, D)
         acc_scr[:] = acc_scr[:] * alpha + pv
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -119,14 +122,14 @@ def paged_attention(
     thanks to the page_start < length predicate + index_map clamping."""
     B, H, D = q.shape
     KH, page_size = k_pages.shape[1], k_pages.shape[2]
-    assert KH == H, "paged kernel assumes MHA"
+    assert H % KH == 0, (H, KH)
     P_max = page_table.shape[1]
     scale = D**-0.5
 
     grid = (B, P_max)
     n_pages = k_pages.shape[0]
     kernel = functools.partial(
-        _paged_kernel, scale=scale, page_size=page_size
+        _paged_kernel, scale=scale, page_size=page_size, group=H // KH
     )
 
     # index_map sees the scalar-prefetch refs: pick row b's j-th page.

@@ -154,9 +154,6 @@ class PagedServingEngine(ServingEngine):
         seed: int = 0,
         mesh=None,
     ):
-        assert cfg.text.num_kv_heads == cfg.text.num_heads, (
-            "paged engine requires MHA (the production Vicuna models are)"
-        )
         assert max_len % page_size == 0, (
             f"max_len {max_len} must be a multiple of page_size {page_size}"
         )
