@@ -131,6 +131,50 @@ def test_greedy_generate_matches_full_forward(model_type, with_seg, with_depth):
     assert got == oracle[: len(got)] and len(got) > 0
 
 
+def test_multi_image_generate_and_mismatch_guard():
+    """Two <image> sentinels with a [B, 2, H, W, C] stack: generation runs
+    through the cached path and matches the no-cache oracle; swapping the
+    two images changes the features each sentinel receives; and a
+    mismatched stack count fails loudly."""
+    cfg, params = _tiny("llava")
+    rng = np.random.default_rng(11)
+    s = cfg.vision.image_size
+    imgs = jnp.asarray(
+        rng.standard_normal((1, 2, s, s, 3)).astype(np.float32)
+    )
+    rows = [[5, 6, IMG, 7, IMG, 8]]
+
+    n = 3
+    result = generate(
+        params, cfg, rows, imgs, max_new_tokens=n, temperature=0.0,
+        attn_impl="xla",
+    )
+    oracle = _oracle_chain(cfg, params, rows, imgs, None, None, n)
+    got = result.sequences[0, : result.num_generated[0]].tolist()
+    if cfg.text.eos_token_id in oracle:
+        oracle = oracle[: oracle.index(cfg.text.eos_token_id)]
+    assert got == oracle[: len(got)] and len(got) > 0
+
+    # Occurrence order matters: swapped images -> different prefill logits.
+    from vcoder_tpu.models.vcoder import plan_to_arrays, prefill
+    from vcoder_tpu.multimodal import build_splice_plan
+
+    plan = build_splice_plan(
+        rows, num_patches=cfg.vision.num_patches, pad_multiple=8
+    )
+    pa = plan_to_arrays(plan)
+    l_fwd, _ = prefill(params, cfg, pa, imgs, attn_impl="xla")
+    l_swp, _ = prefill(params, cfg, pa, imgs[:, ::-1], attn_impl="xla")
+    assert not np.allclose(np.asarray(l_fwd), np.asarray(l_swp))
+
+    # One stack for a two-sentinel prompt is an error, not a wrong answer.
+    with pytest.raises(ValueError, match="feature stack"):
+        generate(
+            params, cfg, rows, imgs[:, 0], max_new_tokens=1,
+            temperature=0.0, attn_impl="xla",
+        )
+
+
 def test_batch_generation_ragged():
     """Two rows with different lengths generate independently."""
     cfg, params = _tiny("llava")

@@ -194,16 +194,87 @@ def test_ragged_batch_padding():
     )
 
 
-def test_multi_occurrence_sentinel_raises():
-    """Repeated sentinels per modality are an explicit error: the reference
-    consumes the NEXT image's features per occurrence (llava_arch.py:141-162)
-    which the single-block splice cannot replicate — silently reusing the
-    block would be a wrong answer, so reject loudly."""
-    import pytest
+def test_multi_occurrence_consumes_successive_blocks():
+    """Repeated <image> sentinels consume SUCCESSIVE feature blocks, like
+    the reference's cur_image_idx += 1 walk (llava_arch.py:141-162)."""
+    plan = build_splice_plan(
+        [[1, IMG, 5, IMG, 6]], num_patches=N, pad_multiple=8
+    )
+    expect = (
+        [("T", 1)]
+        + [("V", i) for i in range(N)]  # occurrence 0 -> block 0
+        + [("T", 5)]
+        + [("V", N + i) for i in range(N)]  # occurrence 1 -> block 1
+        + [("T", 6)]
+    )
+    assert segments(plan) == expect
+    assert plan.n_image == 2
+    assert plan.vis_table_size == 2 * N
 
-    with pytest.raises(ValueError, match="2 <image> sentinel"):
-        build_splice_plan([[1, IMG, 5, IMG, 6]], num_patches=N, pad_multiple=8)
-    with pytest.raises(ValueError, match="<seg> sentinel"):
-        build_splice_plan(
-            [[1, IMG, SEG, 5, SEG]], num_patches=N, has_seg=True, pad_multiple=8
+
+def test_multi_occurrence_ragged_batch_and_seg_base():
+    """The table is laid out for the batch-wide max occurrence count; the
+    seg base shifts past ALL image blocks, and rows with fewer sentinels
+    never index the surplus block."""
+    ids = [
+        [1, IMG, 5, IMG, SEG, 6],  # 2 images + 1 seg
+        [1, IMG, SEG, 7],  # 1 image + 1 seg
+    ]
+    plan = build_splice_plan(
+        ids, num_patches=N, has_seg=True, ds_mode=False, pad_multiple=8
+    )
+    assert plan.n_image == 2 and plan.n_seg == 1
+    assert plan.vis_table_size == 3 * N
+    seg_base = 2 * N
+    expect0 = (
+        [("T", 1)]
+        + [("V", i) for i in range(N)]
+        + [("T", 5)]
+        + [("V", N + i) for i in range(N)]
+        + [("V", seg_base + i) for i in range(N)]
+        + [("T", 6)]
+    )
+    expect1 = (
+        [("T", 1)]
+        + [("V", i) for i in range(N)]
+        + [("V", seg_base + i) for i in range(N)]
+        + [("T", 7)]
+    )
+    assert segments(plan, 0) == expect0
+    assert segments(plan, 1) == expect1
+
+
+def test_multi_occurrence_encode_vision_layout():
+    """encode_vision with [B, N, H, W, C] lays the table out occurrence-
+    major per modality, matching what the plan indexes into."""
+    import jax
+    import jax.numpy as jnp
+
+    from vcoder_tpu.config import VCoderConfig
+    from vcoder_tpu.models import vcoder as model_mod
+
+    cfg = VCoderConfig.tiny("vcoder_llava")
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+    hw = cfg.vision.image_size
+    imgs = jax.random.normal(jax.random.PRNGKey(1), (2, 2, hw, hw, 3))
+    segs = jax.random.normal(jax.random.PRNGKey(2), (2, hw, hw, 3))
+
+    table = model_mod.encode_vision(params, cfg, imgs, segs)
+    P = cfg.vision.num_patches
+    assert table.shape[1] == 3 * P  # 2 image blocks + 1 seg block
+
+    # Occurrence k of the image modality == encoding image k alone.
+    for k in range(2):
+        single = model_mod.encode_vision(params, cfg, imgs[:, k], segs)
+        np.testing.assert_allclose(
+            np.asarray(table[:, k * P : (k + 1) * P]),
+            np.asarray(single[:, :P]),
+            atol=1e-5,
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(table[:, 2 * P :]),
+            np.asarray(single[:, P:]),
+            atol=1e-5,
+            rtol=1e-5,
         )

@@ -29,7 +29,7 @@ import numpy as np
 from vcoder_tpu.config import VCoderConfig
 from vcoder_tpu.models import vcoder as model_mod
 from vcoder_tpu.models.llama import KVCache
-from vcoder_tpu.multimodal import build_splice_plan
+from vcoder_tpu.multimodal import build_splice_plan, validate_features
 
 
 def sample_token(
@@ -316,6 +316,7 @@ def generate_stream(
         is_depth_zero=is_depth_zero,
         is_seg_zero=is_seg_zero,
     )
+    validate_features(plan, images, segs, depths)
     plan_arrays = model_mod.plan_to_arrays(plan)
     T = plan.seq_len
     dummy = jnp.zeros((0,), jnp.float32)
@@ -523,6 +524,7 @@ def generate(
         is_seg_zero=is_seg_zero,
         pad_to=pad_to,
     )
+    validate_features(plan, images, segs, depths)
     plan_arrays = model_mod.plan_to_arrays(plan)
 
     dummy = jnp.zeros((0,), jnp.float32)

@@ -135,27 +135,45 @@ def encode_vision(
     """Encode up to three modalities in ONE tower call.
 
     Args:
-      images/segs/depths: [B, H, W, C] preprocessed pixel arrays (or None).
+      images/segs/depths: [B, H, W, C] preprocessed pixel arrays — or
+        [B, N, H, W, C] for multi-occurrence prompts (N sentinel
+        occurrences per row; the reference consumes the next image's
+        features per occurrence, llava_arch.py:141-162).
 
-    Returns the per-sample vision feature table [B, n_modalities*576, D_t]
-    laid out in the fixed (image, seg, depth) order that
+    Returns the per-sample vision feature table
+    [B, (N_img + N_seg + N_dep)*576, D_t] laid out in the fixed
+    (image-occurrences, seg-occurrences, depth-occurrences) order that
     ``multimodal.build_splice_plan`` indexes into.
     """
+    # Normalize to [B, N, H, W, C]; N == 1 for the production single-
+    # occurrence prompts.
+    def _norm(x):
+        return None if x is None else (x[:, None] if x.ndim == 4 else x)
+
+    images, segs, depths = _norm(images), _norm(segs), _norm(depths)
     stacks = [x for x in (images, segs, depths) if x is not None]
-    n = len(stacks)
-    if n == 0:
+    if not stacks:
         raise ValueError("encode_vision requires at least one modality")
     B = stacks[0].shape[0]
-    stacked = jnp.concatenate(stacks, axis=0)  # [n*B, H, W, C]
+    hw_c = stacks[0].shape[2:]
+    # Flatten occurrence-major per modality, concat into ONE tower batch.
+    stacked = jnp.concatenate(
+        [x.reshape((-1,) + hw_c) for x in stacks], axis=0
+    )  # [B*N_img + B*N_seg + B*N_dep, H, W, C]
     feats = clip_mod.clip_encode(
         params["vision_tower"], cfg.vision, stacked, attn_impl=attn_impl
-    )  # [n*B, 576, D_v]
+    )  # [sum(B*N_m), 576, D_v]
+    P, D_v = feats.shape[1], feats.shape[2]
+
+    def _take(x, offset):
+        n = x.shape[1]
+        f = feats[offset : offset + B * n]  # [B*n, 576, D_v]
+        return f.reshape(B, n * P, D_v), offset + B * n
 
     outs = []
-    idx = 0
+    offset = 0
     if images is not None:
-        img_f = feats[idx * B : (idx + 1) * B]
-        idx += 1
+        img_f, offset = _take(images, offset)
         # mm2_projector replaces mm_projector when segs ride along
         # (vcoder_llava_arch.py:141-144).
         if segs is not None and cfg.use_mm2_proj and "mm2_projector" in params:
@@ -163,19 +181,17 @@ def encode_vision(
         else:
             outs.append(apply_projector(params["mm_projector"], img_f))
     if segs is not None:
-        seg_f = feats[idx * B : (idx + 1) * B]
-        idx += 1
+        seg_f, offset = _take(segs, offset)
         outs.append(apply_projector(params["seg_projector"], seg_f))
     if depths is not None:
-        dep_f = feats[idx * B : (idx + 1) * B]
-        idx += 1
+        dep_f, offset = _take(depths, offset)
         if cfg.depth_through_seg_projector:
             # Reference quirk: depth encodes through the seg projector
             # (vcoder_ds_llava_arch.py:111-114).
             outs.append(apply_projector(params["seg_projector"], dep_f))
         else:
             outs.append(apply_projector(params["depth_projector"], dep_f))
-    return jnp.concatenate(outs, axis=1)  # [B, n*576, D_t]
+    return jnp.concatenate(outs, axis=1)  # [B, sum(N_m)*576, D_t]
 
 
 # ---------------------------------------------------------------------------

@@ -51,7 +51,9 @@ from vcoder_tpu.constants import (
 
 # Per-row vision-feature table layout: enabled modalities are concatenated in
 # this fixed order; sentinel occurrence k of a modality maps to rows
-# [base + k*num_patches, base + (k+1)*num_patches).
+# [base + k*num_patches, base + (k+1)*num_patches). Multi-occurrence prompts
+# (e.g. two <image> sentinels) consume successive blocks, mirroring the
+# reference's cur_image_idx += 1 walk (llava_arch.py:141-162).
 _MODALITY_ORDER = ("image", "seg", "depth")
 
 
@@ -73,6 +75,11 @@ class SplicePlan:
     # Static (trace-time) metadata:
     use_vcoder_emb: bool  # route text embeds through vcoder_lm_emb
     vis_table_size: int  # rows in the per-sample vision feature table
+    # Occurrence counts the vision table is laid out for (blocks per
+    # modality; the caller must supply this many feature blocks per row).
+    n_image: int = 1
+    n_seg: int = 0
+    n_depth: int = 0
 
     @property
     def batch(self) -> int:
@@ -130,13 +137,27 @@ def build_splice_plan(
     if is_seg_zero is None:
         is_seg_zero = [not has_seg] * batch
 
-    n_modalities = 1 + int(has_seg) + int(has_depth and ds_mode)
-    vis_table_size = max(num_patches * n_modalities, 1)
+    # Vision-table layout: one block per sentinel OCCURRENCE. The block
+    # count per modality is the batch-wide max (rows with fewer sentinels
+    # simply never index the surplus blocks); the caller must provide
+    # matching per-row feature stacks (models/vcoder.py::encode_vision
+    # accepts [B, N, H, W, C]).
+    def _max_occ(sentinel, enabled):
+        if not enabled:
+            return 0
+        return max(
+            (list(row).count(sentinel) for row in input_ids), default=0
+        ) or 1  # modality features provided even if no row has a sentinel
+
+    n_image = _max_occ(IMAGE_TOKEN_INDEX, has_image)
+    n_seg = _max_occ(SEG_TOKEN_INDEX, has_seg)
+    n_depth = _max_occ(DEPTH_TOKEN_INDEX, has_depth and ds_mode)
+    vis_table_size = max(num_patches * (n_image + n_seg + n_depth), 1)
     base = {"image": 0}
-    off = num_patches
+    off = n_image * num_patches
     if has_seg:
         base["seg"] = off
-        off += num_patches
+        off += n_seg * num_patches
     if has_depth and ds_mode:
         base["depth"] = off
 
@@ -202,7 +223,35 @@ def build_splice_plan(
         seq_lens=seq_lens,
         use_vcoder_emb=has_seg,
         vis_table_size=vis_table_size,
+        n_image=n_image,
+        n_seg=n_seg,
+        n_depth=n_depth,
     )
+
+
+def validate_features(plan: SplicePlan, images, segs=None, depths=None):
+    """Check the provided pixel stacks match the plan's table layout.
+
+    The vision table's base offsets are computed from the batch-wide
+    sentinel occurrence counts; a mismatch with the actual number of
+    feature stacks ([B, N, H, W, C] -> N, [B, H, W, C] -> 1) would make
+    the gather read the wrong blocks — fail loudly instead.
+    """
+    def n_of(x):
+        return 0 if x is None else (x.shape[1] if x.ndim == 5 else 1)
+
+    for name, need, have in (
+        ("image", plan.n_image, n_of(images)),
+        ("seg", plan.n_seg, n_of(segs)),
+        ("depth", plan.n_depth, n_of(depths)),
+    ):
+        if need and need != have:
+            raise ValueError(
+                f"prompt batch needs {need} <{name}> feature stack(s) per "
+                f"row but {have} were provided; pass pixels as "
+                "[B, N, H, W, C] with N matching the max sentinel "
+                "occurrence count"
+            )
 
 
 def _splice_row(
@@ -225,21 +274,6 @@ def _splice_row(
     kinds: List[bool] = []
     values: List[int] = []
     lab_out: Optional[List[int]] = [] if labels is not None else None
-
-    for name, sentinel in (
-        ("image", IMAGE_TOKEN_INDEX),
-        ("seg", SEG_TOKEN_INDEX),
-        ("depth", DEPTH_TOKEN_INDEX),
-    ):
-        n_occ = ids.count(sentinel)
-        if n_occ > 1:
-            raise ValueError(
-                f"row contains {n_occ} <{name}> sentinel tokens; at most one "
-                "occurrence per modality is supported. The reference consumes "
-                "the NEXT image's features per occurrence (llava_arch.py:"
-                "141-162) — this splice has one feature block per modality "
-                "and reusing it would silently produce wrong answers."
-            )
 
     has_img_tok = IMAGE_TOKEN_INDEX in ids
     has_seg_tok = SEG_TOKEN_INDEX in ids
@@ -271,10 +305,15 @@ def _splice_row(
             if lab_out is not None:
                 lab_out.append(labs[j])
 
+    occ = {"image": 0, "seg": 0, "depth": 0}
+
     def emit_features(modality: str):
-        # One feature block per modality per row; >1 occurrence per modality
-        # is rejected above, so each block is consumed exactly once.
-        start = base[modality]
+        # Each occurrence consumes the NEXT feature block of its modality,
+        # matching the reference's cur_image_idx += 1 walk
+        # (llava_arch.py:141-162). The table is sized for the batch-wide
+        # max occurrence count, so the block always exists.
+        start = base[modality] + occ[modality] * num_patches
+        occ[modality] += 1
         for p in range(num_patches):
             kinds.append(False)
             values.append(start + p)

@@ -99,6 +99,10 @@ class Chat:
             px_images = self.image_processor.preprocess(pil_images)[
                 "pixel_values"
             ]
+            # One conversation row: N images are N sentinel occurrences,
+            # not a batch — [N, H, W, C] -> [1, N, H, W, C].
+            if len(pil_images) > 1:
+                px_images = px_images[None]
             num_image_tokens = (
                 prompt.count(DEFAULT_IMAGE_TOKEN) * self.num_patches
             )
@@ -113,6 +117,8 @@ class Chat:
                 px_segs = self.seg_image_processor.preprocess(pil_segs)[
                     "pixel_values"
                 ]
+                if len(pil_segs) > 1:
+                    px_segs = px_segs[None]
                 num_seg_tokens = (
                     prompt.count(DEFAULT_SEG_TOKEN) * self.num_patches
                 )
@@ -127,6 +133,8 @@ class Chat:
                     px_depths = self.depth_image_processor.preprocess(
                         pil_depths
                     )["pixel_values"]
+                    if len(pil_depths) > 1:
+                        px_depths = px_depths[None]
                     num_depth_tokens = (
                         prompt.count(DEFAULT_DEPTH_TOKEN) * self.num_patches
                     )

@@ -31,7 +31,7 @@ import numpy as np
 from vcoder_tpu.config import VCoderConfig
 from vcoder_tpu.models import vcoder as model_mod
 from vcoder_tpu.models.llama import KVCache
-from vcoder_tpu.multimodal import build_splice_plan
+from vcoder_tpu.multimodal import build_splice_plan, validate_features
 
 PREFILL_BUCKETS = (512, 1024, 1536, 2048, 2560, 3072, 4096)
 
@@ -372,6 +372,7 @@ class ServingEngine:
         plan = build_splice_plan(
             [req.input_ids], pad_to=pad_to, **plan_kwargs
         )
+        validate_features(plan, req.images, req.segs, req.depths)
         req.prompt_len = exact
         arrays = model_mod.plan_to_arrays(plan)
         dummy = jnp.zeros((0,), jnp.float32)

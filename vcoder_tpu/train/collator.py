@@ -15,7 +15,7 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from vcoder_tpu.models.vcoder import plan_to_arrays
-from vcoder_tpu.multimodal import build_splice_plan
+from vcoder_tpu.multimodal import build_splice_plan, validate_features
 
 
 def collate_batch(
@@ -67,6 +67,14 @@ def collate_batch(
     )
     batch = plan_to_arrays(plan, include_labels=True)
     if has_image:
+        # Training streams carry one pixel stack per modality per sample;
+        # fail loudly if a conversation smuggled in extra sentinels.
+        validate_features(
+            plan,
+            zeros[None] if has_image else None,
+            zeros[None] if has_seg else None,
+            zeros[None] if has_depth else None,
+        )
         batch["images"] = np.stack([px(s, "image") for s in samples])
     if has_seg:
         batch["segs"] = np.stack([px(s, "seg") for s in samples])
