@@ -222,29 +222,36 @@ def llama_forward(
         s_max = cache.k.shape[2]
         # Contract: attn_mask is prefix-contiguous per row (right-padded
         # batches), so the valid new slots are [offset, offset + n_valid).
-        # K/V write via per-row dynamic_update_slice (vmapped -> scatter):
-        # padding rows do write garbage past their valid region, but the
-        # kv_mask never marks those slots, and any later write at the same
-        # offset overwrites them. This avoids the full-cache read+write of
-        # a one-hot scatter-add (~1.5 GB/step at 7B decode).
         n_valid = attn_mask.astype(jnp.int32).sum(axis=1)  # [B]
         pos_s = jnp.arange(s_max, dtype=jnp.int32)[None, :]
         new_kv_mask = cache.kv_mask | (
             (pos_s >= write_offset[:, None])
             & (pos_s < (write_offset + n_valid)[:, None])
         )
+        # K/V write: in-place token scatter at (layer, row, offset+t) on
+        # the FULL [L, B, S, ...] cache, which rides the scan CARRY. The
+        # cache must never be a scan xs->ys pair: XLA does not alias the
+        # stacked ys onto the consumed xs buffer, so every decode step
+        # would re-copy the whole cache (measured 23 -> 6 ms/step for the
+        # attention+cache path at 7B/B=8/S=704 when switched to the
+        # carried scatter). Padding rows do write garbage past their
+        # valid region, but the kv_mask never marks those slots, and any
+        # later write at the same offset overwrites them.
+        rows_ix = jnp.arange(B, dtype=jnp.int32)[:, None]  # [B, 1]
+        write_pos = (
+            write_offset[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        )  # [B, T]
 
-        def _write_rows(c_rows, new_rows):
-            # c_rows: [B, S, KH, HD]; new_rows: [B, T, KH, HD]
-            return jax.vmap(
-                lambda c, n, off: jax.lax.dynamic_update_slice(
-                    c, n.astype(c.dtype), (off, 0, 0)
-                )
-            )(c_rows, new_rows, write_offset)
+        def _write_tokens(c_all, l, new_rows):
+            # c_all: [L, B, S, KH, HD|1]; new_rows: [B, T, KH, HD|1]
+            return c_all.at[l, rows_ix, write_pos].set(
+                new_rows.astype(c_all.dtype)
+            )
 
-    def layer(carry_x, layer_params_and_cache):
-        lp = layer_params_and_cache["p"]
-        x = carry_x
+    def layer(carry, per_layer):
+        lp = per_layer["p"]
+        l = per_layer["idx"]
+        x, kv = carry
         residual = x
         h = rms_norm(x, lp["input_layernorm"], eps)
         q = qm(h, lp["q_proj"]).reshape(B, T, H, HD)
@@ -253,26 +260,26 @@ def llama_forward(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        out_cache = None
         if use_cache:
-            ck, cv = layer_params_and_cache["ck"], layer_params_and_cache["cv"]
             if cache.quantized:
+                ck_all, cv_all, cks_all, cvs_all = kv
                 kq, ks = _kv_quantize(k)
                 vq, vs = _kv_quantize(v)
-                ck = _write_rows(ck, kq)
-                cv = _write_rows(cv, vq)
-                cks = _write_rows(layer_params_and_cache["cks"], ks)
-                cvs = _write_rows(layer_params_and_cache["cvs"], vs)
-                out_cache = (ck, cv, cks, cvs)
+                ck_all = _write_tokens(ck_all, l, kq)
+                cv_all = _write_tokens(cv_all, l, vq)
+                cks_all = _write_tokens(cks_all, l, ks)
+                cvs_all = _write_tokens(cvs_all, l, vs)
+                kv = (ck_all, cv_all, cks_all, cvs_all)
                 # Dequantize at the read; XLA fuses the scale multiply into
                 # the attention operand load.
-                k_at = ck.astype(x.dtype) * cks.astype(x.dtype)
-                v_at = cv.astype(x.dtype) * cvs.astype(x.dtype)
+                k_at = ck_all[l].astype(x.dtype) * cks_all[l].astype(x.dtype)
+                v_at = cv_all[l].astype(x.dtype) * cvs_all[l].astype(x.dtype)
             else:
-                ck = _write_rows(ck, k)
-                cv = _write_rows(cv, v)
-                out_cache = (ck, cv)
-                k_at, v_at = ck, cv
+                ck_all, cv_all = kv
+                ck_all = _write_tokens(ck_all, l, k)
+                cv_all = _write_tokens(cv_all, l, v)
+                kv = (ck_all, cv_all)
+                k_at, v_at = ck_all[l], cv_all[l]
             attn_out = multi_head_attention(
                 q,
                 k_at,
@@ -302,34 +309,39 @@ def llama_forward(
             lp["down_proj"],
         )
         x = residual + mlp
-        return x, out_cache
+        return (x, kv), None
 
     if remat:
         layer = jax.checkpoint(layer)
 
-    def scan_body(x, per_layer):
-        return layer(x, per_layer)
-
-    per_layer_inputs = {"p": params["layers"]}
+    L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+    per_layer_inputs = {
+        "p": params["layers"],
+        "idx": jnp.arange(L, dtype=jnp.int32),
+    }
     if use_cache:
-        per_layer_inputs["ck"] = cache.k
-        per_layer_inputs["cv"] = cache.v
-        if cache.quantized:
-            per_layer_inputs["cks"] = cache.k_scale
-            per_layer_inputs["cvs"] = cache.v_scale
+        kv0 = (
+            (cache.k, cache.v, cache.k_scale, cache.v_scale)
+            if cache.quantized
+            else (cache.k, cache.v)
+        )
+    else:
+        kv0 = ()
 
-    x, stacked_cache = jax.lax.scan(scan_body, inputs_embeds, per_layer_inputs)
+    (x, kv_out), _ = jax.lax.scan(
+        layer, (inputs_embeds, kv0), per_layer_inputs
+    )
 
     new_cache = None
     if use_cache:
         new_len = write_offset + attn_mask.astype(jnp.int32).sum(axis=1)
         new_cache = KVCache(
-            k=stacked_cache[0],
-            v=stacked_cache[1],
+            k=kv_out[0],
+            v=kv_out[1],
             kv_mask=new_kv_mask,
             length=new_len,
-            k_scale=stacked_cache[2] if cache.quantized else None,
-            v_scale=stacked_cache[3] if cache.quantized else None,
+            k_scale=kv_out[2] if cache.quantized else None,
+            v_scale=kv_out[3] if cache.quantized else None,
         )
 
     x = rms_norm(x, params["norm"], eps)
@@ -356,9 +368,9 @@ def llama_paged_decode(
     (hidden [B, 1, D], new_k_pages, new_v_pages).
     """
     from vcoder_tpu.ops.paged_attention import (
-        append_token,
+        append_token_layer,
         paged_attention,
-        sharded_append_token,
+        sharded_append_token_layer,
         sharded_paged_attention,
     )
     from vcoder_tpu.parallel.mesh import current_mesh
@@ -374,14 +386,14 @@ def llama_paged_decode(
         # Pallas calls are opaque to GSPMD: shard_map the kernel (rows over
         # data x fsdp, heads over model) and the page writes. Page ids in
         # the table/engine are GLOBAL; the wrappers rebase per shard.
-        _append = lambda pk, kv, rp, off, act: sharded_append_token(
-            pk, kv, rp, off, act, mesh
+        _append = lambda pk, l, kv, rp, off, act: sharded_append_token_layer(
+            pk, l, kv, rp, off, act, mesh
         )
         _attend = lambda q, pk, pv, tab, ln: sharded_paged_attention(
             q, pk, pv, tab, ln, mesh, interpret=interpret
         )
     else:
-        _append = append_token
+        _append = append_token_layer
         _attend = lambda q, pk, pv, tab, ln: paged_attention(
             q, pk, pv, tab, ln, interpret=interpret
         )
@@ -394,9 +406,13 @@ def llama_paged_decode(
     # Attention spans the pre-existing tokens plus the one just written.
     attn_lengths = lengths + active.astype(jnp.int32)
 
-    def layer(x, per_layer):
+    # The stacked page pools ride the CARRY with in-place per-layer token
+    # scatters — pools as scan xs->ys would be re-copied wholesale every
+    # step (see llama_forward's cache comment for the measured cost).
+    def layer(carry, per_layer):
         lp = per_layer["p"]
-        pk, pv = per_layer["pk"], per_layer["pv"]
+        l = per_layer["idx"]
+        x, pk_all, pv_all = carry
         residual = x
         h = rms_norm(x, lp["input_layernorm"], eps)
         q = qm(h, lp["q_proj"]).reshape(B, 1, H, HD)
@@ -404,10 +420,15 @@ def llama_paged_decode(
         v = qm(h, lp["v_proj"]).reshape(B, 1, KH, HD)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        pk = _append(pk, k[:, 0], row_pages, offsets, active)
-        pv = _append(pv, v[:, 0], row_pages, offsets, active)
+        pk_all = _append(pk_all, l, k[:, 0], row_pages, offsets, active)
+        pv_all = _append(pv_all, l, v[:, 0], row_pages, offsets, active)
+        # pk_all[l] materializes the layer's pool slice for the kernel.
+        # Feeding the STACKED pool into pallas_call with a layer scalar
+        # was tried and is 13x WORSE: XLA cannot prove the kernel operand
+        # doesn't alias the scatter-updated carry and safety-copies both
+        # full pools every layer (26 vs 349 tok/s at 7B int8 B=8).
         attn = _attend(
-            q[:, 0], pk, pv, page_table, attn_lengths
+            q[:, 0], pk_all[l], pv_all[l], page_table, attn_lengths
         )  # [B, H, HD]
         x = residual + qm(attn.reshape(B, 1, H * HD), lp["o_proj"])
         residual = x
@@ -416,11 +437,15 @@ def llama_paged_decode(
             jax.nn.silu(qm(h, lp["gate_proj"])) * qm(h, lp["up_proj"]),
             lp["down_proj"],
         )
-        return residual + mlp, (pk, pv)
+        return (residual + mlp, pk_all, pv_all), None
 
-    per_layer = {"p": params["layers"], "pk": k_pages, "pv": v_pages}
-    x, (new_k, new_v) = jax.lax.scan(
-        lambda c, pl_in: layer(c, pl_in), inputs_embeds, per_layer
+    L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+    per_layer = {
+        "p": params["layers"],
+        "idx": jnp.arange(L, dtype=jnp.int32),
+    }
+    (x, new_k, new_v), _ = jax.lax.scan(
+        layer, (inputs_embeds, k_pages, v_pages), per_layer
     )
     x = rms_norm(x, params["norm"], eps)
     return x, new_k, new_v

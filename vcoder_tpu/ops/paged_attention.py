@@ -275,6 +275,65 @@ def sharded_append_token(
     )(pages, token_kv, page_ids, offsets, active)
 
 
+def append_token_layer(
+    pages_all: jnp.ndarray,  # [L, n_pages, KH, page, D] (loop carry)
+    l: jnp.ndarray,  # scalar layer index
+    token_kv: jnp.ndarray,  # [B, KH, D]
+    page_ids: jnp.ndarray,  # [B]
+    offsets: jnp.ndarray,  # [B]
+    active: jnp.ndarray,  # [B] bool
+) -> jnp.ndarray:
+    """In-place decode-token scatter into layer ``l`` of the STACKED pool.
+
+    The stacked pool must ride the decode loop's carry, never a scan
+    xs->ys pair — XLA does not alias stacked scan outputs onto the
+    consumed inputs, so threading pages through xs/ys re-copies the whole
+    pool every decode step (see models/llama.py::llama_forward for the
+    measured cost). Inactive rows are directed at the reserved scratch
+    page (last page) with their previous values, an in-place no-op.
+    """
+    n_pages = pages_all.shape[1]
+    safe_pages = jnp.where(active, page_ids, n_pages - 1)
+    vals = jnp.where(
+        active[:, None, None],
+        token_kv.astype(pages_all.dtype),
+        pages_all[l, safe_pages, :, offsets, :],
+    )
+    return pages_all.at[l, safe_pages, :, offsets, :].set(vals)
+
+
+def sharded_append_token_layer(
+    pages_all: jnp.ndarray,  # [L, n_pages, KH, page, D]
+    l: jnp.ndarray,
+    token_kv: jnp.ndarray,  # [B, KH, D] rows over (data, fsdp)
+    page_ids: jnp.ndarray,  # [B] GLOBAL ids
+    offsets: jnp.ndarray,
+    active: jnp.ndarray,
+    mesh,
+) -> jnp.ndarray:
+    """shard_map'd :func:`append_token_layer` (global ids rebased)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+    pool = P(None, ROW_AXES, "model", None, None)
+
+    def local(pages_all, l, token_kv, page_ids, offsets, active):
+        local_ids = page_ids - _row_offset(pages_all.shape[1])
+        local_ids = jnp.clip(local_ids, 0, pages_all.shape[1] - 1)
+        return append_token_layer(
+            pages_all, l, token_kv, local_ids, offsets, active
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(pool, P(), P(ROW_AXES, "model", None), row, row, row),
+        out_specs=pool,
+        check_rep=False,
+    )(pages_all, l, token_kv, page_ids, offsets, active)
+
+
 # ---------------------------------------------------------------------------
 # Page write helpers (jnp; scatters fuse into the surrounding jit)
 # ---------------------------------------------------------------------------
