@@ -197,6 +197,64 @@ def test_paged_engine_gqa_matches_slot_engine():
     assert outs["paged"] == outs["slot"]
 
 
+def test_carry_paged_attention_matches_blocked_kernel():
+    """The carry-aliased manual-DMA kernel (stacked pools, in-place pass-
+    through) must match the BlockSpec-pipelined per-layer kernel."""
+    from vcoder_tpu.ops.paged_attention import (
+        carry_paged_attention,
+        paged_attention,
+    )
+
+    L, n_pages, KH, page, D, B, H = 3, 10, 4, 8, 16, 3, 8
+    rng = np.random.default_rng(3)
+    kp = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    vp = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    lengths = jnp.asarray([2 * page + 3, 0, page - 1], jnp.int32)
+    table = np.zeros((B, 3), np.int32)
+    for b in range(B):
+        table[b] = 1 + b * 3 + np.arange(3)
+    table = jnp.asarray(table)
+
+    for l in range(L):
+        ref = paged_attention(
+            q, kp[l], vp[l], table, lengths, interpret=True
+        )
+        got, kp2, vp2 = carry_paged_attention(
+            q, kp, vp, table, lengths, jnp.int32(l), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+        # pass-through pools unchanged
+        np.testing.assert_array_equal(np.asarray(kp2), np.asarray(kp))
+
+
+def test_append_token_layer_writes_only_the_token():
+    from vcoder_tpu.ops.paged_attention import append_token_layer
+
+    L, n_pages, KH, page, D, B = 2, 6, 4, 8, 16, 2
+    rng = np.random.default_rng(4)
+    pool = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    tok = jnp.asarray(rng.standard_normal((B, KH, D)), jnp.float32)
+    page_ids = jnp.asarray([1, 3], jnp.int32)
+    offsets = jnp.asarray([2, 7], jnp.int32)
+    active = jnp.asarray([True, False])
+
+    out = append_token_layer(pool, jnp.int32(1), tok, page_ids, offsets, active)
+    out = np.asarray(out)
+    ref = np.asarray(pool).copy()
+    ref[1, 1, :, 2, :] = np.asarray(tok)[0]  # active row 0
+    ref[1, n_pages - 1, :, 7, :] = np.asarray(tok)[1]  # inactive -> scratch
+    np.testing.assert_array_equal(out, ref)
+
+
 # ---- multi-chip paged serving (8-device CPU mesh from conftest) ----------
 
 

@@ -369,9 +369,9 @@ def llama_paged_decode(
     """
     from vcoder_tpu.ops.paged_attention import (
         append_token_layer,
-        paged_attention,
+        carry_paged_attention,
         sharded_append_token_layer,
-        sharded_paged_attention,
+        sharded_carry_paged_attention,
     )
     from vcoder_tpu.parallel.mesh import current_mesh
 
@@ -384,18 +384,18 @@ def llama_paged_decode(
     mesh = current_mesh()
     if mesh is not None and mesh.size > 1:
         # Pallas calls are opaque to GSPMD: shard_map the kernel (rows over
-        # data x fsdp, heads over model) and the page writes. Page ids in
-        # the table/engine are GLOBAL; the wrappers rebase per shard.
+        # data x fsdp, heads over model). Page ids in the table/engine are
+        # GLOBAL; the wrappers rebase per shard.
         _append = lambda pk, l, kv, rp, off, act: sharded_append_token_layer(
             pk, l, kv, rp, off, act, mesh
         )
-        _attend = lambda q, pk, pv, tab, ln: sharded_paged_attention(
-            q, pk, pv, tab, ln, mesh, interpret=interpret
+        _attend = lambda q, pk, pv, ln, l: sharded_carry_paged_attention(
+            q, pk, pv, page_table, ln, l, mesh, interpret=interpret
         )
     else:
         _append = append_token_layer
-        _attend = lambda q, pk, pv, tab, ln: paged_attention(
-            q, pk, pv, tab, ln, interpret=interpret
+        _attend = lambda q, pk, pv, ln, l: carry_paged_attention(
+            q, pk, pv, page_table, ln, l, interpret=interpret
         )
 
     cos, sin = rope_cos_sin(positions[:, None], HD, cfg.rope_theta)
@@ -406,9 +406,11 @@ def llama_paged_decode(
     # Attention spans the pre-existing tokens plus the one just written.
     attn_lengths = lengths + active.astype(jnp.int32)
 
-    # The stacked page pools ride the CARRY with in-place per-layer token
-    # scatters — pools as scan xs->ys would be re-copied wholesale every
-    # step (see llama_forward's cache comment for the measured cost).
+    # The stacked page pools ride the CARRY: the token append is an
+    # in-place scatter and the attention kernel passes the pools through
+    # input_output_aliases — pools as scan xs->ys would be re-copied
+    # wholesale every step, and a non-aliased pallas operand that is
+    # live-out gets safety-copied every layer (docs/PERFORMANCE.md).
     def layer(carry, per_layer):
         lp = per_layer["p"]
         l = per_layer["idx"]
@@ -422,13 +424,8 @@ def llama_paged_decode(
         k = apply_rope(k, cos, sin)
         pk_all = _append(pk_all, l, k[:, 0], row_pages, offsets, active)
         pv_all = _append(pv_all, l, v[:, 0], row_pages, offsets, active)
-        # pk_all[l] materializes the layer's pool slice for the kernel.
-        # Feeding the STACKED pool into pallas_call with a layer scalar
-        # was tried and is 13x WORSE: XLA cannot prove the kernel operand
-        # doesn't alias the scatter-updated carry and safety-copies both
-        # full pools every layer (26 vs 349 tok/s at 7B int8 B=8).
-        attn = _attend(
-            q[:, 0], pk_all[l], pv_all[l], page_table, attn_lengths
+        attn, pk_all, pv_all = _attend(
+            q[:, 0], pk_all, pv_all, attn_lengths, l
         )  # [B, H, HD]
         x = residual + qm(attn.reshape(B, 1, H * HD), lp["o_proj"])
         residual = x

@@ -180,6 +180,197 @@ def paged_attention(
 
 
 # ---------------------------------------------------------------------------
+# Carry-aliased decode kernel (STACKED pools, manual DMA, in-place)
+# ---------------------------------------------------------------------------
+
+
+def _carry_kernel(
+    # scalar prefetch
+    table_ref,  # [B, P_max] int32 LOCAL page ids
+    lengths_ref,  # [B] int32 tokens per row INCLUDING this step's
+    layer_ref,  # [1] int32 layer into the stacked pool
+    # inputs
+    q_ref,  # [1, H, D] VMEM block (row b)
+    kp_hbm,  # [L, n_pages, KH, page, D] ANY (aliased to kp_out)
+    vp_hbm,  # ANY (aliased to vp_out)
+    # outputs
+    o_ref,  # [1, H, D] VMEM block
+    kp_out,  # ANY, aliased to kp_hbm (pass-through; scatter writes the
+    vp_out,  # token OUTSIDE the kernel)
+    # scratch
+    kbuf,  # [2, KH, page, D] VMEM double buffer
+    vbuf,  # [2, KH, page, D]
+    ksem,  # DMA (2,)
+    vsem,  # DMA (2,)
+    *,
+    scale: float,
+    page_size: int,
+    group: int,
+):
+    del kp_out, vp_out  # aliased pass-through, never written here
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    length = lengths_ref[b]
+    n_pages_total = kp_hbm.shape[1]
+    n_live = (length + page_size - 1) // page_size
+
+    def page_dma(slot, j, buf, sem, pool):
+        pg = jnp.clip(table_ref[b, j], 0, n_pages_total - 1)
+        return pltpu.make_async_copy(
+            pool.at[l, pg], buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_live > 0)
+    def _warmup():
+        page_dma(0, 0, kbuf, ksem, kp_hbm).start()
+        page_dma(0, 0, vbuf, vsem, vp_hbm).start()
+
+    q = q_ref[0]  # [H, D]
+    H, D = q.shape
+    KH = kbuf.shape[1]
+
+    def body(j, carry):
+        m, lsum, acc = carry
+        slot = j % 2
+        nxt = (j + 1) % 2
+
+        @pl.when(j + 1 < n_live)
+        def _prefetch():
+            page_dma(nxt, j + 1, kbuf, ksem, kp_hbm).start()
+            page_dma(nxt, j + 1, vbuf, vsem, vp_hbm).start()
+
+        page_dma(slot, j, kbuf, ksem, kp_hbm).wait()
+        page_dma(slot, j, vbuf, vsem, vp_hbm).wait()
+        k = kbuf[slot]
+        v = vbuf[slot]
+        # GQA: consecutive q heads share KV head h // group.
+        s = jax.lax.dot_general(
+            q.reshape(KH, group, D),
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(H, page_size) * scale
+        tok = j * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (H, page_size), 1
+        )
+        mask = tok < length
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        lsum = alpha * lsum + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.reshape(KH, group, page_size).astype(v.dtype),
+            v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(H, D)
+        acc = acc * alpha + pv
+        return m_new, lsum, acc
+
+    m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((H, 1), jnp.float32)
+    a0 = jnp.zeros((H, D), jnp.float32)
+    m, lsum, acc = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
+    l_safe = jnp.where(lsum == 0.0, 1.0, lsum)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def carry_paged_attention(
+    q: jnp.ndarray,  # [B, H, D]
+    k_pages: jnp.ndarray,  # [L, n_pages, KH, page, D] STACKED pool
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,  # [B, P_max] int32 LOCAL ids
+    lengths: jnp.ndarray,  # [B] tokens incl. the one just appended
+    layer: jnp.ndarray,  # scalar int32
+    *,
+    interpret: bool = False,
+):
+    """Decode attention against the STACKED page pool, aliased in place.
+
+    Returns (out [B, H, D], k_pages, v_pages) where the pools are the
+    same buffers passed in (``input_output_aliases`` pass-through). This
+    is what lets the decode loop carry the stacked pools with zero
+    copies: a pallas operand that is merely READ but live-out makes XLA
+    safety-copy the whole pool every layer (custom calls are assumed to
+    mutate operands), while a declared alias donates the buffer through
+    the call. Pages stream via a double-buffered manual DMA pipeline;
+    the token append itself is a cheap jnp scatter outside
+    (:func:`append_token_layer`).
+    """
+    B, H, D = q.shape
+    L, n_pages, KH, page_size, _ = k_pages.shape
+    assert H % KH == 0, (H, KH)
+    scale = D**-0.5
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _carry_kernel, scale=scale, page_size=page_size, group=H // KH
+    )
+    pool_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    row_block = pl.BlockSpec(
+        (1, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[row_block, pool_spec, pool_spec],
+        out_specs=[row_block, pool_spec, pool_spec],
+        scratch_shapes=[
+            pltpu.VMEM((2, KH, page_size, D), k_pages.dtype),
+            pltpu.VMEM((2, KH, page_size, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, k_pages, v_pages = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, D), q.dtype),
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ],
+        # Operand indices include the 3 scalar-prefetch args:
+        # q=3, k_pages=4, v_pages=5.
+        input_output_aliases={4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(page_table, lengths, layer, q, k_pages, v_pages)
+    return out, k_pages, v_pages
+
+
+def sharded_carry_paged_attention(
+    q, k_pages, v_pages, page_table, lengths, layer, mesh, *,
+    interpret: bool = False,
+):
+    """shard_map'd :func:`carry_paged_attention` (rows over data x fsdp,
+    heads over model, GLOBAL page ids rebased per shard)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+    pool = P(None, ROW_AXES, "model", None, None)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def local(q, kp, vp, table, lengths, layer):
+        local_table = table - _row_offset(kp.shape[1])
+        return carry_paged_attention(
+            q, kp, vp, local_table, lengths, layer[0], interpret=interpret
+        )
+
+    bh = P(ROW_AXES, "model", None)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(bh, pool, pool, row, row, P(None)),
+        out_specs=(bh, pool, pool),
+        check_rep=False,
+    )(q, k_pages, v_pages, page_table, lengths, layer)
+
+
+# ---------------------------------------------------------------------------
 # Multi-chip sharding (SURVEY §2.3 TP goal; 13B serving rides the model axis)
 # ---------------------------------------------------------------------------
 
@@ -290,16 +481,26 @@ def append_token_layer(
     consumed inputs, so threading pages through xs/ys re-copies the whole
     pool every decode step (see models/llama.py::llama_forward for the
     measured cost). Inactive rows are directed at the reserved scratch
-    page (last page) with their previous values, an in-place no-op.
+    page (last page), whose contents are garbage by convention.
+
+    The scatter is expressed on a flat [L*n_pages*KH*page, D] view with a
+    single advanced index: the natural ``at[l, pg, :, off, :]`` form puts
+    a slice BETWEEN advanced indices, which XLA lowers with a layout-
+    converting copy of the whole pool on each side (the round-2 13x
+    paged-decode regression, docs/PERFORMANCE.md).
     """
-    n_pages = pages_all.shape[1]
+    L, n_pages, KH, page, D = pages_all.shape
     safe_pages = jnp.where(active, page_ids, n_pages - 1)
-    vals = jnp.where(
-        active[:, None, None],
-        token_kv.astype(pages_all.dtype),
-        pages_all[l, safe_pages, :, offsets, :],
+    flat_idx = (
+        (l * n_pages + safe_pages)[:, None] * KH
+        + jnp.arange(KH, dtype=jnp.int32)[None, :]
+    ) * page + offsets[:, None]  # [B, KH]
+    out = (
+        pages_all.reshape(-1, D)
+        .at[flat_idx]
+        .set(token_kv.astype(pages_all.dtype))
     )
-    return pages_all.at[l, safe_pages, :, offsets, :].set(vals)
+    return out.reshape(pages_all.shape)
 
 
 def sharded_append_token_layer(
