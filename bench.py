@@ -326,6 +326,35 @@ def main():
     tok13_per_s = B13 * n_steps / (time.perf_counter() - t0)
     del cache13, params13
 
+    # --- secondary: stage-3 training step (vcoder_ds adapters over an
+    # int8-frozen 7B base — the reference's `--bits 8` training path,
+    # train/train.py:917-933). Trains seg+depth projectors + vcoder_lm_emb
+    # with remat + Pallas flash fwd/bwd; reports step time and tokens/s.
+    # Runs LAST: the backward's compile workspace + Adam state want a
+    # clean HBM (13B init right after it OOMs on fragmentation). ---
+    from vcoder_tpu.train.step import (
+        init_opt_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    qparams7 = init_quantized_params(jax.random.PRNGKey(5), cfg, bits=8)
+    B_tr = 2
+    batch_tr = _example_batch(cfg, batch_size=B_tr, with_labels=True)
+    optimizer = make_optimizer(1e-3, total_steps=100)
+    opt_state = init_opt_state(qparams7, optimizer, "vcoder_ds")
+    tstep = make_train_step(cfg, optimizer, stage="vcoder_ds", remat=True)
+    params_t, opt_state, metrics = tstep(qparams7, opt_state, batch_tr)
+    jax_block(metrics["loss"])
+    n_tr = 5
+    t0 = time.perf_counter()
+    for _ in range(n_tr):
+        params_t, opt_state, metrics = tstep(params_t, opt_state, batch_tr)
+    jax_block(metrics["loss"])
+    train_step_ms = (time.perf_counter() - t0) / n_tr * 1e3
+    T_tr = int(batch_tr["safe_ids"].shape[1])
+    train_tok_s = B_tr * T_tr / (train_step_ms / 1e3)
+
     print(
         f"secondary: vision_encode={img_per_s:.1f} img/s/chip  "
         f"decode={tok_per_s:.1f} tok/s (7B bf16, B=1)  "
@@ -334,6 +363,8 @@ def main():
         f"decode_int8={tok_per_s_int8:.1f} tok/s  "
         f"serve_int8_B8={serve_tok_per_s:.1f} tok/s aggregate  "
         f"paged_int8_B8={paged_tok_per_s:.1f} tok/s aggregate  "
+        f"train_vcoder_ds_7b={train_step_ms:.0f} ms/step "
+        f"({train_tok_s:.0f} tok/s, B={B_tr}, int8 base, remat)  "
         f"13b_ttft={ttft13_ms:.1f} ms p50 (int8)  "
         f"13b_decode_B2={tok13_per_s:.1f} tok/s aggregate (int8, int8 KV)",
         file=sys.stderr,
