@@ -83,6 +83,7 @@ class VCoderForCausalLM:
         tokenizer=None,
         stopping_criteria=None,
         seed: int = 0,
+        lookahead: int = 0,
         **kw,
     ) -> gen_mod.GenerationResult:
         if do_sample is False:
@@ -106,6 +107,8 @@ class VCoderForCausalLM:
             seed=seed,
             tokenizer=tokenizer,
             stopping_criteria=stopping_criteria,
+            lookahead=lookahead,
+            **kw,
         )
 
 

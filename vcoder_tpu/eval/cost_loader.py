@@ -167,6 +167,7 @@ def eval_model(args, task: str) -> str:
             do_sample=args.temperature > 0,
             tokenizer=tokenizer,
             pad_to=pad_to,
+            lookahead=getattr(args, "lookahead", 0),
         )
         with open(answers_file, "a") as f:
             for key, ques, text in zip(keys, quests, result.texts):
@@ -210,6 +211,11 @@ def main():
     parser.add_argument("--num_beams", type=int, default=1)
     parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--lookahead", type=int, default=0,
+        help="prompt-lookup speculative decoding window (greedy only; "
+        ">=2 enables, 0 disables — identical outputs either way)",
+    )
     parser.add_argument(
         "--max-samples", type=int, default=None,
         help="cap images per task (subset runs, e.g. the parity runbook)",

@@ -96,6 +96,7 @@ def eval_model(args):
             do_sample=args.temperature > 0,
             tokenizer=tokenizer,
             pad_to=pad_to,
+            lookahead=getattr(args, "lookahead", 0),
         )
         for line, text in zip(lines, result.texts):
             outputs = text.strip()
@@ -133,6 +134,11 @@ def main():
     parser.add_argument("--num_beams", type=int, default=1)
     parser.add_argument("--max-new-tokens", type=int, default=128)
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument(
+        "--lookahead", type=int, default=0,
+        help="prompt-lookup speculative decoding window (greedy only; "
+        ">=2 enables, 0 disables — identical outputs either way)",
+    )
     parser.add_argument(
         "--single-pred-prompt", action="store_true",
         help="append the single-word-answer instruction (MME/MMBench style)",

@@ -506,12 +506,50 @@ def generate(
     is_seg_zero: Optional[Sequence[bool]] = None,
     attn_impl: str = "auto",
     pad_to: Optional[int] = None,
+    lookahead: int = 0,
 ) -> GenerationResult:
     """High-level generate mirroring ``model.generate(input_ids, images=,
     segs=, depths=, ...)`` of the reference (llava_llama.py forward kwargs).
 
     input_ids contain sentinel tokens; the splice plan is built here.
+
+    ``lookahead >= 2`` enables prompt-lookup speculative decoding for
+    greedy (temperature 0) requests without stop criteria — identical
+    output tokens from fewer decoder dispatches (vcoder_tpu.speculative).
     """
+    if (
+        lookahead >= 2
+        and temperature <= 0.0
+        and stopping_criteria is None
+    ):
+        from vcoder_tpu.speculative import generate_speculative
+
+        seqs, num_gen, _ = generate_speculative(
+            params,
+            cfg,
+            input_ids,
+            images,
+            segs,
+            depths,
+            max_new_tokens=max_new_tokens,
+            lookahead=lookahead,
+            is_depth_zero=is_depth_zero,
+            is_seg_zero=is_seg_zero,
+            attn_impl=attn_impl,
+            pad_to=pad_to,
+        )
+        texts = None
+        if tokenizer is not None:
+            texts = [
+                tokenizer.decode(
+                    seqs[b, : int(num_gen[b])].tolist(),
+                    skip_special_tokens=True,
+                ).strip()
+                for b in range(seqs.shape[0])
+            ]
+        return GenerationResult(
+            sequences=seqs, num_generated=num_gen, texts=texts
+        )
     plan = build_splice_plan(
         input_ids,
         num_patches=cfg.vision.num_patches,
