@@ -169,6 +169,34 @@ def test_spec_budget_cap():
     assert num_gen[0] <= 5
 
 
+def test_spec_streaming_callback_matches_result():
+    cfg, params = _tiny("llava", seed=5)
+    got = []
+    seqs, num_gen, _ = generate_speculative(
+        params, cfg, [[cfg.text.bos_token_id, 5, 9, 4]],
+        max_new_tokens=16, attn_impl="xla",
+        on_tokens=lambda b, toks: got.extend(toks),
+    )
+    n = int(num_gen[0])
+    np.testing.assert_array_equal(np.asarray(got[:n]), seqs[0, :n])
+    assert len(got) >= n
+
+
+def test_spec_streaming_abort():
+    cfg, params = _tiny("llava", seed=5)
+    got = []
+
+    def cb(b, toks):
+        got.extend(toks)
+        return len(got) < 3  # stop after 3 streamed tokens
+
+    seqs, num_gen, iters = generate_speculative(
+        params, cfg, [[cfg.text.bos_token_id, 5, 9, 4]],
+        max_new_tokens=32, attn_impl="xla", on_tokens=cb,
+    )
+    assert 3 <= len(got) <= 4  # aborts within the current poll window
+
+
 def test_spec_accepts_on_cyclic_output():
     # Tiny random models greedily decode into short cycles; once the
     # history contains one full period, prompt-lookup drafts the cycle

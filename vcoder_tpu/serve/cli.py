@@ -139,6 +139,44 @@ def main(args):
             else conv.sep2
         )
 
+        if args.temperature <= 0.0 and getattr(args, "lookahead", 0) >= 2:
+            # Greedy streaming via prompt-lookup speculative decoding:
+            # several tokens can arrive per decoder dispatch.
+            from vcoder_tpu.speculative import generate_speculative
+
+            acc: list = []
+            state = {"prev": ""}
+
+            def _stream(b, toks):
+                acc.extend(toks)
+                text = tokenizer.decode(acc, skip_special_tokens=True)
+                if stop_str and text.endswith(stop_str):
+                    text = text[: -len(stop_str)]
+                    print(text[len(state["prev"]) :], end="", flush=True)
+                    state["prev"] = text
+                    return False
+                print(text[len(state["prev"]) :], end="", flush=True)
+                state["prev"] = text
+                return True
+
+            generate_speculative(
+                model.params,
+                model.config,
+                [list(input_ids)],
+                image_tensor,
+                seg_image_tensor,
+                depth_image_tensor,
+                max_new_tokens=args.max_new_tokens,
+                lookahead=args.lookahead,
+                on_tokens=_stream,
+            )
+            outputs = state["prev"]
+            print()
+            conv.messages[-1][-1] = outputs.strip()
+            if args.debug:
+                print("\n", {"prompt": prompt, "outputs": outputs}, "\n")
+            continue
+
         prev = ""
         outputs = ""
         for text in gen_mod.generate_stream(
@@ -176,6 +214,11 @@ if __name__ == "__main__":
     parser.add_argument("--conv-mode", type=str, default=None)
     parser.add_argument("--temperature", type=float, default=0.2)
     parser.add_argument("--max-new-tokens", type=int, default=512)
+    parser.add_argument(
+        "--lookahead", type=int, default=8,
+        help="speculative decoding window for greedy (--temperature 0) "
+        "streaming; <2 disables",
+    )
     parser.add_argument("--load-8bit", action="store_true")
     parser.add_argument("--load-4bit", action="store_true")
     parser.add_argument("--debug", action="store_true")

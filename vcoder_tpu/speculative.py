@@ -241,7 +241,8 @@ def generate_speculative(
     between ``done`` polls (each poll is a device->host sync; overshoot
     steps on finished rows emit nothing). ``on_tokens(b, tokens)`` —
     optional streaming callback invoked with each row's newly accepted
-    token ids after every poll window.
+    token ids after every poll window; returning ``False`` aborts
+    generation (stop-string support for streaming UIs).
     """
     from vcoder_tpu.generation import _prefill_jit
     from vcoder_tpu.multimodal import build_splice_plan, validate_features
@@ -304,18 +305,20 @@ def generate_speculative(
     done = done | (cursor >= max_new_tokens)
 
     streamed = np.zeros((B,), np.int64)  # tokens already sent to on_tokens
+    aborted = False
     if on_tokens is not None:
         for b in range(B):
             t0 = int(np.asarray(first_tok)[b])
             if t0 != eos:
-                on_tokens(b, [t0])
+                if on_tokens(b, [t0]) is False:
+                    aborted = True
                 streamed[b] = 1
 
     iters = 0
     # One upper bound on dispatches (every live step emits >= 1 token);
     # the done poll exits far earlier in practice.
     max_iters = max_new_tokens
-    while iters < max_iters:
+    while iters < max_iters and not aborted:
         for _ in range(poll_every):
             tok, cache, done, history, hist_len, cursor, out_buf = (
                 _spec_step_jit(
@@ -342,7 +345,9 @@ def generate_speculative(
             for b in range(B):
                 n = int(cur_h[b])
                 while streamed[b] < n and buf_h[b, streamed[b]] != eos:
-                    on_tokens(b, [int(buf_h[b, streamed[b]])])
+                    if on_tokens(b, [int(buf_h[b, streamed[b]])]) is False:
+                        aborted = True
+                        break
                     streamed[b] += 1
         if done_h.all():
             break
