@@ -272,11 +272,70 @@ def main():
     tokp, k_pages, v_pages = paged_decode_n(qparams, tokp, k_pages, v_pages)
     jax_block(tokp)
     paged_tok_per_s = Bp * n_steps / (time.perf_counter() - t0)
+    del k_pages, v_pages, tokp
+
+    # --- secondary: int8-PAGE paged decode, B=16 (kv_quant pools halve
+    # the cache bytes each step streams, so more rows amortize the int8
+    # weight pass; page_size 128 per the Mosaic scale-DMA tiling) ---
+    page_q = 128
+    Bq = 16
+    pq_max = (T + page_q) // page_q
+    nq_pages = Bq * pq_max + 2
+    kq_pages = jnp.zeros((L, nq_pages, KH, page_q, HD), jnp.int8)
+    vq_pages = jnp.zeros((L, nq_pages, KH, page_q, HD), jnp.int8)
+    kq_scale = jnp.zeros((L, nq_pages, KH, page_q), jnp.float32)
+    vq_scale = jnp.zeros((L, nq_pages, KH, page_q), jnp.float32)
+    tableq = jnp.asarray(
+        np.arange(1, Bq * pq_max + 1).reshape(Bq, pq_max).astype(np.int32)
+    )
+    lengths0q = jnp.full((Bq,), T, jnp.int32)
+    activeq = jnp.ones((Bq,), bool)
+
+    @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+    def paged_q8_decode_n(params, tok, k_pages, v_pages, k_scale, v_scale):
+        def body(i, carry):
+            tok, k_pages, v_pages, k_scale, v_scale = carry
+            embeds = jnp.take(
+                params["lm"]["embed_tokens"], tok[:, None], axis=0
+            )
+            hidden, k_pages, v_pages, k_scale, v_scale = (
+                llama_paged_decode(
+                    params["lm"], cfg.text, embeds, lengths0q + i,
+                    k_pages, v_pages, tableq, lengths0q + i, activeq,
+                    k_scale=k_scale, v_scale=v_scale,
+                )
+            )
+            logits = hidden[:, 0] @ (
+                params["lm"]["lm_head"].q.astype(jnp.bfloat16)
+                if hasattr(params["lm"]["lm_head"], "q")
+                else params["lm"]["lm_head"]
+            )
+            return (
+                jnp.argmax(logits, -1).astype(jnp.int32),
+                k_pages, v_pages, k_scale, v_scale,
+            )
+
+        return jax.lax.fori_loop(
+            0, n_steps, body, (tok, k_pages, v_pages, k_scale, v_scale)
+        )
+
+    tokq = jnp.zeros((Bq,), jnp.int32)
+    tokq, kq_pages, vq_pages, kq_scale, vq_scale = paged_q8_decode_n(
+        qparams, tokq, kq_pages, vq_pages, kq_scale, vq_scale
+    )
+    jax_block(tokq)
+    t0 = time.perf_counter()
+    tokq, kq_pages, vq_pages, kq_scale, vq_scale = paged_q8_decode_n(
+        qparams, tokq, kq_pages, vq_pages, kq_scale, vq_scale
+    )
+    jax_block(tokq)
+    paged_q8_tok_per_s = Bq * n_steps / (time.perf_counter() - t0)
+    del kq_pages, vq_pages, kq_scale, vq_scale, tokq
 
     # --- secondary: 13B int8 weights + int8 KV (BASELINE.json asks for
     # TTFT + decode at 7B AND 13B; 13B bf16 is 26 GB and can only exist
     # quantized on one 16 GB chip — commit cea4bc3 feasibility) ---
-    del qparams, k_pages, v_pages, tokp
+    del qparams
     cfg13 = VCoderConfig.standard("vcoder_ds_llava", "13b")
     from vcoder_tpu.quant import init_quantized_params
 
@@ -363,6 +422,8 @@ def main():
         f"decode_int8={tok_per_s_int8:.1f} tok/s  "
         f"serve_int8_B8={serve_tok_per_s:.1f} tok/s aggregate  "
         f"paged_int8_B8={paged_tok_per_s:.1f} tok/s aggregate  "
+        f"paged_q8kv_B16={paged_q8_tok_per_s:.1f} tok/s aggregate "
+        f"(int8 pages, page=128)  "
         f"train_vcoder_ds_7b={train_step_ms:.0f} ms/step "
         f"({train_tok_s:.0f} tok/s, B={B_tr}, int8 base, remat)  "
         f"13b_ttft={ttft13_ms:.1f} ms p50 (int8)  "

@@ -333,3 +333,131 @@ def test_paged_engine_multichip_matches_single(setup):
     assert all(
         len(f) == multi.pages_per_shard - 2 for f in multi.free_pages
     )
+
+
+# ---- int8 page pools (kv_quant) ------------------------------------------
+
+
+def test_carry_paged_attention_q8_matches_dequant_oracle():
+    """int8 kernel (per-token-per-head scales, VMEM dequant) must match the
+    f32 carry kernel run on the manually dequantized pools."""
+    from vcoder_tpu.models.llama import _kv_quantize
+    from vcoder_tpu.ops.paged_attention import (
+        carry_paged_attention,
+        carry_paged_attention_q8,
+    )
+
+    L, n_pages, KH, page, D, B, H = 3, 10, 4, 8, 16, 3, 8
+    rng = np.random.default_rng(7)
+    kp_f = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    vp_f = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    # Quantize per token vector: [.., page, D] -> int8 + [.., page] scales.
+    kq, ks = _kv_quantize(kp_f)
+    vq, vs = _kv_quantize(vp_f)
+    ks, vs = ks[..., 0], vs[..., 0]
+    deq_k = kq.astype(jnp.float32) * ks[..., None]
+    deq_v = vq.astype(jnp.float32) * vs[..., None]
+
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    lengths = jnp.asarray([2 * page + 3, 0, page - 1], jnp.int32)
+    table = np.zeros((B, 3), np.int32)
+    for b in range(B):
+        table[b] = 1 + b * 3 + np.arange(3)
+    table = jnp.asarray(table)
+
+    for l in range(L):
+        ref, *_ = carry_paged_attention(
+            q, deq_k, deq_v, table, lengths, jnp.int32(l), interpret=True
+        )
+        got, kp2, vp2, ks2, vs2 = carry_paged_attention_q8(
+            q, kq, vq, ks, vs, table, lengths, jnp.int32(l), interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+        # pass-through pools unchanged
+        np.testing.assert_array_equal(np.asarray(kp2), np.asarray(kq))
+        np.testing.assert_array_equal(np.asarray(ks2), np.asarray(ks))
+
+
+def test_append_scale_layer_writes_only_the_token():
+    from vcoder_tpu.ops.paged_attention import append_scale_layer
+
+    L, n_pages, KH, page, B = 2, 6, 4, 8, 2
+    rng = np.random.default_rng(8)
+    pool = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page)), jnp.float32
+    )
+    s = jnp.asarray(rng.standard_normal((B, KH, 1)), jnp.float32)
+    page_ids = jnp.asarray([1, 3], jnp.int32)
+    offsets = jnp.asarray([2, 7], jnp.int32)
+    active = jnp.asarray([True, False])
+
+    out = np.asarray(
+        append_scale_layer(pool, jnp.int32(1), s, page_ids, offsets, active)
+    )
+    ref = np.asarray(pool).copy()
+    ref[1, 1, :, 2] = np.asarray(s)[0, :, 0]
+    ref[1, n_pages - 1, :, 7] = np.asarray(s)[1, :, 0]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_paged_engine_q8_matches_slot_kv_quant(setup):
+    """kv_quant paged engine must decode token-for-token like the slot
+    engine with its int8 KV cache — identical quantization scheme, so the
+    only numeric difference is the online-softmax accumulation order."""
+    cfg, params, px = setup
+    slot = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla",
+        kv_quant=True,
+    )
+    paged = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla", kv_quant=True,
+    )
+    assert paged.k_pages.dtype == jnp.int8
+    outs = {}
+    for name, eng in (("slot", slot), ("paged", paged)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, max_new_tokens=5
+            )
+            for i in range(3)
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["paged"] == outs["slot"]
+
+
+def test_paged_engine_q8_multichip_matches_single(setup):
+    """kv_quant engine over the 8-device mesh (sharded int8 pools + scale
+    pools) must match the single-device kv_quant engine."""
+    from vcoder_tpu.parallel.mesh import make_mesh
+    from vcoder_tpu.parallel.sharding import shard_params
+
+    cfg, params, px = setup
+    mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, model=2)
+
+    single = PagedServingEngine(
+        cfg, params, max_batch=4, max_len=768, page_size=64,
+        attn_impl="xla", kv_quant=True,
+    )
+    multi = PagedServingEngine(
+        cfg, shard_params(params, mesh), max_batch=4, max_len=768,
+        page_size=64, attn_impl="xla", mesh=mesh, kv_quant=True,
+    )
+    outs = {}
+    for name, eng in (("single", single), ("multi", multi)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, max_new_tokens=4
+            )
+            for i in range(4)
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["multi"] == outs["single"]

@@ -353,25 +353,33 @@ def llama_paged_decode(
     cfg: TextConfig,
     inputs_embeds: jnp.ndarray,  # [B, 1, D]
     positions: jnp.ndarray,  # [B] absolute position of the new token
-    k_pages: jnp.ndarray,  # [L, n_pages, KH, page, HD]
+    k_pages: jnp.ndarray,  # [L, n_pages, KH, page, HD] (int8 if quantized)
     v_pages: jnp.ndarray,
     page_table: jnp.ndarray,  # [B, P_max] int32
     lengths: jnp.ndarray,  # [B] tokens BEFORE this step
     active: jnp.ndarray,  # [B] bool
     *,
+    k_scale: Optional[jnp.ndarray] = None,  # [L, n_pages, KH, page] f32
+    v_scale: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ):
     """One decode step over paged KV storage (vLLM-style).
 
     Appends the step's K/V into each row's current page, then attends with
     the Pallas paged kernel (ops/paged_attention.py). Returns
-    (hidden [B, 1, D], new_k_pages, new_v_pages).
+    (hidden [B, 1, D], new_k_pages, new_v_pages) — plus the updated scale
+    pools when ``k_scale``/``v_scale`` are given (int8 pages with
+    per-token-per-head scales, the dense cache's ``quantized`` scheme).
     """
     from vcoder_tpu.ops.paged_attention import (
+        append_scale_layer,
         append_token_layer,
         carry_paged_attention,
+        carry_paged_attention_q8,
+        sharded_append_scale_layer,
         sharded_append_token_layer,
         sharded_carry_paged_attention,
+        sharded_carry_paged_attention_q8,
     )
     from vcoder_tpu.parallel.mesh import current_mesh
 
@@ -380,6 +388,7 @@ def llama_paged_decode(
     H, KH, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     page = k_pages.shape[3]
+    quantized = k_scale is not None
 
     mesh = current_mesh()
     if mesh is not None and mesh.size > 1:
@@ -389,13 +398,26 @@ def llama_paged_decode(
         _append = lambda pk, l, kv, rp, off, act: sharded_append_token_layer(
             pk, l, kv, rp, off, act, mesh
         )
+        _append_s = lambda ps, l, s, rp, off, act: sharded_append_scale_layer(
+            ps, l, s, rp, off, act, mesh
+        )
         _attend = lambda q, pk, pv, ln, l: sharded_carry_paged_attention(
             q, pk, pv, page_table, ln, l, mesh, interpret=interpret
         )
+        _attend_q8 = (
+            lambda q, pk, pv, ks, vs, ln, l: sharded_carry_paged_attention_q8(
+                q, pk, pv, ks, vs, page_table, ln, l, mesh,
+                interpret=interpret,
+            )
+        )
     else:
         _append = append_token_layer
+        _append_s = append_scale_layer
         _attend = lambda q, pk, pv, ln, l: carry_paged_attention(
             q, pk, pv, page_table, ln, l, interpret=interpret
+        )
+        _attend_q8 = lambda q, pk, pv, ks, vs, ln, l: carry_paged_attention_q8(
+            q, pk, pv, ks, vs, page_table, ln, l, interpret=interpret
         )
 
     cos, sin = rope_cos_sin(positions[:, None], HD, cfg.rope_theta)
@@ -414,7 +436,7 @@ def llama_paged_decode(
     def layer(carry, per_layer):
         lp = per_layer["p"]
         l = per_layer["idx"]
-        x, pk_all, pv_all = carry
+        x, pools = carry
         residual = x
         h = rms_norm(x, lp["input_layernorm"], eps)
         q = qm(h, lp["q_proj"]).reshape(B, 1, H, HD)
@@ -422,11 +444,26 @@ def llama_paged_decode(
         v = qm(h, lp["v_proj"]).reshape(B, 1, KH, HD)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        pk_all = _append(pk_all, l, k[:, 0], row_pages, offsets, active)
-        pv_all = _append(pv_all, l, v[:, 0], row_pages, offsets, active)
-        attn, pk_all, pv_all = _attend(
-            q[:, 0], pk_all, pv_all, attn_lengths, l
-        )  # [B, H, HD]
+        if quantized:
+            pk_all, pv_all, ks_all, vs_all = pools
+            kq, ks = _kv_quantize(k[:, 0])  # [B, KH, HD], [B, KH, 1]
+            vq, vs = _kv_quantize(v[:, 0])
+            pk_all = _append(pk_all, l, kq, row_pages, offsets, active)
+            pv_all = _append(pv_all, l, vq, row_pages, offsets, active)
+            ks_all = _append_s(ks_all, l, ks, row_pages, offsets, active)
+            vs_all = _append_s(vs_all, l, vs, row_pages, offsets, active)
+            attn, pk_all, pv_all, ks_all, vs_all = _attend_q8(
+                q[:, 0], pk_all, pv_all, ks_all, vs_all, attn_lengths, l
+            )  # [B, H, HD]
+            pools = (pk_all, pv_all, ks_all, vs_all)
+        else:
+            pk_all, pv_all = pools
+            pk_all = _append(pk_all, l, k[:, 0], row_pages, offsets, active)
+            pv_all = _append(pv_all, l, v[:, 0], row_pages, offsets, active)
+            attn, pk_all, pv_all = _attend(
+                q[:, 0], pk_all, pv_all, attn_lengths, l
+            )  # [B, H, HD]
+            pools = (pk_all, pv_all)
         x = residual + qm(attn.reshape(B, 1, H * HD), lp["o_proj"])
         residual = x
         h = rms_norm(x, lp["post_attention_layernorm"], eps)
@@ -434,18 +471,21 @@ def llama_paged_decode(
             jax.nn.silu(qm(h, lp["gate_proj"])) * qm(h, lp["up_proj"]),
             lp["down_proj"],
         )
-        return (residual + mlp, pk_all, pv_all), None
+        return (residual + mlp, pools), None
 
     L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
     per_layer = {
         "p": params["layers"],
         "idx": jnp.arange(L, dtype=jnp.int32),
     }
-    (x, new_k, new_v), _ = jax.lax.scan(
-        layer, (inputs_embeds, k_pages, v_pages), per_layer
+    pools0 = (
+        (k_pages, v_pages, k_scale, v_scale)
+        if quantized
+        else (k_pages, v_pages)
     )
+    (x, pools), _ = jax.lax.scan(layer, (inputs_embeds, pools0), per_layer)
     x = rms_norm(x, params["norm"], eps)
-    return x, new_k, new_v
+    return (x,) + pools
 
 
 def lm_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:

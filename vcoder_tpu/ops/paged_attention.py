@@ -341,6 +341,222 @@ def carry_paged_attention(
     return out, k_pages, v_pages
 
 
+def _carry_kernel_q8(
+    # scalar prefetch
+    table_ref,  # [B, P_max] int32 LOCAL page ids
+    lengths_ref,  # [B] int32 tokens per row INCLUDING this step's
+    layer_ref,  # [1] int32 layer into the stacked pool
+    # inputs
+    q_ref,  # [1, H, D] VMEM block (row b)
+    kp_hbm,  # [L, n_pages, KH, page, D] int8 ANY (aliased)
+    vp_hbm,  # int8 ANY (aliased)
+    ks_hbm,  # [L, n_pages, KH, page] f32 per-token-vector scales (aliased)
+    vs_hbm,  # f32 (aliased)
+    # outputs
+    o_ref,  # [1, H, D] VMEM block
+    kp_out,  # aliased pass-throughs, never written here
+    vp_out,
+    ks_out,
+    vs_out,
+    # scratch
+    kbuf,  # [2, KH, page, D] int8 VMEM double buffer
+    vbuf,
+    ksbuf,  # [2, KH, page] f32
+    vsbuf,
+    ksem,  # DMA (2,) x4
+    vsem,
+    kssem,
+    vssem,
+    *,
+    scale: float,
+    page_size: int,
+    group: int,
+):
+    """int8 variant of :func:`_carry_kernel`: pages hold int8 KV with
+    per-token-per-head f32 scales (the dense path's ``_kv_quantize``
+    scheme, models/llama.py); dequantization happens in VMEM right after
+    the DMA, so HBM traffic per page is halved."""
+    del kp_out, vp_out, ks_out, vs_out
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    length = lengths_ref[b]
+    n_pages_total = kp_hbm.shape[1]
+    n_live = (length + page_size - 1) // page_size
+
+    streams = (
+        (kbuf, ksem, kp_hbm),
+        (vbuf, vsem, vp_hbm),
+        (ksbuf, kssem, ks_hbm),
+        (vsbuf, vssem, vs_hbm),
+    )
+
+    def page_dma(slot, j, buf, sem, pool):
+        pg = jnp.clip(table_ref[b, j], 0, n_pages_total - 1)
+        return pltpu.make_async_copy(
+            pool.at[l, pg], buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_live > 0)
+    def _warmup():
+        for buf, sem, pool in streams:
+            page_dma(0, 0, buf, sem, pool).start()
+
+    q = q_ref[0]  # [H, D]
+    H, D = q.shape
+    KH = kbuf.shape[1]
+    dt = q.dtype
+
+    def body(j, carry):
+        m, lsum, acc = carry
+        slot = j % 2
+        nxt = (j + 1) % 2
+
+        @pl.when(j + 1 < n_live)
+        def _prefetch():
+            for buf, sem, pool in streams:
+                page_dma(nxt, j + 1, buf, sem, pool).start()
+
+        for buf, sem, pool in streams:
+            page_dma(slot, j, buf, sem, pool).wait()
+        # Dequantize in the activation dtype — identical math to the
+        # dense int8-KV read (models/llama.py::llama_forward).
+        k = kbuf[slot].astype(dt) * ksbuf[slot][:, :, None].astype(dt)
+        v = vbuf[slot].astype(dt) * vsbuf[slot][:, :, None].astype(dt)
+        s = jax.lax.dot_general(
+            q.reshape(KH, group, D),
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(H, page_size) * scale
+        tok = j * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (H, page_size), 1
+        )
+        mask = tok < length
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        lsum = alpha * lsum + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.reshape(KH, group, page_size).astype(v.dtype),
+            v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(H, D)
+        acc = acc * alpha + pv
+        return m_new, lsum, acc
+
+    m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((H, 1), jnp.float32)
+    a0 = jnp.zeros((H, D), jnp.float32)
+    m, lsum, acc = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
+    l_safe = jnp.where(lsum == 0.0, 1.0, lsum)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def carry_paged_attention_q8(
+    q: jnp.ndarray,  # [B, H, D]
+    k_pages: jnp.ndarray,  # [L, n_pages, KH, page, D] int8 STACKED pool
+    v_pages: jnp.ndarray,
+    k_scale: jnp.ndarray,  # [L, n_pages, KH, page] f32
+    v_scale: jnp.ndarray,
+    page_table: jnp.ndarray,  # [B, P_max] int32 LOCAL ids
+    lengths: jnp.ndarray,  # [B] tokens incl. the one just appended
+    layer: jnp.ndarray,  # scalar int32
+    *,
+    interpret: bool = False,
+):
+    """int8-page variant of :func:`carry_paged_attention`: all four pools
+    are aliased pass-throughs, pages stream at half the HBM bytes and
+    dequantize in VMEM. Returns (out, k_pages, v_pages, k_scale, v_scale)."""
+    B, H, D = q.shape
+    L, n_pages, KH, page_size, _ = k_pages.shape
+    assert H % KH == 0, (H, KH)
+    assert k_pages.dtype == jnp.int8, k_pages.dtype
+    # Mosaic DMA tiling: the f32 scale-page slice [KH, page] needs its
+    # lane (last) dim 128-aligned — use page_size 128 with int8 pools
+    # (the engine does; interpret mode has no such constraint).
+    assert interpret or page_size % 128 == 0, (
+        f"int8 paged KV requires page_size % 128 == 0 on TPU, got"
+        f" {page_size}"
+    )
+    scale = D**-0.5
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    kernel = functools.partial(
+        _carry_kernel_q8, scale=scale, page_size=page_size, group=H // KH
+    )
+    pool_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    row_block = pl.BlockSpec(
+        (1, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[row_block] + [pool_spec] * 4,
+        out_specs=[row_block] + [pool_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, KH, page_size, D), jnp.int8),
+            pltpu.VMEM((2, KH, page_size, D), jnp.int8),
+            pltpu.VMEM((2, KH, page_size), jnp.float32),
+            pltpu.VMEM((2, KH, page_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, k_pages, v_pages, k_scale, v_scale = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, D), q.dtype),
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ],
+        # Operand indices include the 3 scalar-prefetch args:
+        # q=3, k_pages=4, v_pages=5, k_scale=6, v_scale=7.
+        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(page_table, lengths, layer, q, k_pages, v_pages, k_scale, v_scale)
+    return out, k_pages, v_pages, k_scale, v_scale
+
+
+def sharded_carry_paged_attention_q8(
+    q, k_pages, v_pages, k_scale, v_scale, page_table, lengths, layer,
+    mesh, *, interpret: bool = False,
+):
+    """shard_map'd :func:`carry_paged_attention_q8` (rows over data x
+    fsdp, heads over model, GLOBAL page ids rebased per shard)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+    pool = P(None, ROW_AXES, "model", None, None)
+    spool = P(None, ROW_AXES, "model", None)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def local(q, kp, vp, ks, vs, table, lengths, layer):
+        local_table = table - _row_offset(kp.shape[1])
+        return carry_paged_attention_q8(
+            q, kp, vp, ks, vs, local_table, lengths, layer[0],
+            interpret=interpret,
+        )
+
+    bh = P(ROW_AXES, "model", None)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(bh, pool, pool, spool, spool, row, row, P(None)),
+        out_specs=(bh, pool, pool, spool, spool),
+        check_rep=False,
+    )(q, k_pages, v_pages, k_scale, v_scale, page_table, lengths, layer)
+
+
 def sharded_carry_paged_attention(
     q, k_pages, v_pages, page_table, lengths, layer, mesh, *,
     interpret: bool = False,
@@ -501,6 +717,61 @@ def append_token_layer(
         .set(token_kv.astype(pages_all.dtype))
     )
     return out.reshape(pages_all.shape)
+
+
+def append_scale_layer(
+    scales_all: jnp.ndarray,  # [L, n_pages, KH, page] f32 (loop carry)
+    l: jnp.ndarray,
+    token_scale: jnp.ndarray,  # [B, KH] or [B, KH, 1]
+    page_ids: jnp.ndarray,
+    offsets: jnp.ndarray,
+    active: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-token quantization-scale scatter into the stacked scale pool
+    (same flat single-advanced-index form as :func:`append_token_layer`)."""
+    L, n_pages, KH, page = scales_all.shape
+    out = append_token_layer(
+        scales_all.reshape(L, n_pages, KH, page, 1),
+        l,
+        token_scale.reshape(-1, KH, 1),
+        page_ids,
+        offsets,
+        active,
+    )
+    return out.reshape(scales_all.shape)
+
+
+def sharded_append_scale_layer(
+    scales_all, l, token_scale, page_ids, offsets, active, mesh
+):
+    """shard_map'd :func:`append_scale_layer` (global ids rebased)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+    spool = P(None, ROW_AXES, "model", None)
+
+    def local(scales_all, l, token_scale, page_ids, offsets, active):
+        local_ids = page_ids - _row_offset(scales_all.shape[1])
+        local_ids = jnp.clip(local_ids, 0, scales_all.shape[1] - 1)
+        return append_scale_layer(
+            scales_all, l, token_scale, local_ids, offsets, active
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spool, P(), P(ROW_AXES, "model"), row, row, row),
+        out_specs=spool,
+        check_rep=False,
+    )(
+        scales_all,
+        l,
+        token_scale.reshape(token_scale.shape[0], -1),
+        page_ids,
+        offsets,
+        active,
+    )
 
 
 def sharded_append_token_layer(

@@ -97,9 +97,50 @@ def _scatter_pages(
 
 
 @partial(
+    jax.jit, static_argnames=("n_pages_used",), donate_argnums=(0, 1, 2, 3)
+)
+def _scatter_pages_q8(
+    k_pages,  # [L, n_pages, KH, page, HD] int8
+    v_pages,
+    k_scale,  # [L, n_pages, KH, page] f32
+    v_scale,
+    tmp_k,  # [L, 1, T, KH, HD]
+    tmp_v,
+    page_ids,  # [n_pages_used] int32
+    *,
+    n_pages_used: int,
+):
+    """int8-pool variant of :func:`_scatter_pages`: quantize the prompt's
+    KV per token vector (the dense cache's ``_kv_quantize`` scheme) and
+    scatter values + scales."""
+    from vcoder_tpu.models.llama import _kv_quantize
+
+    page = k_pages.shape[3]
+    T_used = n_pages_used * page
+
+    def one_layer(pages, kv_l):
+        return write_prompt_pages(pages, kv_l, page_ids)
+
+    def one_layer_scale(scales, s_l):
+        # s_l: [T, KH] -> pages [n_pages, KH, page] via the D=1 path.
+        L_pages = write_prompt_pages(
+            scales[..., None], s_l[..., None], page_ids
+        )
+        return L_pages[..., 0]
+
+    kq, ks = _kv_quantize(tmp_k[:, 0, :T_used])  # [L, T, KH, HD], [L,T,KH,1]
+    vq, vs = _kv_quantize(tmp_v[:, 0, :T_used])
+    k_pages = jax.vmap(one_layer)(k_pages, kq)
+    v_pages = jax.vmap(one_layer)(v_pages, vq)
+    k_scale = jax.vmap(one_layer_scale)(k_scale, ks[..., 0])
+    v_scale = jax.vmap(one_layer_scale)(v_scale, vs[..., 0])
+    return k_pages, v_pages, k_scale, v_scale
+
+
+@partial(
     jax.jit,
     static_argnames=("cfg", "sharded"),
-    donate_argnums=(3, 4),
+    donate_argnums=(3, 4, 5, 6),
 )
 def _paged_decode_all(
     params,
@@ -107,6 +148,8 @@ def _paged_decode_all(
     tokens,  # [B]
     k_pages,
     v_pages,
+    k_scale,  # [L, n_pages, KH, page] f32 or dummy () when unquantized
+    v_scale,
     page_table,  # [B, P_max]
     lengths,  # [B]
     active,  # [B] bool
@@ -114,8 +157,9 @@ def _paged_decode_all(
     rng,
     sharded: bool = False,  # jit-cache key: trace reads the ambient mesh
 ):
+    quantized = k_scale is not None and k_scale.ndim == 4
     embeds = llama_mod.embed_tokens(params["lm"], tokens[:, None])
-    hidden, k_pages, v_pages = llama_mod.llama_paged_decode(
+    out = llama_mod.llama_paged_decode(
         params["lm"],
         cfg.text,
         embeds,
@@ -125,9 +169,15 @@ def _paged_decode_all(
         page_table,
         lengths,
         active,
+        k_scale=k_scale if quantized else None,
+        v_scale=v_scale if quantized else None,
         # The paged kernel has no XLA twin; interpret off-TPU.
         interpret=jax.default_backend() != "tpu",
     )
+    if quantized:
+        hidden, k_pages, v_pages, k_scale, v_scale = out
+    else:
+        hidden, k_pages, v_pages = out
     logits = llama_mod.lm_head(params["lm"], hidden)[:, 0]
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temp_safe = jnp.maximum(temperature, 1e-6)
@@ -135,7 +185,7 @@ def _paged_decode_all(
         rng, logits / temp_safe[:, None], axis=-1
     ).astype(jnp.int32)
     nxt = jnp.where(temperature > 0.0, sampled, greedy)
-    return nxt, k_pages, v_pages
+    return nxt, k_pages, v_pages, k_scale, v_scale
 
 
 class PagedServingEngine(ServingEngine):
@@ -153,10 +203,19 @@ class PagedServingEngine(ServingEngine):
         attn_impl: str = "auto",
         seed: int = 0,
         mesh=None,
+        kv_quant: bool = False,
     ):
         assert max_len % page_size == 0, (
             f"max_len {max_len} must be a multiple of page_size {page_size}"
         )
+        if kv_quant and jax.default_backend() == "tpu":
+            # Mosaic tiling constraint on the f32 scale-page DMA: int8
+            # pools need 128-token pages on hardware (interpret mode —
+            # CPU tests — takes any size).
+            assert page_size % 128 == 0, (
+                f"kv_quant on TPU requires page_size % 128 == 0,"
+                f" got {page_size}"
+            )
         self.page_size = page_size
         # Multi-chip: rows (and their page-pool slices) shard over
         # data x fsdp, heads over model (ops/paged_attention.py sharded
@@ -201,13 +260,31 @@ class PagedServingEngine(ServingEngine):
         assert self.pages_per_shard >= 3, "need sentinel + scratch + 1 page"
         L = cfg.text.num_layers
         KH, HD = cfg.text.num_kv_heads, cfg.text.head_dim
-        dtype = params["lm"]["embed_tokens"].dtype
+        # int8 pages (per-token-per-head scales) halve the page-pool HBM —
+        # the serving-capacity limit at 13B — and halve the cache bytes
+        # each decode step streams.
+        self.kv_quant = kv_quant
+        dtype = (
+            jnp.int8 if kv_quant else params["lm"]["embed_tokens"].dtype
+        )
         self.k_pages = jnp.zeros(
             (L, total_pages, KH, page_size, HD), dtype
         )
         self.v_pages = jnp.zeros(
             (L, total_pages, KH, page_size, HD), dtype
         )
+        if kv_quant:
+            self.k_scale = jnp.zeros(
+                (L, total_pages, KH, page_size), jnp.float32
+            )
+            self.v_scale = jnp.zeros(
+                (L, total_pages, KH, page_size), jnp.float32
+            )
+        else:
+            # Dummy leaves keep one _paged_decode_all signature; ndim != 4
+            # selects the unquantized trace.
+            self.k_scale = jnp.zeros((0,), jnp.float32)
+            self.v_scale = jnp.zeros((0,), jnp.float32)
         if self.mesh is not None:
             from jax.sharding import NamedSharding
             from jax.sharding import PartitionSpec as P
@@ -217,6 +294,12 @@ class PagedServingEngine(ServingEngine):
             )
             self.k_pages = jax.device_put(self.k_pages, pool_sharding)
             self.v_pages = jax.device_put(self.v_pages, pool_sharding)
+            if kv_quant:
+                spool = NamedSharding(
+                    self.mesh, P(None, ("data", "fsdp"), "model", None)
+                )
+                self.k_scale = jax.device_put(self.k_scale, spool)
+                self.v_scale = jax.device_put(self.v_scale, spool)
         # Within each shard's slice, the local-first page is the sentinel
         # for unused table entries and the local-last page is the scratch
         # target for inactive-row writes. Neither is ever allocated.
@@ -308,14 +391,31 @@ class PagedServingEngine(ServingEngine):
                 has_depths=req.depths is not None,
                 attn_impl=self.attn_impl,
             )
-            self.k_pages, self.v_pages = _scatter_pages(
-                self.k_pages,
-                self.v_pages,
-                tmp_k,
-                tmp_v,
-                jnp.asarray(ids, jnp.int32),
-                n_pages_used=n_used,
-            )
+            if self.kv_quant:
+                (
+                    self.k_pages,
+                    self.v_pages,
+                    self.k_scale,
+                    self.v_scale,
+                ) = _scatter_pages_q8(
+                    self.k_pages,
+                    self.v_pages,
+                    self.k_scale,
+                    self.v_scale,
+                    tmp_k,
+                    tmp_v,
+                    jnp.asarray(ids, jnp.int32),
+                    n_pages_used=n_used,
+                )
+            else:
+                self.k_pages, self.v_pages = _scatter_pages(
+                    self.k_pages,
+                    self.v_pages,
+                    tmp_k,
+                    tmp_v,
+                    jnp.asarray(ids, jnp.int32),
+                    n_pages_used=n_used,
+                )
         self.row_pages[slot] = ids
         self.lengths[slot] = req.prompt_len
         self.table[slot, :] = self._shard_of(slot) * self.pages_per_shard
@@ -360,12 +460,20 @@ class PagedServingEngine(ServingEngine):
 
         self.rng, sub = jax.random.split(self.rng)
         with self.timer.measure("decode_step"), self._mesh_ctx():
-            nxt, self.k_pages, self.v_pages = _paged_decode_all(
+            (
+                nxt,
+                self.k_pages,
+                self.v_pages,
+                self.k_scale,
+                self.v_scale,
+            ) = _paged_decode_all(
                 self.params,
                 self.cfg,
                 self.tokens,
                 self.k_pages,
                 self.v_pages,
+                self.k_scale,
+                self.v_scale,
                 jnp.asarray(self.table),
                 jnp.asarray(self.lengths),
                 jnp.asarray(self.active),
