@@ -197,6 +197,25 @@ def test_spec_streaming_abort():
     assert 3 <= len(got) <= 4  # aborts within the current poll window
 
 
+def test_generate_stream_speculative_matches_plain():
+    from tests.conftest import FakeTokenizer
+    from vcoder_tpu.generation import generate_stream
+
+    cfg, params = _tiny("llava", seed=5)
+    tok = FakeTokenizer()
+    ids = [[cfg.text.bos_token_id, 5, 9, 4]]
+    outs = {}
+    for name, k in (("plain", 0), ("spec", 8)):
+        texts = list(
+            generate_stream(
+                params, cfg, ids, tokenizer=tok, max_new_tokens=12,
+                temperature=0.0, attn_impl="xla", lookahead=k,
+            )
+        )
+        outs[name] = texts[-1] if texts else ""
+    assert outs["spec"] == outs["plain"]
+
+
 def test_spec_accepts_on_cyclic_output():
     # Tiny random models greedily decode into short cycles; once the
     # history contains one full period, prompt-lookup drafts the cycle

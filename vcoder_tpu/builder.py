@@ -108,7 +108,14 @@ class VCoderForCausalLM:
             tokenizer=tokenizer,
             stopping_criteria=stopping_criteria,
             lookahead=lookahead,
-            **kw,
+            # Forward only kwargs generate() knows; unknown HF-generate
+            # kwargs (use_cache, num_beams, top_k, ...) are accepted and
+            # ignored like the HF API does.
+            **{
+                k: v
+                for k, v in kw.items()
+                if k in ("pad_to", "attn_impl", "is_depth_zero", "is_seg_zero")
+            },
         )
 
 

@@ -298,13 +298,35 @@ def generate_stream(
     is_depth_zero: Optional[Sequence[bool]] = None,
     is_seg_zero: Optional[Sequence[bool]] = None,
     attn_impl: str = "auto",
+    lookahead: int = 0,
 ):
     """Token-streaming generation (batch 1): yields accumulated text after
     each decode step. Replaces the reference's HF ``TextStreamer`` /
     ``TextIteratorStreamer`` paths (reference: serve/cli.py:121-132,
     serve/chat.py:133-159). The fused :func:`generate` loop stays on
     device; this host loop trades ~1 dispatch/token for streaming UX.
+
+    ``lookahead >= 2`` with greedy (temperature 0) streams through
+    prompt-lookup speculative decoding instead — several tokens can
+    arrive per decoder dispatch (vcoder_tpu.speculative).
     """
+    if lookahead >= 2 and temperature <= 0.0:
+        yield from _generate_stream_speculative(
+            params,
+            cfg,
+            input_ids,
+            images,
+            segs,
+            depths,
+            tokenizer=tokenizer,
+            max_new_tokens=max_new_tokens,
+            lookahead=lookahead,
+            stop_str=stop_str,
+            is_depth_zero=is_depth_zero,
+            is_seg_zero=is_seg_zero,
+            attn_impl=attn_impl,
+        )
+        return
     plan = build_splice_plan(
         input_ids,
         num_patches=cfg.vision.num_patches,
@@ -367,6 +389,77 @@ def generate_stream(
             top_p=float(top_p),
             attn_impl=attn_impl,
         )
+
+
+def _generate_stream_speculative(
+    params,
+    cfg: VCoderConfig,
+    input_ids,
+    images,
+    segs,
+    depths,
+    *,
+    tokenizer,
+    max_new_tokens: int,
+    lookahead: int,
+    stop_str: Optional[str],
+    is_depth_zero,
+    is_seg_zero,
+    attn_impl: str,
+):
+    """Streaming wrapper over :func:`speculative.generate_speculative`:
+    the engine pushes accepted tokens through a queue from a worker
+    thread (the HF ``TextIteratorStreamer`` inversion), the generator
+    yields accumulated text and aborts generation at the stop string."""
+    import queue
+    import threading
+
+    from vcoder_tpu.speculative import generate_speculative
+
+    q: "queue.Queue" = queue.Queue()
+    abort = threading.Event()
+
+    def cb(b, toks):
+        q.put(list(toks))
+        return not abort.is_set()
+
+    def worker():
+        try:
+            generate_speculative(
+                params,
+                cfg,
+                input_ids,
+                images,
+                segs,
+                depths,
+                max_new_tokens=max_new_tokens,
+                lookahead=lookahead,
+                is_depth_zero=is_depth_zero,
+                is_seg_zero=is_seg_zero,
+                attn_impl=attn_impl,
+                on_tokens=cb,
+            )
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    generated: list = []
+    try:
+        while True:
+            toks = q.get()
+            if toks is None:
+                break
+            generated.extend(toks)
+            text = tokenizer.decode(generated, skip_special_tokens=True)
+            if stop_str and text.endswith(stop_str):
+                abort.set()
+                yield text[: -len(stop_str)]
+                break
+            yield text
+    finally:
+        abort.set()
+        t.join()
 
 
 def _criteria_fires(stopping_criteria, prompt_row, gen_ids) -> bool:
@@ -524,7 +617,7 @@ def generate(
     ):
         from vcoder_tpu.speculative import generate_speculative
 
-        seqs, num_gen, _ = generate_speculative(
+        seqs, _, _ = generate_speculative(
             params,
             cfg,
             input_ids,
@@ -538,17 +631,11 @@ def generate(
             attn_impl=attn_impl,
             pad_to=pad_to,
         )
-        texts = None
-        if tokenizer is not None:
-            texts = [
-                tokenizer.decode(
-                    seqs[b, : int(num_gen[b])].tolist(),
-                    skip_special_tokens=True,
-                ).strip()
-                for b in range(seqs.shape[0])
-            ]
-        return GenerationResult(
-            sequences=seqs, num_generated=num_gen, texts=texts
+        # Fall through to the common num_gen/texts tail below: speculative
+        # seqs are eos-filled past the generated region, so the shared
+        # first-eos scan recovers identical num_generated.
+        return _finalize_result(
+            seqs, max_new_tokens, cfg, tokenizer, stopping_criteria
         )
     plan = build_splice_plan(
         input_ids,
@@ -612,8 +699,15 @@ def generate(
             has_depths=depths is not None,
         )
         seqs = np.asarray(out_buf)
-    eos = cfg.text.eos_token_id
+    return _finalize_result(seqs, steps, cfg, tokenizer, stopping_criteria)
 
+
+def _finalize_result(
+    seqs: np.ndarray, steps, cfg, tokenizer, stopping_criteria
+) -> GenerationResult:
+    """Shared generate() tail: per-row first-EOS scan -> num_generated,
+    decode + stop-keyword strip -> texts."""
+    eos = cfg.text.eos_token_id
     num_gen = np.zeros((seqs.shape[0],), np.int64)
     texts = [] if tokenizer is not None else None
     for b in range(seqs.shape[0]):

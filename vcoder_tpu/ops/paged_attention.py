@@ -341,6 +341,11 @@ def carry_paged_attention(
     return out, k_pages, v_pages
 
 
+# NOTE: _carry_kernel_q8 mirrors _carry_kernel's DMA pipeline and
+# online-softmax body with two extra scale streams + VMEM dequant; the
+# kernel-ref signatures differ enough (4 pools, 4 sem groups) that a
+# shared builder obscures more than it saves. Fixes to either kernel's
+# masking/pipeline logic must be applied to BOTH.
 def _carry_kernel_q8(
     # scalar prefetch
     table_ref,  # [B, P_max] int32 LOCAL page ids

@@ -139,46 +139,10 @@ def main(args):
             else conv.sep2
         )
 
-        if args.temperature <= 0.0 and getattr(args, "lookahead", 0) >= 2:
-            # Greedy streaming via prompt-lookup speculative decoding:
-            # several tokens can arrive per decoder dispatch.
-            from vcoder_tpu.speculative import generate_speculative
-
-            acc: list = []
-            state = {"prev": ""}
-
-            def _stream(b, toks):
-                acc.extend(toks)
-                text = tokenizer.decode(acc, skip_special_tokens=True)
-                if stop_str and text.endswith(stop_str):
-                    text = text[: -len(stop_str)]
-                    print(text[len(state["prev"]) :], end="", flush=True)
-                    state["prev"] = text
-                    return False
-                print(text[len(state["prev"]) :], end="", flush=True)
-                state["prev"] = text
-                return True
-
-            generate_speculative(
-                model.params,
-                model.config,
-                [list(input_ids)],
-                image_tensor,
-                seg_image_tensor,
-                depth_image_tensor,
-                max_new_tokens=args.max_new_tokens,
-                lookahead=args.lookahead,
-                on_tokens=_stream,
-            )
-            outputs = state["prev"]
-            print()
-            conv.messages[-1][-1] = outputs.strip()
-            if args.debug:
-                print("\n", {"prompt": prompt, "outputs": outputs}, "\n")
-            continue
-
         prev = ""
         outputs = ""
+        # With --temperature 0, generate_stream routes through prompt-
+        # lookup speculative decoding (several tokens per dispatch).
         for text in gen_mod.generate_stream(
             model.params,
             model.config,
@@ -190,6 +154,7 @@ def main(args):
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature,
             stop_str=stop_str,
+            lookahead=getattr(args, "lookahead", 0),
         ):
             print(text[len(prev):], end="", flush=True)
             prev = text
