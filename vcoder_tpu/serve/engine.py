@@ -179,6 +179,92 @@ def _decode_all(
     return nxt, cache
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "eos_id", "attn_impl"),
+    donate_argnums=(4,),
+)
+def _spec_decode_all(
+    params,
+    cfg: VCoderConfig,
+    tokens,  # [B_max] int32 current token per slot (KV not yet written)
+    draft,  # [B_max, k-1] int32 prompt-lookup drafts
+    cache: KVCache,
+    active,  # [B_max] bool
+    budget,  # [B_max] int32 tokens each row may still emit (>= 1 if active)
+    temperature,  # [B_max] f32
+    rng,
+    *,
+    eos_id: int,
+    attn_impl: str,
+):
+    """One speculative verify step for every slot (the engine analogue of
+    speculative._spec_step_jit): feed [token, draft...] through the
+    decoder, accept the greedy-matching prefix per row, trim the cache to
+    the accepted length. Rows with temperature > 0 sample their next
+    token from the first position and always emit exactly 1 (speculation
+    is a greedy-only optimization; their drafts are masked off).
+
+    Returns (outs [B, k], emit [B], nxt [B], cache).
+    """
+    B = tokens.shape[0]
+    k = 1 + draft.shape[1]
+    rows = jnp.arange(B, dtype=jnp.int32)
+    jpos = jnp.arange(k, dtype=jnp.int32)[None, :]
+    positions0 = cache.length
+    ids = jnp.concatenate([tokens[:, None], draft], axis=1)  # [B, k]
+    embeds = model_mod.llama_mod.embed_tokens(params["lm"], ids)
+    positions = positions0[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    hidden, cache = model_mod.llama_mod.llama_forward(
+        params["lm"],
+        cfg.text,
+        embeds,
+        attn_mask=jnp.broadcast_to(active[:, None], (B, k)),
+        position_ids=positions,
+        cache=cache,
+        write_offset=positions0,
+        attn_impl=attn_impl,
+    )
+    logits = model_mod.llama_mod.lm_head(params["lm"], hidden)  # [B, k, V]
+    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # Sampling rows: draw from the first position, force emit == 1.
+    temp_safe = jnp.maximum(temperature, 1e-6)
+    sampled = jax.random.categorical(
+        rng, logits[:, 0] / temp_safe[:, None], axis=-1
+    ).astype(jnp.int32)
+    is_sampling = temperature > 0.0
+    outs = pred.at[:, 0].set(
+        jnp.where(is_sampling, sampled, pred[:, 0])
+    )
+
+    match = (outs[:, :-1] == draft) & ~is_sampling[:, None]
+    accepted = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+    emit = accepted + 1
+    is_eos = (outs == eos_id) & (jpos < emit[:, None])
+    has_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.min(jnp.where(is_eos, jpos, k), axis=1)
+    emit = jnp.where(has_eos, jnp.minimum(emit, first_eos + 1), emit)
+    emit = jnp.where(active, jnp.minimum(emit, budget), 0)
+
+    # Trim to the accepted length (prefix-contiguous contract: kv_mask is
+    # exactly pos < length; rejected slots are overwritten next step).
+    S = cache.k.shape[2]
+    new_len = positions0 + emit
+    pos_s = jnp.arange(S, dtype=jnp.int32)[None, :]
+    cache = KVCache(
+        k=cache.k,
+        v=cache.v,
+        kv_mask=pos_s < new_len[:, None],
+        length=new_len,
+        k_scale=cache.k_scale,
+        v_scale=cache.v_scale,
+    )
+    last = jnp.clip(emit - 1, 0, k - 1)
+    nxt = jnp.where(emit > 0, outs[rows, last], tokens)
+    return outs, emit, nxt, cache
+
+
 class ServingEngine:
     def __init__(
         self,
@@ -191,6 +277,7 @@ class ServingEngine:
         seed: int = 0,
         kv_quant: bool = False,
         mesh=None,
+        speculative: int = 0,
     ):
         self.cfg = cfg
         self.params = params
@@ -198,6 +285,13 @@ class ServingEngine:
         self.max_len = max_len
         self.attn_impl = attn_impl
         self.kv_quant = kv_quant
+        # Speculative continuous batching: each decode dispatch verifies
+        # `speculative - 1` prompt-lookup drafts per greedy slot and emits
+        # the accepted prefix (1..k tokens). Sampling slots emit exactly 1.
+        # The slot cache gets k tokens of slack so the admission/cap rules
+        # stay identical to the plain engine.
+        self.spec_k = speculative if speculative >= 2 else 0
+        self.cache_len = max_len + self.spec_k
         # Multi-chip serving: slot rows shard over data x fsdp, attention
         # heads over model; the dense graphs partition via GSPMD from the
         # cache/param NamedShardings (paged engine handles its own pools).
@@ -256,6 +350,8 @@ class ServingEngine:
         events = self._admit()
         if not any(self.active):
             return events
+        if self.spec_k:
+            return events + self._step_speculative()
 
         self.rng, sub = jax.random.split(self.rng)
         with self.timer.measure("decode_step"), self._mesh_ctx():
@@ -289,6 +385,70 @@ class ServingEngine:
                 self.slots[slot] = None
         return events
 
+    def _step_speculative(self) -> List[Tuple[int, int, bool]]:
+        """One speculative verify dispatch for all slots: up to
+        ``spec_k`` tokens per greedy row, 1 per sampling row."""
+        from vcoder_tpu.speculative import draft_from_ids
+
+        draft = draft_from_ids(
+            [
+                (req.input_ids + req.generated) if req is not None else None
+                for req in self.slots
+            ],
+            self.spec_k - 1,
+        )
+        budget = np.zeros((self.max_batch,), np.int32)
+        for slot, req in enumerate(self.slots):
+            if req is None or not self.active[slot]:
+                continue
+            budget[slot] = max(
+                1,
+                min(
+                    req.max_new_tokens - len(req.generated),
+                    (self.max_len - 1)
+                    - (req.prompt_len + len(req.generated)),
+                ),
+            )
+        self.rng, sub = jax.random.split(self.rng)
+        with self.timer.measure("decode_step"), self._mesh_ctx():
+            outs, emit, nxt, self.cache = _spec_decode_all(
+                self.params,
+                self.cfg,
+                self.tokens,
+                jnp.asarray(draft),
+                self.cache,
+                jnp.asarray(self.active),
+                jnp.asarray(budget),
+                jnp.asarray(self.temps),
+                sub,
+                eos_id=self.eos_id,
+                attn_impl=self.attn_impl,
+            )
+            self.tokens = nxt
+            outs_host = np.asarray(outs)
+            emit_host = np.asarray(emit)
+
+        events: List[Tuple[int, int, bool]] = []
+        for slot, req in enumerate(self.slots):
+            if req is None or not self.active[slot]:
+                continue
+            for tok in outs_host[slot, : int(emit_host[slot])]:
+                tok = int(tok)
+                req.generated.append(tok)
+                done = (
+                    tok == self.eos_id
+                    or len(req.generated) >= req.max_new_tokens
+                    or req.prompt_len + len(req.generated)
+                    >= self.max_len - 1
+                )
+                events.append((req.request_id, tok, done))
+                if done:
+                    req.done = True
+                    self.active[slot] = False
+                    self.slots[slot] = None
+                    break
+        return events
+
     def run(self) -> Dict[int, List[int]]:
         """Drain the queue; returns {request_id: generated ids (EOS
         stripped)}."""
@@ -313,7 +473,7 @@ class ServingEngine:
         cache = KVCache.create(
             self.cfg.text,
             self.max_batch,
-            self.max_len,
+            self.cache_len,  # max_len + spec-lookahead slack
             self.params["lm"]["embed_tokens"].dtype,
             quantized=self.kv_quant,
         )

@@ -105,6 +105,61 @@ def ngram_draft(
     return jnp.where(ok, draft, 0).astype(jnp.int32)
 
 
+def _best_match_np(row: np.ndarray, length: int, n: int) -> int:
+    """Host twin of :func:`_best_match` (numpy, one row)."""
+    if length < n + 1:
+        return -1
+    key = row[length - n : length]
+    W = length - n
+    if W <= 0:
+        return -1
+    m = np.ones(W, bool)
+    for j in range(n):
+        m &= row[j : j + W] == key[j]
+    idx = np.nonzero(m)[0]
+    return int(idx[-1]) if idx.size else -1
+
+
+def ngram_draft_np(
+    history: np.ndarray,  # [B, H] int32
+    hist_len: np.ndarray,  # [B]
+    num_draft: int,
+) -> np.ndarray:
+    """Host twin of :func:`ngram_draft` for callers that already sync to
+    the host every step (the serving engines fetch each step's tokens for
+    event emission, so host drafting adds no extra device round trip)."""
+    B = history.shape[0]
+    out = np.zeros((B, num_draft), np.int32)
+    for b in range(B):
+        L = int(hist_len[b])
+        s = _best_match_np(history[b], L, 3)
+        n = 3
+        if s < 0:
+            s = _best_match_np(history[b], L, 2)
+            n = 2
+        if s < 0:
+            continue
+        cont = history[b, s + n : min(s + n + num_draft, L)]
+        out[b, : cont.size] = cont
+    return out
+
+
+def draft_from_ids(
+    rows: Sequence[Optional[Sequence[int]]], num_draft: int
+) -> np.ndarray:
+    """Per-row prompt-lookup drafts from python token lists (None rows ->
+    zero drafts). Convenience for the serving engines' slot state."""
+    B = len(rows)
+    out = np.zeros((B, num_draft), np.int32)
+    for b, ids in enumerate(rows):
+        if not ids:
+            continue
+        row = np.asarray(ids, np.int32)
+        out[b] = ngram_draft_np(row[None, :], np.asarray([len(ids)]),
+                                num_draft)[0]
+    return out
+
+
 def build_history(
     input_ids: Sequence[Sequence[int]], max_new_tokens: int, lookahead: int
 ) -> Tuple[np.ndarray, np.ndarray]:
