@@ -236,3 +236,35 @@ def test_spec_engine_mixed_temperature(setup):
     # token values may differ).
     assert outs["spec"][0] == outs["plain"][0]
     assert outs["spec"][1] >= 1
+
+
+def test_spec_engine_multichip_matches_single(setup):
+    """Speculative engine under the 8-device mesh: the multi-token verify
+    partitions via GSPMD exactly like the plain decode, so sharded spec
+    serving must match single-device spec serving token-for-token."""
+    from vcoder_tpu.parallel.mesh import make_mesh
+    from vcoder_tpu.parallel.sharding import shard_params
+
+    cfg, params, px = setup
+    mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, model=2)
+
+    single = ServingEngine(
+        cfg, params, max_batch=4, max_len=768, attn_impl="xla",
+        speculative=4,
+    )
+    multi = ServingEngine(
+        cfg, shard_params(params, mesh), max_batch=4, max_len=768,
+        attn_impl="xla", mesh=mesh, speculative=4,
+    )
+    outs = {}
+    for name, eng in (("single", single), ("multi", multi)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, depths=px,
+                max_new_tokens=5,
+            )
+            for i in range(5)
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["multi"] == outs["single"]
