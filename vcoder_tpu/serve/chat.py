@@ -186,6 +186,9 @@ class Chat:
             temperature=temperature,
             top_p=top_p,
             stop_str=stop_str,
+            # Greedy requests stream through prompt-lookup speculative
+            # decoding (several tokens per decoder dispatch).
+            lookahead=int(params.get("lookahead", 8)),
         ):
             generated_text = ori_prompt + text
             if stop_str and generated_text.endswith(stop_str):
