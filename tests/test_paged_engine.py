@@ -461,3 +461,192 @@ def test_paged_engine_q8_multichip_matches_single(setup):
         res = eng.run()
         outs[name] = [res[r] for r in rids]
     assert outs["multi"] == outs["single"]
+
+
+# ---- speculative paged serving -------------------------------------------
+
+
+def _gather_dense_kv(pages, table, lengths, S):
+    """Assemble contiguous [B, S, KH, D] KV from paged storage."""
+    n_pages, KH, page, D = pages.shape
+    B = table.shape[0]
+    out = np.zeros((B, S, KH, D), np.float32)
+    pg = np.asarray(pages)
+    for b in range(B):
+        for t in range(int(lengths[b])):
+            pid = int(table[b, t // page])
+            out[b, t] = pg[pid, :, t % page]
+    return out
+
+
+def test_carry_multi_matches_xla_oracle():
+    """Multi-query verify kernel vs dense attention on the gathered
+    pages: window token t at position length-k+t attends causally."""
+    from vcoder_tpu.ops.attention import xla_attention
+    from vcoder_tpu.ops.paged_attention import carry_paged_attention_multi
+
+    L, n_pages, KH, page, D, B, H, k = 2, 12, 4, 8, 16, 3, 8, 4
+    rng = np.random.default_rng(11)
+    kp = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    vp = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    q = jnp.asarray(rng.standard_normal((B, k, H, D)), jnp.float32)
+    # lengths INCLUDE the k window tokens (already appended).
+    lengths = np.asarray([2 * page + 3, k, 3 * page], np.int32)
+    table = np.zeros((B, 4), np.int32)
+    for b in range(B):
+        table[b] = 1 + b * 3 + np.arange(4) % 3  # enough live entries
+        used = -(-int(lengths[b]) // page)
+        table[b, :used] = 1 + b * 3 + np.arange(used)
+    S = int(lengths.max())
+
+    for l in range(L):
+        got, kp2, _ = carry_paged_attention_multi(
+            q, kp, vp, jnp.asarray(table), jnp.asarray(lengths),
+            jnp.int32(l), window=k, interpret=True,
+        )
+        kd = _gather_dense_kv(kp[l], table, lengths, S)
+        vd = _gather_dense_kv(vp[l], table, lengths, S)
+        q_pos = (lengths[:, None] - k) + np.arange(k)[None, :]
+        ref = xla_attention(
+            q,
+            jnp.asarray(kd),
+            jnp.asarray(vd),
+            causal=True,
+            q_positions=jnp.asarray(q_pos),
+            kv_mask=jnp.asarray(
+                np.arange(S)[None, :] < lengths[:, None]
+            ),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(kp2), np.asarray(kp))
+
+
+def test_carry_multi_q8_matches_dequant(setup):
+    from vcoder_tpu.models.llama import _kv_quantize
+    from vcoder_tpu.ops.paged_attention import (
+        carry_paged_attention_multi,
+        carry_paged_attention_multi_q8,
+    )
+
+    L, n_pages, KH, page, D, B, H, k = 2, 10, 4, 8, 16, 2, 8, 4
+    rng = np.random.default_rng(12)
+    kp_f = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    vp_f = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    kq, ks = _kv_quantize(kp_f)
+    vq, vs = _kv_quantize(vp_f)
+    ks, vs = ks[..., 0], vs[..., 0]
+    deq_k = kq.astype(jnp.float32) * ks[..., None]
+    deq_v = vq.astype(jnp.float32) * vs[..., None]
+    q = jnp.asarray(rng.standard_normal((B, k, H, D)), jnp.float32)
+    lengths = jnp.asarray([2 * page + 3, page + k], jnp.int32)
+    table = np.zeros((B, 4), np.int32)
+    for b in range(B):
+        table[b] = 1 + b * 4 + np.arange(4)
+    table = jnp.asarray(table)
+
+    ref, *_ = carry_paged_attention_multi(
+        q, deq_k, deq_v, table, lengths, jnp.int32(1), window=k,
+        interpret=True,
+    )
+    got, *_ = carry_paged_attention_multi_q8(
+        q, kq, vq, ks, vs, table, lengths, jnp.int32(1), window=k,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_append_tokens_layer_straddles_pages():
+    from vcoder_tpu.ops.paged_attention import append_tokens_layer
+
+    L, n_pages, KH, page, D, B, k = 2, 6, 4, 8, 16, 2, 4
+    rng = np.random.default_rng(13)
+    pool = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    toks = jnp.asarray(rng.standard_normal((B, k, KH, D)), jnp.float32)
+    # Row 0 straddles the page-1 -> page-2 boundary (positions 6..9).
+    positions = jnp.asarray([[6, 7, 8, 9], [0, 1, 2, 3]], jnp.int32)
+    table = jnp.asarray([[1, 2, 0], [3, 0, 0]], jnp.int32)
+    active = jnp.asarray([True, False])
+
+    out = np.asarray(
+        append_tokens_layer(pool, jnp.int32(0), toks, positions, table,
+                            active)
+    )
+    ref = np.asarray(pool).copy()
+    t = np.asarray(toks)
+    ref[0, 1, :, 6] = t[0, 0]
+    ref[0, 1, :, 7] = t[0, 1]
+    ref[0, 2, :, 0] = t[0, 2]
+    ref[0, 2, :, 1] = t[0, 3]
+    # Inactive row 1 -> scratch page (last), positions 0..3.
+    for j in range(4):
+        ref[0, n_pages - 1, :, j] = t[1, j]
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_spec_engine_matches_plain(setup, quant):
+    """speculative=k paged engine must match the plain paged engine
+    token-for-token for greedy requests (both kv_quant settings)."""
+    cfg, params, px = setup
+    plain = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla", kv_quant=quant,
+    )
+    spec = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla", kv_quant=quant, speculative=5,
+    )
+    outs = {}
+    for name, eng in (("plain", plain), ("spec", spec)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, max_new_tokens=7
+            )
+            for i in range(3)
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["spec"] == outs["plain"]
+    # Pages fully recycled.
+    assert all(not p for p in spec.row_pages)
+
+
+def test_paged_spec_engine_multichip_matches_single(setup):
+    from vcoder_tpu.parallel.mesh import make_mesh
+    from vcoder_tpu.parallel.sharding import shard_params
+
+    cfg, params, px = setup
+    mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, model=2)
+    single = PagedServingEngine(
+        cfg, params, max_batch=4, max_len=768, page_size=64,
+        attn_impl="xla", speculative=4,
+    )
+    multi = PagedServingEngine(
+        cfg, shard_params(params, mesh), max_batch=4, max_len=768,
+        page_size=64, attn_impl="xla", mesh=mesh, speculative=4,
+    )
+    outs = {}
+    for name, eng in (("single", single), ("multi", multi)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, max_new_tokens=4
+            )
+            for i in range(4)
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["multi"] == outs["single"]

@@ -488,6 +488,142 @@ def llama_paged_decode(
     return (x,) + pools
 
 
+def llama_paged_verify(
+    params: dict,
+    cfg: TextConfig,
+    inputs_embeds: jnp.ndarray,  # [B, k, D] window (current tok + drafts)
+    positions: jnp.ndarray,  # [B, k] absolute positions of the window
+    k_pages: jnp.ndarray,  # [L, n_pages, KH, page, HD] (int8 if quantized)
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,  # [B, P_max] int32
+    lengths: jnp.ndarray,  # [B] tokens BEFORE this window
+    active: jnp.ndarray,  # [B] bool
+    *,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+):
+    """Speculative-verify forward over paged KV: append the window's k
+    tokens (which may straddle a page boundary — the engine pre-allocates
+    the pages) and attend each token causally up to its own position via
+    the multi-query carry kernels. The engine trims ``lengths`` after
+    acceptance; rejected slots are simply overwritten by the next window.
+
+    Returns (hidden [B, k, D], k_pages, v_pages[, k_scale, v_scale]).
+    """
+    from vcoder_tpu.ops.paged_attention import (
+        append_token_scales_layer,
+        append_tokens_layer,
+        carry_paged_attention_multi,
+        carry_paged_attention_multi_q8,
+        sharded_append_token_scales_layer,
+        sharded_append_tokens_layer,
+        sharded_carry_paged_attention_multi,
+        sharded_carry_paged_attention_multi_q8,
+    )
+    from vcoder_tpu.parallel.mesh import current_mesh
+
+    B, k, D = inputs_embeds.shape
+    H, KH, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    eps = cfg.rms_norm_eps
+    quantized = k_scale is not None
+
+    mesh = current_mesh()
+    if mesh is not None and mesh.size > 1:
+        _append = lambda pk, l, kv: sharded_append_tokens_layer(
+            pk, l, kv, positions, page_table, active, mesh
+        )
+        _append_s = lambda ps, l, s: sharded_append_token_scales_layer(
+            ps, l, s, positions, page_table, active, mesh
+        )
+        _attend = lambda q, pk, pv, ln, l: (
+            sharded_carry_paged_attention_multi(
+                q, pk, pv, page_table, ln, l, mesh, window=k,
+                interpret=interpret,
+            )
+        )
+        _attend_q8 = lambda q, pk, pv, ks, vs, ln, l: (
+            sharded_carry_paged_attention_multi_q8(
+                q, pk, pv, ks, vs, page_table, ln, l, mesh, window=k,
+                interpret=interpret,
+            )
+        )
+    else:
+        _append = lambda pk, l, kv: append_tokens_layer(
+            pk, l, kv, positions, page_table, active
+        )
+        _append_s = lambda ps, l, s: append_token_scales_layer(
+            ps, l, s, positions, page_table, active
+        )
+        _attend = lambda q, pk, pv, ln, l: carry_paged_attention_multi(
+            q, pk, pv, page_table, ln, l, window=k, interpret=interpret
+        )
+        _attend_q8 = lambda q, pk, pv, ks, vs, ln, l: (
+            carry_paged_attention_multi_q8(
+                q, pk, pv, ks, vs, page_table, ln, l, window=k,
+                interpret=interpret,
+            )
+        )
+
+    cos, sin = rope_cos_sin(positions, HD, cfg.rope_theta)
+    # Kernel lengths INCLUDE the window for active rows.
+    attn_lengths = lengths + k * active.astype(jnp.int32)
+
+    def layer(carry, per_layer):
+        lp = per_layer["p"]
+        l = per_layer["idx"]
+        x, pools = carry
+        residual = x
+        h = rms_norm(x, lp["input_layernorm"], eps)
+        q = qm(h, lp["q_proj"]).reshape(B, k, H, HD)
+        kk = qm(h, lp["k_proj"]).reshape(B, k, KH, HD)
+        v = qm(h, lp["v_proj"]).reshape(B, k, KH, HD)
+        q = apply_rope(q, cos, sin)
+        kk = apply_rope(kk, cos, sin)
+        if quantized:
+            pk_all, pv_all, ks_all, vs_all = pools
+            kq, ks = _kv_quantize(kk)  # [B, k, KH, HD], [B, k, KH, 1]
+            vq, vs = _kv_quantize(v)
+            pk_all = _append(pk_all, l, kq)
+            pv_all = _append(pv_all, l, vq)
+            ks_all = _append_s(ks_all, l, ks)
+            vs_all = _append_s(vs_all, l, vs)
+            attn, pk_all, pv_all, ks_all, vs_all = _attend_q8(
+                q, pk_all, pv_all, ks_all, vs_all, attn_lengths, l
+            )  # [B, k, H, HD]
+            pools = (pk_all, pv_all, ks_all, vs_all)
+        else:
+            pk_all, pv_all = pools
+            pk_all = _append(pk_all, l, kk)
+            pv_all = _append(pv_all, l, v)
+            attn, pk_all, pv_all = _attend(
+                q, pk_all, pv_all, attn_lengths, l
+            )
+            pools = (pk_all, pv_all)
+        x = residual + qm(attn.reshape(B, k, H * HD), lp["o_proj"])
+        residual = x
+        h = rms_norm(x, lp["post_attention_layernorm"], eps)
+        mlp = qm(
+            jax.nn.silu(qm(h, lp["gate_proj"])) * qm(h, lp["up_proj"]),
+            lp["down_proj"],
+        )
+        return (residual + mlp, pools), None
+
+    L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]
+    per_layer = {
+        "p": params["layers"],
+        "idx": jnp.arange(L, dtype=jnp.int32),
+    }
+    pools0 = (
+        (k_pages, v_pages, k_scale, v_scale)
+        if quantized
+        else (k_pages, v_pages)
+    )
+    (x, pools), _ = jax.lax.scan(layer, (inputs_embeds, pools0), per_layer)
+    x = rms_norm(x, params["norm"], eps)
+    return (x,) + pools
+
+
 def lm_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """[B, T, D] -> [B, T, V] logits (f32 for stable softmax/sampling)."""
     return jnp.asarray(qm(hidden, params["lm_head"]), dtype=jnp.float32)

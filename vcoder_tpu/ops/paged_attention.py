@@ -341,6 +341,550 @@ def carry_paged_attention(
     return out, k_pages, v_pages
 
 
+def _carry_kernel_multi(
+    # scalar prefetch
+    table_ref,  # [B, P_max] int32 LOCAL page ids
+    lengths_ref,  # [B] int32 tokens per row INCLUDING the k new ones
+    layer_ref,  # [1] int32
+    # inputs
+    q_ref,  # [1, KH, C, D] VMEM (C = group * window; caller pre-arranged)
+    kp_hbm,  # [L, n_pages, KH, page, D] ANY (aliased)
+    vp_hbm,
+    # outputs
+    o_ref,  # [1, KH, C, D] VMEM
+    kp_out,
+    vp_out,
+    # scratch
+    kbuf,  # [2, KH, page, D]
+    vbuf,
+    ksem,
+    vsem,
+    *,
+    scale: float,
+    page_size: int,
+    window: int,
+):
+    """Multi-query variant of :func:`_carry_kernel` for speculative
+    verification: C = group*window query rows per KV head, where query
+    column c verifies draft token t = c % window sitting at absolute
+    position ``length - window + t`` (causal within the window). The
+    caller lays q out as [KH, group*window, D] so the kernel is the same
+    batched dot as the single-token path."""
+    del kp_out, vp_out
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    length = lengths_ref[b]
+    n_pages_total = kp_hbm.shape[1]
+    n_live = (length + page_size - 1) // page_size
+
+    def page_dma(slot, j, buf, sem, pool):
+        pg = jnp.clip(table_ref[b, j], 0, n_pages_total - 1)
+        return pltpu.make_async_copy(
+            pool.at[l, pg], buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_live > 0)
+    def _warmup():
+        page_dma(0, 0, kbuf, ksem, kp_hbm).start()
+        page_dma(0, 0, vbuf, vsem, vp_hbm).start()
+
+    q = q_ref[0]  # [KH, C, D]
+    KH, C, D = q.shape
+
+    def body(j, carry):
+        m, lsum, acc = carry
+        slot = j % 2
+        nxt = (j + 1) % 2
+
+        @pl.when(j + 1 < n_live)
+        def _prefetch():
+            page_dma(nxt, j + 1, kbuf, ksem, kp_hbm).start()
+            page_dma(nxt, j + 1, vbuf, vsem, vp_hbm).start()
+
+        page_dma(slot, j, kbuf, ksem, kp_hbm).wait()
+        page_dma(slot, j, vbuf, vsem, vp_hbm).wait()
+        k = kbuf[slot]
+        v = vbuf[slot]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [KH, C, page]
+        tok = j * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (KH, C, page_size), 2
+        )
+        # Query column c holds window token t = c % window at absolute
+        # position length - window + t: it may attend tok <= that.
+        t = jax.lax.broadcasted_iota(
+            jnp.int32, (KH, C, page_size), 1
+        ) % window
+        mask = tok <= (length - window) + t
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        lsum = alpha * lsum + jnp.sum(p, axis=2, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [KH, C, D]
+        acc = acc * alpha + pv
+        return m_new, lsum, acc
+
+    m0 = jnp.full((KH, C, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((KH, C, 1), jnp.float32)
+    a0 = jnp.zeros((KH, C, q_ref.shape[3]), jnp.float32)
+    m, lsum, acc = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
+    l_safe = jnp.where(lsum == 0.0, 1.0, lsum)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def carry_paged_attention_multi(
+    q: jnp.ndarray,  # [B, k, H, D] the k window tokens per row
+    k_pages: jnp.ndarray,  # [L, n_pages, KH, page, D] STACKED pool
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,  # [B, P_max] int32 LOCAL ids
+    lengths: jnp.ndarray,  # [B] tokens INCLUDING the k just appended
+    layer: jnp.ndarray,
+    *,
+    window: int,
+    interpret: bool = False,
+):
+    """Speculative-verify attention against the paged pool: each of the
+    ``window`` tokens per row attends the row's pages causally up to its
+    own position. Same aliased pass-through contract as
+    :func:`carry_paged_attention`. Returns (out [B, k, H, D], pools...)."""
+    B, k, H, D = q.shape
+    assert k == window
+    L, n_pages, KH, page_size, _ = k_pages.shape
+    assert H % KH == 0, (H, KH)
+    group = H // KH
+    scale = D**-0.5
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    # [B, k, H, D] -> [B, KH, group*k, D]: query column c = g*k + t.
+    qt = (
+        q.reshape(B, k, KH, group, D)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(B, KH, group * k, D)
+    )
+
+    kernel = functools.partial(
+        _carry_kernel_multi,
+        scale=scale,
+        page_size=page_size,
+        window=window,
+    )
+    C = group * k
+    pool_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    row_block = pl.BlockSpec(
+        (1, KH, C, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[row_block, pool_spec, pool_spec],
+        out_specs=[row_block, pool_spec, pool_spec],
+        scratch_shapes=[
+            pltpu.VMEM((2, KH, page_size, D), k_pages.dtype),
+            pltpu.VMEM((2, KH, page_size, D), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, k_pages, v_pages = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KH, C, D), q.dtype),
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+        ],
+        input_output_aliases={4: 1, 5: 2},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(page_table, lengths, layer, qt, k_pages, v_pages)
+    out = (
+        out.reshape(B, KH, group, k, D)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(B, k, H, D)
+    )
+    return out, k_pages, v_pages
+
+
+def sharded_carry_paged_attention_multi(
+    q, k_pages, v_pages, page_table, lengths, layer, mesh, *,
+    window: int, interpret: bool = False,
+):
+    """shard_map'd :func:`carry_paged_attention_multi`."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+    pool = P(None, ROW_AXES, "model", None, None)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def local(q, kp, vp, table, lengths, layer):
+        local_table = table - _row_offset(kp.shape[1])
+        return carry_paged_attention_multi(
+            q, kp, vp, local_table, lengths, layer[0], window=window,
+            interpret=interpret,
+        )
+
+    bkh = P(ROW_AXES, None, "model", None)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(bkh, pool, pool, row, row, P(None)),
+        out_specs=(bkh, pool, pool),
+        check_rep=False,
+    )(q, k_pages, v_pages, page_table, lengths, layer)
+
+
+def append_tokens_layer(
+    pages_all: jnp.ndarray,  # [L, n_pages, KH, page, D]
+    l: jnp.ndarray,
+    token_kv: jnp.ndarray,  # [B, k, KH, D] the window's K or V rows
+    positions: jnp.ndarray,  # [B, k] absolute positions
+    page_table: jnp.ndarray,  # [B, P_max] page id per position block
+    active: jnp.ndarray,  # [B] bool
+) -> jnp.ndarray:
+    """Multi-token variant of :func:`append_token_layer`: scatter a
+    speculative window's K/V (the window may straddle a page boundary —
+    each token looks its page up in the table). Inactive rows target the
+    shard's scratch page (last local page)."""
+    L, n_pages, KH, page, D = pages_all.shape
+    B, k = positions.shape
+    pages_per_tok = jnp.take_along_axis(
+        page_table, positions // page, axis=1
+    )  # [B, k]
+    offsets = positions % page
+    safe_pages = jnp.where(active[:, None], pages_per_tok, n_pages - 1)
+    flat_idx = (
+        (l * n_pages + safe_pages)[:, :, None] * KH
+        + jnp.arange(KH, dtype=jnp.int32)[None, None, :]
+    ) * page + offsets[:, :, None]  # [B, k, KH]
+    out = (
+        pages_all.reshape(-1, D)
+        .at[flat_idx]
+        .set(token_kv.astype(pages_all.dtype))
+    )
+    return out.reshape(pages_all.shape)
+
+
+def sharded_append_tokens_layer(
+    pages_all, l, token_kv, positions, page_table, active, mesh
+):
+    """shard_map'd :func:`append_tokens_layer` (global ids rebased)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+    pool = P(None, ROW_AXES, "model", None, None)
+
+    def local(pages_all, l, token_kv, positions, table, active):
+        local_table = table - _row_offset(pages_all.shape[1])
+        local_table = jnp.clip(local_table, 0, pages_all.shape[1] - 1)
+        return append_tokens_layer(
+            pages_all, l, token_kv, positions, local_table, active
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            pool, P(), P(ROW_AXES, None, "model", None), row, row, row,
+        ),
+        out_specs=pool,
+        check_rep=False,
+    )(pages_all, l, token_kv, positions, page_table, active)
+
+
+def _carry_kernel_multi_q8(
+    # scalar prefetch
+    table_ref,
+    lengths_ref,  # [B] tokens INCLUDING the k new ones
+    layer_ref,
+    # inputs
+    q_ref,  # [1, KH, C, D]
+    kp_hbm,  # int8 pools (aliased)
+    vp_hbm,
+    ks_hbm,  # f32 scale pools (aliased)
+    vs_hbm,
+    # outputs
+    o_ref,
+    kp_out,
+    vp_out,
+    ks_out,
+    vs_out,
+    # scratch
+    kbuf,
+    vbuf,
+    ksbuf,
+    vsbuf,
+    ksem,
+    vsem,
+    kssem,
+    vssem,
+    *,
+    scale: float,
+    page_size: int,
+    window: int,
+):
+    """int8 multi-query verify kernel: :func:`_carry_kernel_multi`'s
+    window masking + :func:`_carry_kernel_q8`'s VMEM dequant."""
+    del kp_out, vp_out, ks_out, vs_out
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    length = lengths_ref[b]
+    n_pages_total = kp_hbm.shape[1]
+    n_live = (length + page_size - 1) // page_size
+
+    streams = (
+        (kbuf, ksem, kp_hbm),
+        (vbuf, vsem, vp_hbm),
+        (ksbuf, kssem, ks_hbm),
+        (vsbuf, vssem, vs_hbm),
+    )
+
+    def page_dma(slot, j, buf, sem, pool):
+        pg = jnp.clip(table_ref[b, j], 0, n_pages_total - 1)
+        return pltpu.make_async_copy(
+            pool.at[l, pg], buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_live > 0)
+    def _warmup():
+        for buf, sem, pool in streams:
+            page_dma(0, 0, buf, sem, pool).start()
+
+    q = q_ref[0]  # [KH, C, D]
+    KH, C, D = q.shape
+    dt = q.dtype
+
+    def body(j, carry):
+        m, lsum, acc = carry
+        slot = j % 2
+        nxt = (j + 1) % 2
+
+        @pl.when(j + 1 < n_live)
+        def _prefetch():
+            for buf, sem, pool in streams:
+                page_dma(nxt, j + 1, buf, sem, pool).start()
+
+        for buf, sem, pool in streams:
+            page_dma(slot, j, buf, sem, pool).wait()
+        k = kbuf[slot].astype(dt) * ksbuf[slot][:, :, None].astype(dt)
+        v = vbuf[slot].astype(dt) * vsbuf[slot][:, :, None].astype(dt)
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [KH, C, page]
+        tok = j * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (KH, C, page_size), 2
+        )
+        t = jax.lax.broadcasted_iota(
+            jnp.int32, (KH, C, page_size), 1
+        ) % window
+        mask = tok <= (length - window) + t
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+        lsum = alpha * lsum + jnp.sum(p, axis=2, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype),
+            v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc * alpha + pv
+        return m_new, lsum, acc
+
+    m0 = jnp.full((KH, C, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((KH, C, 1), jnp.float32)
+    a0 = jnp.zeros((KH, C, q_ref.shape[3]), jnp.float32)
+    m, lsum, acc = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
+    l_safe = jnp.where(lsum == 0.0, 1.0, lsum)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def carry_paged_attention_multi_q8(
+    q: jnp.ndarray,  # [B, k, H, D]
+    k_pages: jnp.ndarray,  # int8 pools
+    v_pages: jnp.ndarray,
+    k_scale: jnp.ndarray,  # [L, n_pages, KH, page] f32
+    v_scale: jnp.ndarray,
+    page_table: jnp.ndarray,
+    lengths: jnp.ndarray,  # [B] tokens INCLUDING the window
+    layer: jnp.ndarray,
+    *,
+    window: int,
+    interpret: bool = False,
+):
+    """int8 multi-query verify attention over paged KV (speculative
+    decoding x kv_quant). Same contracts as the siblings."""
+    B, k, H, D = q.shape
+    assert k == window
+    L, n_pages, KH, page_size, _ = k_pages.shape
+    assert H % KH == 0, (H, KH)
+    assert k_pages.dtype == jnp.int8, k_pages.dtype
+    assert interpret or page_size % 128 == 0, (
+        f"int8 paged KV requires page_size % 128 == 0 on TPU, got"
+        f" {page_size}"
+    )
+    group = H // KH
+    scale = D**-0.5
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    qt = (
+        q.reshape(B, k, KH, group, D)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(B, KH, group * k, D)
+    )
+
+    kernel = functools.partial(
+        _carry_kernel_multi_q8,
+        scale=scale,
+        page_size=page_size,
+        window=window,
+    )
+    C = group * k
+    pool_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    row_block = pl.BlockSpec(
+        (1, KH, C, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[row_block] + [pool_spec] * 4,
+        out_specs=[row_block] + [pool_spec] * 4,
+        scratch_shapes=[
+            pltpu.VMEM((2, KH, page_size, D), jnp.int8),
+            pltpu.VMEM((2, KH, page_size, D), jnp.int8),
+            pltpu.VMEM((2, KH, page_size), jnp.float32),
+            pltpu.VMEM((2, KH, page_size), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out, k_pages, v_pages, k_scale, v_scale = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, KH, C, D), q.dtype),
+            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
+            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
+        ],
+        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(page_table, lengths, layer, qt, k_pages, v_pages, k_scale, v_scale)
+    out = (
+        out.reshape(B, KH, group, k, D)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(B, k, H, D)
+    )
+    return out, k_pages, v_pages, k_scale, v_scale
+
+
+def sharded_carry_paged_attention_multi_q8(
+    q, k_pages, v_pages, k_scale, v_scale, page_table, lengths, layer,
+    mesh, *, window: int, interpret: bool = False,
+):
+    """shard_map'd :func:`carry_paged_attention_multi_q8`."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+    pool = P(None, ROW_AXES, "model", None, None)
+    spool = P(None, ROW_AXES, "model", None)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    def local(q, kp, vp, ks, vs, table, lengths, layer):
+        local_table = table - _row_offset(kp.shape[1])
+        return carry_paged_attention_multi_q8(
+            q, kp, vp, ks, vs, local_table, lengths, layer[0],
+            window=window, interpret=interpret,
+        )
+
+    bkh = P(ROW_AXES, None, "model", None)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(bkh, pool, pool, spool, spool, row, row, P(None)),
+        out_specs=(bkh, pool, pool, spool, spool),
+        check_rep=False,
+    )(q, k_pages, v_pages, k_scale, v_scale, page_table, lengths, layer)
+
+
+def append_token_scales_layer(
+    scales_all: jnp.ndarray,  # [L, n_pages, KH, page] f32
+    l: jnp.ndarray,
+    token_scales: jnp.ndarray,  # [B, k, KH] or [B, k, KH, 1]
+    positions: jnp.ndarray,  # [B, k]
+    page_table: jnp.ndarray,
+    active: jnp.ndarray,
+) -> jnp.ndarray:
+    """Multi-token scale scatter (the q8 window append)."""
+    L, n_pages, KH, page = scales_all.shape
+    B, k = positions.shape
+    out = append_tokens_layer(
+        scales_all.reshape(L, n_pages, KH, page, 1),
+        l,
+        token_scales.reshape(B, k, KH, 1),
+        positions,
+        page_table,
+        active,
+    )
+    return out.reshape(scales_all.shape)
+
+
+def sharded_append_token_scales_layer(
+    scales_all, l, token_scales, positions, page_table, active, mesh
+):
+    """shard_map'd :func:`append_token_scales_layer`."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+    spool = P(None, ROW_AXES, "model", None)
+
+    def local(scales_all, l, token_scales, positions, table, active):
+        local_table = table - _row_offset(scales_all.shape[1])
+        local_table = jnp.clip(local_table, 0, scales_all.shape[1] - 1)
+        return append_token_scales_layer(
+            scales_all, l, token_scales, positions, local_table, active
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            spool, P(), P(ROW_AXES, None, "model"), row, row, row,
+        ),
+        out_specs=spool,
+        check_rep=False,
+    )(
+        scales_all,
+        l,
+        token_scales.reshape(token_scales.shape[0],
+                             token_scales.shape[1], -1),
+        positions,
+        page_table,
+        active,
+    )
+
+
 # NOTE: _carry_kernel_q8 mirrors _carry_kernel's DMA pipeline and
 # online-softmax body with two extra scale streams + VMEM dequant; the
 # kernel-ref signatures differ enough (4 pools, 4 sem groups) that a

@@ -188,6 +188,78 @@ def _paged_decode_all(
     return nxt, k_pages, v_pages, k_scale, v_scale
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "eos_id", "sharded"),
+    donate_argnums=(4, 5, 6, 7),
+)
+def _paged_spec_decode_all(
+    params,
+    cfg: VCoderConfig,
+    tokens,  # [B] current token per slot (KV not yet written)
+    draft,  # [B, k-1] prompt-lookup drafts
+    k_pages,
+    v_pages,
+    k_scale,  # dummy () leaves when unquantized
+    v_scale,
+    page_table,  # [B, P_max]
+    lengths,  # [B] tokens BEFORE this window
+    active,  # [B] bool
+    budget,  # [B] int32
+    temperature,  # [B] f32
+    rng,
+    eos_id: int,
+    sharded: bool = False,
+):
+    """Speculative verify step over paged KV (the paged analogue of
+    engine._spec_decode_all): returns (outs [B, k], emit [B], nxt [B],
+    pools...). The host applies emit to its lengths/table bookkeeping."""
+    quantized = k_scale is not None and k_scale.ndim == 4
+    B = tokens.shape[0]
+    k = 1 + draft.shape[1]
+    rows = jnp.arange(B, dtype=jnp.int32)
+    jpos = jnp.arange(k, dtype=jnp.int32)[None, :]
+    ids = jnp.concatenate([tokens[:, None], draft], axis=1)
+    embeds = llama_mod.embed_tokens(params["lm"], ids)
+    positions = lengths[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    out = llama_mod.llama_paged_verify(
+        params["lm"],
+        cfg.text,
+        embeds,
+        positions,
+        k_pages,
+        v_pages,
+        page_table,
+        lengths,
+        active,
+        k_scale=k_scale if quantized else None,
+        v_scale=v_scale if quantized else None,
+        interpret=jax.default_backend() != "tpu",
+    )
+    hidden, pools = out[0], out[1:]
+    logits = llama_mod.lm_head(params["lm"], hidden)  # [B, k, V]
+    pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    temp_safe = jnp.maximum(temperature, 1e-6)
+    sampled = jax.random.categorical(
+        rng, logits[:, 0] / temp_safe[:, None], axis=-1
+    ).astype(jnp.int32)
+    is_sampling = temperature > 0.0
+    outs = pred.at[:, 0].set(jnp.where(is_sampling, sampled, pred[:, 0]))
+
+    match = (outs[:, :-1] == draft) & ~is_sampling[:, None]
+    accepted = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+    emit = accepted + 1
+    is_eos = (outs == eos_id) & (jpos < emit[:, None])
+    has_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.min(jnp.where(is_eos, jpos, k), axis=1)
+    emit = jnp.where(has_eos, jnp.minimum(emit, first_eos + 1), emit)
+    emit = jnp.where(active, jnp.minimum(emit, budget), 0)
+    last = jnp.clip(emit - 1, 0, k - 1)
+    nxt = jnp.where(emit > 0, outs[rows, last], tokens)
+    return (outs, emit, nxt) + pools
+
+
 class PagedServingEngine(ServingEngine):
     """Continuous batching over paged KV storage."""
 
@@ -204,6 +276,7 @@ class PagedServingEngine(ServingEngine):
         seed: int = 0,
         mesh=None,
         kv_quant: bool = False,
+        speculative: int = 0,
     ):
         assert max_len % page_size == 0, (
             f"max_len {max_len} must be a multiple of page_size {page_size}"
@@ -242,8 +315,12 @@ class PagedServingEngine(ServingEngine):
             max_len=max_len,
             attn_impl=attn_impl,
             seed=seed,
+            speculative=speculative,
         )
-        self.p_max = max_len // page_size
+        # Speculative windows may overshoot a row's accepted length by up
+        # to spec_k rejected tokens; the table covers that slack so the
+        # write never needs a page past p_max.
+        self.p_max = -(-(max_len + self.spec_k) // page_size)
         if total_pages is None:
             # Default: enough for every slot at max_len plus a per-shard
             # sentinel + scratch. Set lower to oversubscribe (the point of
@@ -422,41 +499,46 @@ class PagedServingEngine(ServingEngine):
         self.table[slot, :n_used] = ids
         return self._sample_first(logits, req)
 
-    def step(self) -> List[Tuple[int, int, bool]]:
-        events = self._admit()
-        if not any(self.active):
-            return events
-
-        # Ensure every active row has a page for its next position; a row
-        # that cannot get one is preempted (ended) rather than corrupting
-        # the pool or killing the whole engine.
+    def _ensure_pages(self, events) -> None:
+        """Give every active row pages covering its write horizon (one
+        token, or the speculative window). A row that cannot get one is
+        preempted (ended) rather than corrupting the pool or killing the
+        whole engine."""
+        horizon = self.spec_k if self.spec_k else 1
         for slot in range(self.max_batch):
             if not self.active[slot]:
                 continue
-            pos = int(self.lengths[slot])
-            if pos % self.page_size != 0:
-                continue
-            needed_idx = pos // self.page_size
-            req = self.slots[slot]
-            if needed_idx >= self.p_max:
+            pos_last = int(self.lengths[slot]) + horizon - 1
+            needed_total = pos_last // self.page_size + 1
+            if needed_total > self.p_max:
                 ended = self._end_request(
                     slot, "context reached max_len"
                 )
                 events.append((ended.request_id, self.eos_id, True))
                 continue
-            try:
-                pid = self._alloc(1, self._shard_of(slot))[0]
-            except PoolExhausted:
-                ended = self._end_request(
-                    slot, "preempted: page pool exhausted"
-                )
-                events.append((ended.request_id, self.eos_id, True))
-                continue
-            self.row_pages[slot].append(pid)
-            self.table[slot, needed_idx] = pid
+            while len(self.row_pages[slot]) < needed_total:
+                try:
+                    pid = self._alloc(1, self._shard_of(slot))[0]
+                except PoolExhausted:
+                    ended = self._end_request(
+                        slot, "preempted: page pool exhausted"
+                    )
+                    events.append((ended.request_id, self.eos_id, True))
+                    break
+                idx = len(self.row_pages[slot])
+                self.row_pages[slot].append(pid)
+                self.table[slot, idx] = pid
 
+    def step(self) -> List[Tuple[int, int, bool]]:
+        events = self._admit()
         if not any(self.active):
             return events
+
+        self._ensure_pages(events)
+        if not any(self.active):
+            return events
+        if self.spec_k:
+            return events + self._step_speculative_paged()
 
         self.rng, sub = jax.random.split(self.rng)
         with self.timer.measure("decode_step"), self._mesh_ctx():
@@ -503,6 +585,86 @@ class PagedServingEngine(ServingEngine):
                 self.active[slot] = False
                 self.slots[slot] = None
                 self._free_row(slot)
+        return events
+
+    def _step_speculative_paged(self) -> List[Tuple[int, int, bool]]:
+        """One speculative verify dispatch over paged KV for all slots."""
+        from vcoder_tpu.speculative import draft_from_ids
+
+        draft = draft_from_ids(
+            [
+                (req.input_ids + req.generated) if req is not None else None
+                for req in self.slots
+            ],
+            self.spec_k - 1,
+        )
+        budget = np.zeros((self.max_batch,), np.int32)
+        for slot, req in enumerate(self.slots):
+            if req is None or not self.active[slot]:
+                continue
+            budget[slot] = max(
+                1,
+                min(
+                    req.max_new_tokens - len(req.generated),
+                    (self.max_len - 1)
+                    - (req.prompt_len + len(req.generated)),
+                ),
+            )
+        self.rng, sub = jax.random.split(self.rng)
+        with self.timer.measure("decode_step"), self._mesh_ctx():
+            out = _paged_spec_decode_all(
+                self.params,
+                self.cfg,
+                self.tokens,
+                jnp.asarray(draft),
+                self.k_pages,
+                self.v_pages,
+                self.k_scale,
+                self.v_scale,
+                jnp.asarray(self.table),
+                jnp.asarray(self.lengths),
+                jnp.asarray(self.active),
+                jnp.asarray(budget),
+                jnp.asarray(self.temps),
+                sub,
+                eos_id=self.eos_id,
+                sharded=self.mesh is not None,
+            )
+            outs, emit, self.tokens = out[0], out[1], out[2]
+            pools = out[3:]
+            if self.kv_quant:
+                (
+                    self.k_pages,
+                    self.v_pages,
+                    self.k_scale,
+                    self.v_scale,
+                ) = pools
+            else:
+                self.k_pages, self.v_pages = pools
+            outs_host = np.asarray(outs)
+            emit_host = np.asarray(emit)
+        self.lengths += emit_host.astype(np.int32)
+
+        events: List[Tuple[int, int, bool]] = []
+        for slot, req in enumerate(self.slots):
+            if req is None or not self.active[slot]:
+                continue
+            for tok in outs_host[slot, : int(emit_host[slot])]:
+                tok = int(tok)
+                req.generated.append(tok)
+                done = (
+                    tok == self.eos_id
+                    or len(req.generated) >= req.max_new_tokens
+                    or req.prompt_len + len(req.generated)
+                    >= self.max_len - 1
+                )
+                events.append((req.request_id, tok, done))
+                if done:
+                    req.done = True
+                    self.active[slot] = False
+                    self.slots[slot] = None
+                    self._free_row(slot)
+                    break
         return events
 
     def _end_request(self, slot: int, reason: str) -> Request:
