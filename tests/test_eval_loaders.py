@@ -150,3 +150,39 @@ def test_vqa_loader_and_pope(tiny_ckpt, tmp_path, capsys):
     pope.main()
     out = capsys.readouterr().out
     assert "Accuracy:" in out and "F1 score:" in out
+
+
+def test_cost_loader_lookahead_matches_plain(tiny_ckpt, tmp_path):
+    """--lookahead must not change greedy COST answers (speculative
+    decoding is output-identical), only the dispatch count."""
+    keys = [f"img{i}.jpg" for i in range(2)]
+    img_dir = tmp_path / "la_val2017"
+    seg_dir = tmp_path / "la_semantic_inference"
+    _write_images(str(img_dir), keys)
+    _write_images(str(seg_dir), keys)
+
+    def run(lookahead, tag):
+        args = types.SimpleNamespace(
+            model_path=tiny_ckpt,
+            model_base=None,
+            image_folder=str(img_dir),
+            use_seg=True,
+            seg_image_folder=str(tmp_path / "la_$TASK_inference"),
+            use_depth=False,
+            depth_image_folder="",
+            output_file=str(tmp_path / f"out_{tag}"),
+            conv_mode="llava_v1",
+            num_chunks=1,
+            chunk_idx=0,
+            temperature=0.0,
+            top_p=None,
+            num_beams=1,
+            batch_size=2,
+            seed=0,
+            lookahead=lookahead,
+        )
+        return extract_conversations(cost_eval_model(args, "semantic"))
+
+    plain = run(0, "plain")
+    spec = run(6, "spec")
+    assert spec == plain
