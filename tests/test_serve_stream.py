@@ -97,3 +97,60 @@ def test_chat_worker_protocol(setup, tmp_path):
         )
     )
     assert json.loads(bad[-1].decode())["error_code"] == 1
+
+
+def test_http_worker_server(setup, tmp_path):
+    """The HTTP worker streams the same NUL-delimited JSON chunks as the
+    in-process Chat protocol, plus a health endpoint."""
+    import threading
+    import urllib.request
+
+    cfg, params, px, tok = setup
+    ckpt = str(tmp_path / "vcoder_llava-tiny-http")
+    save_pretrained(ckpt, params, cfg)
+    tok.save_pretrained(ckpt)
+
+    from vcoder_tpu.serve.chat import Chat
+    from vcoder_tpu.serve.server import serve
+
+    chat = Chat(ckpt, tokenizer=tok)
+    httpd = serve(chat, host="127.0.0.1", port=0)  # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/health", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+
+        img = PIL.fromarray(
+            np.random.RandomState(1).randint(0, 255, (32, 40, 3), np.uint8)
+        )
+        buf = BytesIO()
+        img.save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        prompt = "USER: <seg>\n<image>\nwhat objects ASSISTANT:"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/worker_generate_stream",
+            data=json.dumps(
+                {
+                    "prompt": prompt,
+                    "images": [b64],
+                    "segs": [b64],
+                    "temperature": 0.0,
+                    "max_new_tokens": 4,
+                    "stop": "</s>",
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            raw = r.read()
+        chunks = [c for c in raw.split(b"\0") if c.strip()]
+        payloads = [json.loads(c.decode()) for c in chunks]
+        assert payloads and all(p["error_code"] == 0 for p in payloads)
+        assert payloads[-1]["text"].startswith(prompt)
+    finally:
+        httpd.shutdown()
