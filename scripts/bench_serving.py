@@ -7,9 +7,10 @@ throughput plus the engine's own TTFT / decode-step percentiles, with
 speculative decoding off vs on. Run on the TPU box:
 
     python scripts/bench_serving.py [--batch 8] [--requests 16] \
-        [--max-new 96] [--lookahead 8] [--bf16]
+        [--max-new 96] [--lookahead 8]
 
-Defaults use int8 weights (the `--load-8bit` serving configuration).
+Runs int8 weights + int8 KV (the serving configuration that fits the
+chip at multimodal context; bf16 B=1 numbers live in bench.py).
 Random weights: absolute accept-rates for speculation are NOT
 representative of trained checkpoints (random 7B output rarely repeats);
 the spec run reports dispatch counts so the overhead at the measured
@@ -32,12 +33,14 @@ def main():
     ap.add_argument("--requests", type=int, default=16)
     ap.add_argument("--max-new", type=int, default=96)
     ap.add_argument("--lookahead", type=int, default=8)
-    ap.add_argument("--bf16", action="store_true",
-                    help="bf16 weights instead of int8")
     ap.add_argument("--size", type=str, default="7b")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (smoke test)")
     args = ap.parse_args()
+    # int8 weights only: 7B bf16 (14.5 GB) + a multimodal-context slot
+    # cache (prompts expand to ~1.8k tokens) cannot fit the 15.5 GB chip
+    # at any useful batch; bf16 B=1 numbers live in bench.py secondaries.
+    args.bf16 = False
 
     import jax
     import jax.numpy as jnp
@@ -86,7 +89,7 @@ def main():
             params,
             max_batch=args.batch,
             max_len=2048,
-            kv_quant=not args.bf16,  # int8 KV next to bf16 weights OOMs 7B
+            kv_quant=not args.bf16,  # int8 KV halves the slot-cache HBM
             speculative=spec,
         )
         for i in range(args.requests):

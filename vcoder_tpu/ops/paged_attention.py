@@ -184,99 +184,6 @@ def paged_attention(
 # ---------------------------------------------------------------------------
 
 
-def _carry_kernel(
-    # scalar prefetch
-    table_ref,  # [B, P_max] int32 LOCAL page ids
-    lengths_ref,  # [B] int32 tokens per row INCLUDING this step's
-    layer_ref,  # [1] int32 layer into the stacked pool
-    # inputs
-    q_ref,  # [1, H, D] VMEM block (row b)
-    kp_hbm,  # [L, n_pages, KH, page, D] ANY (aliased to kp_out)
-    vp_hbm,  # ANY (aliased to vp_out)
-    # outputs
-    o_ref,  # [1, H, D] VMEM block
-    kp_out,  # ANY, aliased to kp_hbm (pass-through; scatter writes the
-    vp_out,  # token OUTSIDE the kernel)
-    # scratch
-    kbuf,  # [2, KH, page, D] VMEM double buffer
-    vbuf,  # [2, KH, page, D]
-    ksem,  # DMA (2,)
-    vsem,  # DMA (2,)
-    *,
-    scale: float,
-    page_size: int,
-    group: int,
-):
-    del kp_out, vp_out  # aliased pass-through, never written here
-    b = pl.program_id(0)
-    l = layer_ref[0]
-    length = lengths_ref[b]
-    n_pages_total = kp_hbm.shape[1]
-    n_live = (length + page_size - 1) // page_size
-
-    def page_dma(slot, j, buf, sem, pool):
-        pg = jnp.clip(table_ref[b, j], 0, n_pages_total - 1)
-        return pltpu.make_async_copy(
-            pool.at[l, pg], buf.at[slot], sem.at[slot]
-        )
-
-    @pl.when(n_live > 0)
-    def _warmup():
-        page_dma(0, 0, kbuf, ksem, kp_hbm).start()
-        page_dma(0, 0, vbuf, vsem, vp_hbm).start()
-
-    q = q_ref[0]  # [H, D]
-    H, D = q.shape
-    KH = kbuf.shape[1]
-
-    def body(j, carry):
-        m, lsum, acc = carry
-        slot = j % 2
-        nxt = (j + 1) % 2
-
-        @pl.when(j + 1 < n_live)
-        def _prefetch():
-            page_dma(nxt, j + 1, kbuf, ksem, kp_hbm).start()
-            page_dma(nxt, j + 1, vbuf, vsem, vp_hbm).start()
-
-        page_dma(slot, j, kbuf, ksem, kp_hbm).wait()
-        page_dma(slot, j, vbuf, vsem, vp_hbm).wait()
-        k = kbuf[slot]
-        v = vbuf[slot]
-        # GQA: consecutive q heads share KV head h // group.
-        s = jax.lax.dot_general(
-            q.reshape(KH, group, D),
-            k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(H, page_size) * scale
-        tok = j * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (H, page_size), 1
-        )
-        mask = tok < length
-        s = jnp.where(mask, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        lsum = alpha * lsum + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.reshape(KH, group, page_size).astype(v.dtype),
-            v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(H, D)
-        acc = acc * alpha + pv
-        return m_new, lsum, acc
-
-    m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((H, 1), jnp.float32)
-    a0 = jnp.zeros((H, D), jnp.float32)
-    m, lsum, acc = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
-    l_safe = jnp.where(lsum == 0.0, 1.0, lsum)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def carry_paged_attention(
     q: jnp.ndarray,  # [B, H, D]
     k_pages: jnp.ndarray,  # [L, n_pages, KH, page, D] STACKED pool
@@ -287,7 +194,8 @@ def carry_paged_attention(
     *,
     interpret: bool = False,
 ):
-    """Decode attention against the STACKED page pool, aliased in place.
+    """Single-token decode attention against the STACKED page pool,
+    aliased in place.
 
     Returns (out [B, H, D], k_pages, v_pages) where the pools are the
     same buffers passed in (``input_output_aliases`` pass-through). This
@@ -298,48 +206,23 @@ def carry_paged_attention(
     the call. Pages stream via a double-buffered manual DMA pipeline;
     the token append itself is a cheap jnp scatter outside
     (:func:`append_token_layer`).
+
+    Implemented as :func:`carry_paged_attention_multi` at window=1 (the
+    window mask ``tok <= (length-1)+t`` degenerates to ``tok < length``
+    and the q layout [KH, group, D] is identical) — one kernel serves
+    both the decode and speculative-verify paths.
     """
-    B, H, D = q.shape
-    L, n_pages, KH, page_size, _ = k_pages.shape
-    assert H % KH == 0, (H, KH)
-    scale = D**-0.5
-    layer = jnp.asarray(layer, jnp.int32).reshape(1)
-
-    kernel = functools.partial(
-        _carry_kernel, scale=scale, page_size=page_size, group=H // KH
-    )
-    pool_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    row_block = pl.BlockSpec(
-        (1, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B,),
-        in_specs=[row_block, pool_spec, pool_spec],
-        out_specs=[row_block, pool_spec, pool_spec],
-        scratch_shapes=[
-            pltpu.VMEM((2, KH, page_size, D), k_pages.dtype),
-            pltpu.VMEM((2, KH, page_size, D), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out, k_pages, v_pages = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, D), q.dtype),
-            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
-            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
-        ],
-        # Operand indices include the 3 scalar-prefetch args:
-        # q=3, k_pages=4, v_pages=5.
-        input_output_aliases={4: 1, 5: 2},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    out, k_pages, v_pages = carry_paged_attention_multi(
+        q[:, None],
+        k_pages,
+        v_pages,
+        page_table,
+        lengths,
+        layer,
+        window=1,
         interpret=interpret,
-    )(page_table, lengths, layer, q, k_pages, v_pages)
-    return out, k_pages, v_pages
-
+    )
+    return out[:, 0], k_pages, v_pages
 
 def _carry_kernel_multi(
     # scalar prefetch
@@ -364,8 +247,9 @@ def _carry_kernel_multi(
     page_size: int,
     window: int,
 ):
-    """Multi-query variant of :func:`_carry_kernel` for speculative
-    verification: C = group*window query rows per KV head, where query
+    """Carry-aliased paged attention kernel (decode AND speculative
+    verify — window=1 is the plain decode step): C = group*window
+    query rows per KV head, where query
     column c verifies draft token t = c % window sitting at absolute
     position ``length - window + t`` (causal within the window). The
     caller lays q out as [KH, group*window, D] so the kernel is the same
@@ -635,7 +519,9 @@ def _carry_kernel_multi_q8(
     window: int,
 ):
     """int8 multi-query verify kernel: :func:`_carry_kernel_multi`'s
-    window masking + :func:`_carry_kernel_q8`'s VMEM dequant."""
+    window masking with int8 pages + per-token-per-head f32 scales
+    (the dense cache's ``_kv_quantize`` scheme) dequantized in VMEM
+    right after the page DMA — half the HBM bytes per page."""
     del kp_out, vp_out, ks_out, vs_out
     b = pl.program_id(0)
     l = layer_ref[0]
@@ -885,125 +771,6 @@ def sharded_append_token_scales_layer(
     )
 
 
-# NOTE: _carry_kernel_q8 mirrors _carry_kernel's DMA pipeline and
-# online-softmax body with two extra scale streams + VMEM dequant; the
-# kernel-ref signatures differ enough (4 pools, 4 sem groups) that a
-# shared builder obscures more than it saves. Fixes to either kernel's
-# masking/pipeline logic must be applied to BOTH.
-def _carry_kernel_q8(
-    # scalar prefetch
-    table_ref,  # [B, P_max] int32 LOCAL page ids
-    lengths_ref,  # [B] int32 tokens per row INCLUDING this step's
-    layer_ref,  # [1] int32 layer into the stacked pool
-    # inputs
-    q_ref,  # [1, H, D] VMEM block (row b)
-    kp_hbm,  # [L, n_pages, KH, page, D] int8 ANY (aliased)
-    vp_hbm,  # int8 ANY (aliased)
-    ks_hbm,  # [L, n_pages, KH, page] f32 per-token-vector scales (aliased)
-    vs_hbm,  # f32 (aliased)
-    # outputs
-    o_ref,  # [1, H, D] VMEM block
-    kp_out,  # aliased pass-throughs, never written here
-    vp_out,
-    ks_out,
-    vs_out,
-    # scratch
-    kbuf,  # [2, KH, page, D] int8 VMEM double buffer
-    vbuf,
-    ksbuf,  # [2, KH, page] f32
-    vsbuf,
-    ksem,  # DMA (2,) x4
-    vsem,
-    kssem,
-    vssem,
-    *,
-    scale: float,
-    page_size: int,
-    group: int,
-):
-    """int8 variant of :func:`_carry_kernel`: pages hold int8 KV with
-    per-token-per-head f32 scales (the dense path's ``_kv_quantize``
-    scheme, models/llama.py); dequantization happens in VMEM right after
-    the DMA, so HBM traffic per page is halved."""
-    del kp_out, vp_out, ks_out, vs_out
-    b = pl.program_id(0)
-    l = layer_ref[0]
-    length = lengths_ref[b]
-    n_pages_total = kp_hbm.shape[1]
-    n_live = (length + page_size - 1) // page_size
-
-    streams = (
-        (kbuf, ksem, kp_hbm),
-        (vbuf, vsem, vp_hbm),
-        (ksbuf, kssem, ks_hbm),
-        (vsbuf, vssem, vs_hbm),
-    )
-
-    def page_dma(slot, j, buf, sem, pool):
-        pg = jnp.clip(table_ref[b, j], 0, n_pages_total - 1)
-        return pltpu.make_async_copy(
-            pool.at[l, pg], buf.at[slot], sem.at[slot]
-        )
-
-    @pl.when(n_live > 0)
-    def _warmup():
-        for buf, sem, pool in streams:
-            page_dma(0, 0, buf, sem, pool).start()
-
-    q = q_ref[0]  # [H, D]
-    H, D = q.shape
-    KH = kbuf.shape[1]
-    dt = q.dtype
-
-    def body(j, carry):
-        m, lsum, acc = carry
-        slot = j % 2
-        nxt = (j + 1) % 2
-
-        @pl.when(j + 1 < n_live)
-        def _prefetch():
-            for buf, sem, pool in streams:
-                page_dma(nxt, j + 1, buf, sem, pool).start()
-
-        for buf, sem, pool in streams:
-            page_dma(slot, j, buf, sem, pool).wait()
-        # Dequantize in the activation dtype — identical math to the
-        # dense int8-KV read (models/llama.py::llama_forward).
-        k = kbuf[slot].astype(dt) * ksbuf[slot][:, :, None].astype(dt)
-        v = vbuf[slot].astype(dt) * vsbuf[slot][:, :, None].astype(dt)
-        s = jax.lax.dot_general(
-            q.reshape(KH, group, D),
-            k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(H, page_size) * scale
-        tok = j * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (H, page_size), 1
-        )
-        mask = tok < length
-        s = jnp.where(mask, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        lsum = alpha * lsum + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.reshape(KH, group, page_size).astype(v.dtype),
-            v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(H, D)
-        acc = acc * alpha + pv
-        return m_new, lsum, acc
-
-    m0 = jnp.full((H, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((H, 1), jnp.float32)
-    a0 = jnp.zeros((H, D), jnp.float32)
-    m, lsum, acc = jax.lax.fori_loop(0, n_live, body, (m0, l0, a0))
-    l_safe = jnp.where(lsum == 0.0, 1.0, lsum)
-    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def carry_paged_attention_q8(
     q: jnp.ndarray,  # [B, H, D]
     k_pages: jnp.ndarray,  # [L, n_pages, KH, page, D] int8 STACKED pool
@@ -1018,62 +785,22 @@ def carry_paged_attention_q8(
 ):
     """int8-page variant of :func:`carry_paged_attention`: all four pools
     are aliased pass-throughs, pages stream at half the HBM bytes and
-    dequantize in VMEM. Returns (out, k_pages, v_pages, k_scale, v_scale)."""
-    B, H, D = q.shape
-    L, n_pages, KH, page_size, _ = k_pages.shape
-    assert H % KH == 0, (H, KH)
-    assert k_pages.dtype == jnp.int8, k_pages.dtype
-    # Mosaic DMA tiling: the f32 scale-page slice [KH, page] needs its
-    # lane (last) dim 128-aligned — use page_size 128 with int8 pools
-    # (the engine does; interpret mode has no such constraint).
-    assert interpret or page_size % 128 == 0, (
-        f"int8 paged KV requires page_size % 128 == 0 on TPU, got"
-        f" {page_size}"
-    )
-    scale = D**-0.5
-    layer = jnp.asarray(layer, jnp.int32).reshape(1)
-
-    kernel = functools.partial(
-        _carry_kernel_q8, scale=scale, page_size=page_size, group=H // KH
-    )
-    pool_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-    row_block = pl.BlockSpec(
-        (1, H, D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B,),
-        in_specs=[row_block] + [pool_spec] * 4,
-        out_specs=[row_block] + [pool_spec] * 4,
-        scratch_shapes=[
-            pltpu.VMEM((2, KH, page_size, D), jnp.int8),
-            pltpu.VMEM((2, KH, page_size, D), jnp.int8),
-            pltpu.VMEM((2, KH, page_size), jnp.float32),
-            pltpu.VMEM((2, KH, page_size), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    out, k_pages, v_pages, k_scale, v_scale = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, D), q.dtype),
-            jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
-            jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
-            jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
-            jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
-        ],
-        # Operand indices include the 3 scalar-prefetch args:
-        # q=3, k_pages=4, v_pages=5, k_scale=6, v_scale=7.
-        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    dequantize in VMEM. Returns (out, k_pages, v_pages, k_scale,
+    v_scale). Implemented as :func:`carry_paged_attention_multi_q8` at
+    window=1."""
+    out, k_pages, v_pages, k_scale, v_scale = carry_paged_attention_multi_q8(
+        q[:, None],
+        k_pages,
+        v_pages,
+        k_scale,
+        v_scale,
+        page_table,
+        lengths,
+        layer,
+        window=1,
         interpret=interpret,
-    )(page_table, lengths, layer, q, k_pages, v_pages, k_scale, v_scale)
-    return out, k_pages, v_pages, k_scale, v_scale
-
+    )
+    return out[:, 0], k_pages, v_pages, k_scale, v_scale
 
 def sharded_carry_paged_attention_q8(
     q, k_pages, v_pages, k_scale, v_scale, page_table, lengths, layer,

@@ -188,7 +188,7 @@ class Chat:
             stop_str=stop_str,
             # Greedy requests stream through prompt-lookup speculative
             # decoding (several tokens per decoder dispatch).
-            lookahead=int(params.get("lookahead", 8)),
+            lookahead=int(params.get("lookahead") or 8),
         ):
             generated_text = ori_prompt + text
             if stop_str and generated_text.endswith(stop_str):

@@ -207,10 +207,10 @@ def _spec_decode_all(
 
     Returns (outs [B, k], emit [B], nxt [B], cache).
     """
+    from vcoder_tpu.speculative import accept_window
+
     B = tokens.shape[0]
     k = 1 + draft.shape[1]
-    rows = jnp.arange(B, dtype=jnp.int32)
-    jpos = jnp.arange(k, dtype=jnp.int32)[None, :]
     positions0 = cache.length
     ids = jnp.concatenate([tokens[:, None], draft], axis=1)  # [B, k]
     embeds = model_mod.llama_mod.embed_tokens(params["lm"], ids)
@@ -238,14 +238,9 @@ def _spec_decode_all(
         jnp.where(is_sampling, sampled, pred[:, 0])
     )
 
-    match = (outs[:, :-1] == draft) & ~is_sampling[:, None]
-    accepted = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
-    emit = accepted + 1
-    is_eos = (outs == eos_id) & (jpos < emit[:, None])
-    has_eos = jnp.any(is_eos, axis=1)
-    first_eos = jnp.min(jnp.where(is_eos, jpos, k), axis=1)
-    emit = jnp.where(has_eos, jnp.minimum(emit, first_eos + 1), emit)
-    emit = jnp.where(active, jnp.minimum(emit, budget), 0)
+    emit, nxt = accept_window(
+        outs, draft, is_sampling, ~active, budget, eos_id
+    )
 
     # Trim to the accepted length (prefix-contiguous contract: kv_mask is
     # exactly pos < length; rejected slots are overwritten next step).
@@ -260,8 +255,7 @@ def _spec_decode_all(
         k_scale=cache.k_scale,
         v_scale=cache.v_scale,
     )
-    last = jnp.clip(emit - 1, 0, k - 1)
-    nxt = jnp.where(emit > 0, outs[rows, last], tokens)
+    nxt = jnp.where(emit > 0, nxt, tokens)
     return outs, emit, nxt, cache
 
 
@@ -381,13 +375,18 @@ class ServingEngine:
             events.append((req.request_id, tok, done))
             if done:
                 req.done = True
-                self.active[slot] = False
-                self.slots[slot] = None
+                self._release_slot(slot)
         return events
 
-    def _step_speculative(self) -> List[Tuple[int, int, bool]]:
-        """One speculative verify dispatch for all slots: up to
-        ``spec_k`` tokens per greedy row, 1 per sampling row."""
+    def _release_slot(self, slot: int) -> None:
+        """Vacate a finished request's slot (paged engine also frees its
+        pages)."""
+        self.active[slot] = False
+        self.slots[slot] = None
+
+    def _spec_host_inputs(self):
+        """Per-slot prompt-lookup drafts + remaining-token budgets for a
+        speculative verify dispatch (shared by both engines)."""
         from vcoder_tpu.speculative import draft_from_ids
 
         draft = draft_from_ids(
@@ -409,25 +408,14 @@ class ServingEngine:
                     - (req.prompt_len + len(req.generated)),
                 ),
             )
-        self.rng, sub = jax.random.split(self.rng)
-        with self.timer.measure("decode_step"), self._mesh_ctx():
-            outs, emit, nxt, self.cache = _spec_decode_all(
-                self.params,
-                self.cfg,
-                self.tokens,
-                jnp.asarray(draft),
-                self.cache,
-                jnp.asarray(self.active),
-                jnp.asarray(budget),
-                jnp.asarray(self.temps),
-                sub,
-                eos_id=self.eos_id,
-                attn_impl=self.attn_impl,
-            )
-            self.tokens = nxt
-            outs_host = np.asarray(outs)
-            emit_host = np.asarray(emit)
+        return draft, budget
 
+    def _emit_window_events(
+        self, outs_host, emit_host
+    ) -> List[Tuple[int, int, bool]]:
+        """Append each slot's accepted window tokens to its request and
+        emit (request_id, token, done) events; the done rules match the
+        plain per-token step exactly (shared by both engines)."""
         events: List[Tuple[int, int, bool]] = []
         for slot, req in enumerate(self.slots):
             if req is None or not self.active[slot]:
@@ -444,10 +432,33 @@ class ServingEngine:
                 events.append((req.request_id, tok, done))
                 if done:
                     req.done = True
-                    self.active[slot] = False
-                    self.slots[slot] = None
+                    self._release_slot(slot)
                     break
         return events
+
+    def _step_speculative(self) -> List[Tuple[int, int, bool]]:
+        """One speculative verify dispatch for all slots: up to
+        ``spec_k`` tokens per greedy row, 1 per sampling row."""
+        draft, budget = self._spec_host_inputs()
+        self.rng, sub = jax.random.split(self.rng)
+        with self.timer.measure("decode_step"), self._mesh_ctx():
+            outs, emit, nxt, self.cache = _spec_decode_all(
+                self.params,
+                self.cfg,
+                self.tokens,
+                jnp.asarray(draft),
+                self.cache,
+                jnp.asarray(self.active),
+                jnp.asarray(budget),
+                jnp.asarray(self.temps),
+                sub,
+                eos_id=self.eos_id,
+                attn_impl=self.attn_impl,
+            )
+            self.tokens = nxt
+            # ONE device->host sync (every fetch pays a tunnel RTT).
+            outs_host, emit_host = jax.device_get((outs, emit))
+        return self._emit_window_events(outs_host, emit_host)
 
     def run(self) -> Dict[int, List[int]]:
         """Drain the queue; returns {request_id: generated ids (EOS
@@ -580,8 +591,7 @@ class ServingEngine:
             events.append((req.request_id, first_tok, done))
             if done:
                 req.done = True
-                self.active[slot] = False
-                self.slots[slot] = None
+                self._release_slot(slot)
         return events
 
     def _prefill(self, req: Request, slot: int) -> int:

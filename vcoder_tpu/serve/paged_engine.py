@@ -214,11 +214,11 @@ def _paged_spec_decode_all(
     """Speculative verify step over paged KV (the paged analogue of
     engine._spec_decode_all): returns (outs [B, k], emit [B], nxt [B],
     pools...). The host applies emit to its lengths/table bookkeeping."""
+    from vcoder_tpu.speculative import accept_window
+
     quantized = k_scale is not None and k_scale.ndim == 4
     B = tokens.shape[0]
     k = 1 + draft.shape[1]
-    rows = jnp.arange(B, dtype=jnp.int32)
-    jpos = jnp.arange(k, dtype=jnp.int32)[None, :]
     ids = jnp.concatenate([tokens[:, None], draft], axis=1)
     embeds = llama_mod.embed_tokens(params["lm"], ids)
     positions = lengths[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
@@ -247,16 +247,10 @@ def _paged_spec_decode_all(
     is_sampling = temperature > 0.0
     outs = pred.at[:, 0].set(jnp.where(is_sampling, sampled, pred[:, 0]))
 
-    match = (outs[:, :-1] == draft) & ~is_sampling[:, None]
-    accepted = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
-    emit = accepted + 1
-    is_eos = (outs == eos_id) & (jpos < emit[:, None])
-    has_eos = jnp.any(is_eos, axis=1)
-    first_eos = jnp.min(jnp.where(is_eos, jpos, k), axis=1)
-    emit = jnp.where(has_eos, jnp.minimum(emit, first_eos + 1), emit)
-    emit = jnp.where(active, jnp.minimum(emit, budget), 0)
-    last = jnp.clip(emit - 1, 0, k - 1)
-    nxt = jnp.where(emit > 0, outs[rows, last], tokens)
+    emit, nxt = accept_window(
+        outs, draft, is_sampling, ~active, budget, eos_id
+    )
+    nxt = jnp.where(emit > 0, nxt, tokens)
     return (outs, emit, nxt) + pools
 
 
@@ -582,34 +576,16 @@ class PagedServingEngine(ServingEngine):
             events.append((req.request_id, tok, done))
             if done:
                 req.done = True
-                self.active[slot] = False
-                self.slots[slot] = None
-                self._free_row(slot)
+                self._release_slot(slot)
         return events
+
+    def _release_slot(self, slot: int) -> None:
+        super()._release_slot(slot)
+        self._free_row(slot)
 
     def _step_speculative_paged(self) -> List[Tuple[int, int, bool]]:
         """One speculative verify dispatch over paged KV for all slots."""
-        from vcoder_tpu.speculative import draft_from_ids
-
-        draft = draft_from_ids(
-            [
-                (req.input_ids + req.generated) if req is not None else None
-                for req in self.slots
-            ],
-            self.spec_k - 1,
-        )
-        budget = np.zeros((self.max_batch,), np.int32)
-        for slot, req in enumerate(self.slots):
-            if req is None or not self.active[slot]:
-                continue
-            budget[slot] = max(
-                1,
-                min(
-                    req.max_new_tokens - len(req.generated),
-                    (self.max_len - 1)
-                    - (req.prompt_len + len(req.generated)),
-                ),
-            )
+        draft, budget = self._spec_host_inputs()
         self.rng, sub = jax.random.split(self.rng)
         with self.timer.measure("decode_step"), self._mesh_ctx():
             out = _paged_spec_decode_all(
@@ -641,39 +617,16 @@ class PagedServingEngine(ServingEngine):
                 ) = pools
             else:
                 self.k_pages, self.v_pages = pools
-            outs_host = np.asarray(outs)
-            emit_host = np.asarray(emit)
+            # ONE device->host sync (every fetch pays a tunnel RTT).
+            outs_host, emit_host = jax.device_get((outs, emit))
         self.lengths += emit_host.astype(np.int32)
-
-        events: List[Tuple[int, int, bool]] = []
-        for slot, req in enumerate(self.slots):
-            if req is None or not self.active[slot]:
-                continue
-            for tok in outs_host[slot, : int(emit_host[slot])]:
-                tok = int(tok)
-                req.generated.append(tok)
-                done = (
-                    tok == self.eos_id
-                    or len(req.generated) >= req.max_new_tokens
-                    or req.prompt_len + len(req.generated)
-                    >= self.max_len - 1
-                )
-                events.append((req.request_id, tok, done))
-                if done:
-                    req.done = True
-                    self.active[slot] = False
-                    self.slots[slot] = None
-                    self._free_row(slot)
-                    break
-        return events
+        return self._emit_window_events(outs_host, emit_host)
 
     def _end_request(self, slot: int, reason: str) -> Request:
         req = self.slots[slot]
         req.done = True
         req.error = reason
-        self.active[slot] = False
-        self.slots[slot] = None
-        self._free_row(slot)
+        self._release_slot(slot)
         return req
 
 

@@ -40,6 +40,13 @@ class WorkerHandler(BaseHTTPRequestHandler):
 
     protocol_version = "HTTP/1.1"
 
+    def setup(self):
+        super().setup()
+        # The generation lock is held while streaming; a stalled client
+        # must error out (releasing the lock) rather than block every
+        # other request's generation forever.
+        self.connection.settimeout(30.0)
+
     def log_message(self, fmt, *args):  # route to the rotating logger
         logger.info("%s - %s" % (self.address_string(), fmt % args))
 

@@ -174,6 +174,38 @@ def build_history(
     return hist, lens
 
 
+def accept_window(
+    outs: jnp.ndarray,  # [B, k] model tokens per window position
+    draft: jnp.ndarray,  # [B, k-1] proposed drafts
+    no_accept: jnp.ndarray,  # [B] bool rows whose drafts never count
+    inactive: jnp.ndarray,  # [B] bool rows that emit 0
+    budget: jnp.ndarray,  # [B] int32 max tokens each row may emit
+    eos_id: int,
+):
+    """Shared window-acceptance rule for every speculative jit
+    (:func:`_spec_step_jit`, engine ``_spec_decode_all``, paged
+    ``_paged_spec_decode_all`` — change it HERE so the paths never
+    diverge): accept the longest prefix of drafts matching ``outs`` plus
+    the model's correction token, cap at the first emitted EOS, then at
+    ``budget``; ``inactive`` rows emit 0. Returns (emit [B], nxt [B])
+    where ``nxt`` is the last emitted token (next step's input; a row
+    that emitted its EOS has ``nxt == eos_id``)."""
+    B, k = outs.shape
+    rows = jnp.arange(B, dtype=jnp.int32)
+    jpos = jnp.arange(k, dtype=jnp.int32)[None, :]
+    match = (outs[:, :-1] == draft) & ~no_accept[:, None]
+    accepted = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
+    emit = accepted + 1
+    is_eos = (outs == eos_id) & (jpos < emit[:, None])
+    has_eos = jnp.any(is_eos, axis=1)
+    first_eos = jnp.min(jnp.where(is_eos, jpos, k), axis=1)
+    emit = jnp.where(has_eos, jnp.minimum(emit, first_eos + 1), emit)
+    emit = jnp.where(inactive, 0, jnp.minimum(emit, budget))
+    last = jnp.clip(emit - 1, 0, k - 1)
+    nxt = outs[rows, last]
+    return emit, nxt
+
+
 # ---------------------------------------------------------------------------
 # One speculative step: draft -> verify -> accept -> state update
 # ---------------------------------------------------------------------------
@@ -229,15 +261,14 @@ def _spec_step_jit(
     logits = llama_mod.lm_head(params["lm"], hidden)  # [B, k, V]
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    match = pred[:, :-1] == draft  # [B, k-1]
-    accepted = jnp.cumprod(match.astype(jnp.int32), axis=1).sum(axis=1)
-    emit = accepted + 1  # tokens this dispatch, 1..k
-    is_eos = (pred == eos_id) & (jpos < emit[:, None])
-    has_eos = jnp.any(is_eos, axis=1)
-    first_eos = jnp.min(jnp.where(is_eos, jpos, k), axis=1)
-    emit = jnp.where(has_eos, jnp.minimum(emit, first_eos + 1), emit)
-    emit = jnp.where(done, 0, emit)
-    emit = jnp.minimum(emit, jnp.maximum(max_new_tokens - cursor, 0))
+    emit, nxt = accept_window(
+        pred,
+        draft,
+        jnp.zeros((B,), bool),  # all rows greedy here
+        done,
+        jnp.maximum(max_new_tokens - cursor, 0),
+        eos_id,
+    )
 
     live = jpos < emit[:, None]
     widx = jnp.where(live, cursor[:, None] + jpos, out_buf.shape[1])
@@ -261,10 +292,12 @@ def _spec_step_jit(
         v_scale=cache.v_scale,
     )
 
-    last = jnp.clip(emit - 1, 0, k - 1)
-    nxt = pred[rows, last]
     cursor = cursor + emit
-    done = done | has_eos | (cursor >= max_new_tokens)
+    done = (
+        done
+        | ((emit > 0) & (nxt == eos_id))  # a row's EOS is its last emit
+        | (cursor >= max_new_tokens)
+    )
     nxt = jnp.where(done, eos_id, nxt)
     return nxt, cache, done, history, hist_len, cursor, out_buf
 
