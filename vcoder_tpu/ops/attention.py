@@ -104,11 +104,12 @@ def multi_head_attention(
     """Dispatching attention. See :func:`xla_attention` for semantics."""
     if impl == "auto":
         impl = "pallas" if _backend() == "tpu" else "xla"
-    if impl == "pallas" and q.shape[1] == 1:
-        # Single-query decode step: the fused-softmax XLA path is a plain
-        # matvec chain that XLA schedules optimally; decode cost is dominated
-        # by weight streaming, not attention. (A dedicated flash-decode
-        # kernel is unnecessary at the reference's 2048+1728-token scale.)
+    if impl == "pallas" and q.shape[1] <= 16:
+        # Decode steps (T=1) and speculative verify windows (T<=16): the
+        # fused-softmax XLA path beats the flash kernel, which pads tiny
+        # query blocks up to its q-block size (measured +3.7 ms/step for
+        # a 7B T=8 verify). Decode cost is weight-streaming dominated
+        # anyway at the reference's 2048+1728-token scale.
         impl = "xla"
     if impl == "pallas" and not causal and q.shape[-1] < 128:
         # Bidirectional small-head-dim attention (the CLIP tower: T=577,
