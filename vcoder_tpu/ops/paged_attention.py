@@ -404,7 +404,7 @@ def sharded_carry_paged_attention_multi(
     window: int, interpret: bool = False,
 ):
     """shard_map'd :func:`carry_paged_attention_multi`."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     row = P(ROW_AXES)
@@ -424,7 +424,7 @@ def sharded_carry_paged_attention_multi(
         mesh=mesh,
         in_specs=(bkh, pool, pool, row, row, P(None)),
         out_specs=(bkh, pool, pool),
-        check_rep=False,
+        check_vma=False,
     )(q, k_pages, v_pages, page_table, lengths, layer)
 
 
@@ -463,7 +463,7 @@ def sharded_append_tokens_layer(
     pages_all, l, token_kv, positions, page_table, active, mesh
 ):
     """shard_map'd :func:`append_tokens_layer` (global ids rebased)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     row = P(ROW_AXES)
@@ -483,7 +483,7 @@ def sharded_append_tokens_layer(
             pool, P(), P(ROW_AXES, None, "model", None), row, row, row,
         ),
         out_specs=pool,
-        check_rep=False,
+        check_vma=False,
     )(pages_all, l, token_kv, positions, page_table, active)
 
 
@@ -688,7 +688,7 @@ def sharded_carry_paged_attention_multi_q8(
     mesh, *, window: int, interpret: bool = False,
 ):
     """shard_map'd :func:`carry_paged_attention_multi_q8`."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     row = P(ROW_AXES)
@@ -709,7 +709,7 @@ def sharded_carry_paged_attention_multi_q8(
         mesh=mesh,
         in_specs=(bkh, pool, pool, spool, spool, row, row, P(None)),
         out_specs=(bkh, pool, pool, spool, spool),
-        check_rep=False,
+        check_vma=False,
     )(q, k_pages, v_pages, k_scale, v_scale, page_table, lengths, layer)
 
 
@@ -739,7 +739,7 @@ def sharded_append_token_scales_layer(
     scales_all, l, token_scales, positions, page_table, active, mesh
 ):
     """shard_map'd :func:`append_token_scales_layer`."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     row = P(ROW_AXES)
@@ -759,7 +759,7 @@ def sharded_append_token_scales_layer(
             spool, P(), P(ROW_AXES, None, "model"), row, row, row,
         ),
         out_specs=spool,
-        check_rep=False,
+        check_vma=False,
     )(
         scales_all,
         l,
@@ -808,7 +808,7 @@ def sharded_carry_paged_attention_q8(
 ):
     """shard_map'd :func:`carry_paged_attention_q8` (rows over data x
     fsdp, heads over model, GLOBAL page ids rebased per shard)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     row = P(ROW_AXES)
@@ -829,7 +829,7 @@ def sharded_carry_paged_attention_q8(
         mesh=mesh,
         in_specs=(bh, pool, pool, spool, spool, row, row, P(None)),
         out_specs=(bh, pool, pool, spool, spool),
-        check_rep=False,
+        check_vma=False,
     )(q, k_pages, v_pages, k_scale, v_scale, page_table, lengths, layer)
 
 
@@ -839,7 +839,7 @@ def sharded_carry_paged_attention(
 ):
     """shard_map'd :func:`carry_paged_attention` (rows over data x fsdp,
     heads over model, GLOBAL page ids rebased per shard)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     row = P(ROW_AXES)
@@ -858,7 +858,7 @@ def sharded_carry_paged_attention(
         mesh=mesh,
         in_specs=(bh, pool, pool, row, row, P(None)),
         out_specs=(bh, pool, pool),
-        check_rep=False,
+        check_vma=False,
     )(q, k_pages, v_pages, page_table, lengths, layer)
 
 
@@ -898,7 +898,7 @@ def sharded_paged_attention(
     per row-shard and stores GLOBAL ids; the wrapper rebases them to local
     pool indices with the shard's offset.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     row = P(ROW_AXES)
@@ -920,7 +920,7 @@ def sharded_paged_attention(
             row,
         ),
         out_specs=P(ROW_AXES, "model", None),
-        check_rep=False,
+        check_vma=False,
     )(q, k_pages, v_pages, page_table, lengths)
 
 
@@ -933,7 +933,7 @@ def sharded_append_token(
     mesh,
 ) -> jnp.ndarray:
     """shard_map'd decode-token append; same layout as the attention."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     row = P(ROW_AXES)
@@ -954,7 +954,7 @@ def sharded_append_token(
             row,
         ),
         out_specs=P(ROW_AXES, "model", None, None),
-        check_rep=False,
+        check_vma=False,
     )(pages, token_kv, page_ids, offsets, active)
 
 
@@ -1021,7 +1021,7 @@ def sharded_append_scale_layer(
     scales_all, l, token_scale, page_ids, offsets, active, mesh
 ):
     """shard_map'd :func:`append_scale_layer` (global ids rebased)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     row = P(ROW_AXES)
@@ -1039,7 +1039,7 @@ def sharded_append_scale_layer(
         mesh=mesh,
         in_specs=(spool, P(), P(ROW_AXES, "model"), row, row, row),
         out_specs=spool,
-        check_rep=False,
+        check_vma=False,
     )(
         scales_all,
         l,
@@ -1060,7 +1060,7 @@ def sharded_append_token_layer(
     mesh,
 ) -> jnp.ndarray:
     """shard_map'd :func:`append_token_layer` (global ids rebased)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     row = P(ROW_AXES)
@@ -1078,7 +1078,7 @@ def sharded_append_token_layer(
         mesh=mesh,
         in_specs=(pool, P(), P(ROW_AXES, "model", None), row, row, row),
         out_specs=pool,
-        check_rep=False,
+        check_vma=False,
     )(pages_all, l, token_kv, page_ids, offsets, active)
 
 
