@@ -92,6 +92,16 @@ def main():
             kv_quant=not args.bf16,  # int8 KV halves the slot-cache HBM
             speculative=spec,
         )
+        # Warmup: compile the prefill buckets + decode graph outside the
+        # timed window (first-mode runs otherwise eat ~2 min of XLA
+        # compiles and the comparison is meaningless).
+        for i in range(2):
+            eng.add_request(
+                prompt(100 + i), images=px, segs=px, depths=px,
+                max_new_tokens=4,
+            )
+        eng.run()
+        eng.timer.samples.clear()
         for i in range(args.requests):
             eng.add_request(
                 prompt(i), images=px, segs=px, depths=px,

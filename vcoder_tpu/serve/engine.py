@@ -300,6 +300,12 @@ class ServingEngine:
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.active = np.zeros((max_batch,), bool)
         self.temps = np.zeros((max_batch,), np.float32)
+        # active/temps only change at admission/completion; cache their
+        # device copies so steady-state decode pays no H2D round trips
+        # for them (each upload costs a tunnel RTT).
+        self._flags_dirty = True
+        self._active_dev = None
+        self._temps_dev = None
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.queue: List[Request] = []
         self._next_id = 0
@@ -348,14 +354,15 @@ class ServingEngine:
             return events + self._step_speculative()
 
         self.rng, sub = jax.random.split(self.rng)
+        active_dev, temps_dev = self._device_flags()
         with self.timer.measure("decode_step"), self._mesh_ctx():
             nxt, self.cache = _decode_all(
                 self.params,
                 self.cfg,
                 self.tokens,
                 self.cache,
-                jnp.asarray(self.active),
-                jnp.asarray(self.temps),
+                active_dev,
+                temps_dev,
                 sub,
                 attn_impl=self.attn_impl,
             )
@@ -378,11 +385,19 @@ class ServingEngine:
                 self._release_slot(slot)
         return events
 
+    def _device_flags(self):
+        if self._flags_dirty:
+            self._active_dev = jnp.asarray(self.active)
+            self._temps_dev = jnp.asarray(self.temps)
+            self._flags_dirty = False
+        return self._active_dev, self._temps_dev
+
     def _release_slot(self, slot: int) -> None:
         """Vacate a finished request's slot (paged engine also frees its
         pages)."""
         self.active[slot] = False
         self.slots[slot] = None
+        self._flags_dirty = True
 
     def _spec_host_inputs(self):
         """Per-slot prompt-lookup drafts + remaining-token budgets for a
@@ -440,17 +455,20 @@ class ServingEngine:
         """One speculative verify dispatch for all slots: up to
         ``spec_k`` tokens per greedy row, 1 per sampling row."""
         draft, budget = self._spec_host_inputs()
+        # draft + budget ride ONE host->device transfer.
+        db = jnp.asarray(np.concatenate([draft, budget[:, None]], axis=1))
+        active_dev, temps_dev = self._device_flags()
         self.rng, sub = jax.random.split(self.rng)
         with self.timer.measure("decode_step"), self._mesh_ctx():
             outs, emit, nxt, self.cache = _spec_decode_all(
                 self.params,
                 self.cfg,
                 self.tokens,
-                jnp.asarray(draft),
+                db[:, :-1],
                 self.cache,
-                jnp.asarray(self.active),
-                jnp.asarray(budget),
-                jnp.asarray(self.temps),
+                active_dev,
+                db[:, -1],
+                temps_dev,
                 sub,
                 eos_id=self.eos_id,
                 attn_impl=self.attn_impl,
@@ -586,6 +604,7 @@ class ServingEngine:
             self.slots[slot] = req
             self.active[slot] = True
             self.temps[slot] = req.temperature
+            self._flags_dirty = True
             self.tokens = self.tokens.at[slot].set(first_tok)
             done = first_tok == self.eos_id or req.max_new_tokens <= 1
             events.append((req.request_id, first_tok, done))

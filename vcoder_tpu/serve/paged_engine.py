@@ -381,9 +381,20 @@ class PagedServingEngine(ServingEngine):
         ]
         self.row_pages: List[List[int]] = [[] for _ in range(max_batch)]
         self.lengths = np.zeros((max_batch,), np.int32)
+        # The page table only changes at prefill/allocation/free; cache
+        # its device copy so steady-state decode skips the H2D upload.
+        self._table_dirty = True
+        self._table_dev = None
         self.table = np.zeros((max_batch, self.p_max), np.int32)
         for slot in range(max_batch):
             self.table[slot, :] = self._shard_of(slot) * per
+
+
+    def _device_table(self):
+        if self._table_dirty:
+            self._table_dev = jnp.asarray(self.table)
+            self._table_dirty = False
+        return self._table_dev
 
     def _shard_of(self, slot: int) -> int:
         return slot // self.rows_per_shard
@@ -411,6 +422,7 @@ class PagedServingEngine(ServingEngine):
         self.row_pages[slot] = []
         self.lengths[slot] = 0
         self.table[slot, :] = shard * self.pages_per_shard
+        self._table_dirty = True
 
     # ---- request lifecycle ----
 
@@ -491,6 +503,7 @@ class PagedServingEngine(ServingEngine):
         self.lengths[slot] = req.prompt_len
         self.table[slot, :] = self._shard_of(slot) * self.pages_per_shard
         self.table[slot, :n_used] = ids
+        self._table_dirty = True
         return self._sample_first(logits, req)
 
     def _ensure_pages(self, events) -> None:
@@ -522,6 +535,7 @@ class PagedServingEngine(ServingEngine):
                 idx = len(self.row_pages[slot])
                 self.row_pages[slot].append(pid)
                 self.table[slot, idx] = pid
+                self._table_dirty = True
 
     def step(self) -> List[Tuple[int, int, bool]]:
         events = self._admit()
@@ -535,6 +549,8 @@ class PagedServingEngine(ServingEngine):
             return events + self._step_speculative_paged()
 
         self.rng, sub = jax.random.split(self.rng)
+        table_dev = self._device_table()
+        active_dev, temps_dev = self._device_flags()
         with self.timer.measure("decode_step"), self._mesh_ctx():
             (
                 nxt,
@@ -550,10 +566,10 @@ class PagedServingEngine(ServingEngine):
                 self.v_pages,
                 self.k_scale,
                 self.v_scale,
-                jnp.asarray(self.table),
+                table_dev,
                 jnp.asarray(self.lengths),
-                jnp.asarray(self.active),
-                jnp.asarray(self.temps),
+                active_dev,
+                temps_dev,
                 sub,
                 sharded=self.mesh is not None,
             )
@@ -586,22 +602,26 @@ class PagedServingEngine(ServingEngine):
     def _step_speculative_paged(self) -> List[Tuple[int, int, bool]]:
         """One speculative verify dispatch over paged KV for all slots."""
         draft, budget = self._spec_host_inputs()
+        # draft + budget ride ONE host->device transfer.
+        db = jnp.asarray(np.concatenate([draft, budget[:, None]], axis=1))
+        table_dev = self._device_table()
+        active_dev, temps_dev = self._device_flags()
         self.rng, sub = jax.random.split(self.rng)
         with self.timer.measure("decode_step"), self._mesh_ctx():
             out = _paged_spec_decode_all(
                 self.params,
                 self.cfg,
                 self.tokens,
-                jnp.asarray(draft),
+                db[:, :-1],
                 self.k_pages,
                 self.v_pages,
                 self.k_scale,
                 self.v_scale,
-                jnp.asarray(self.table),
+                table_dev,
                 jnp.asarray(self.lengths),
-                jnp.asarray(self.active),
-                jnp.asarray(budget),
-                jnp.asarray(self.temps),
+                active_dev,
+                db[:, -1],
+                temps_dev,
                 sub,
                 eos_id=self.eos_id,
                 sharded=self.mesh is not None,
