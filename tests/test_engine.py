@@ -268,3 +268,29 @@ def test_spec_engine_multichip_matches_single(setup):
         res = eng.run()
         outs[name] = [res[r] for r in rids]
     assert outs["multi"] == outs["single"]
+
+
+def test_sync_every_matches_per_step(setup):
+    """Windowed host sync (sync_every=4) must produce identical tokens
+    per request as per-step sync — fetch batching only changes when the
+    host learns about tokens, never the tokens."""
+    cfg, params, px = setup
+    ref = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla"
+    )
+    win = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla",
+        sync_every=4,
+    )
+    outs = {}
+    for name, eng in (("ref", ref), ("win", win)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, depths=px,
+                max_new_tokens=7,
+            )
+            for i in range(4)  # 4 requests through 2 slots: reuse under
+        ]                      # windowed sync exercises the drain guard
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["win"] == outs["ref"]

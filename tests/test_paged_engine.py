@@ -650,3 +650,30 @@ def test_paged_spec_engine_multichip_matches_single(setup):
         res = eng.run()
         outs[name] = [res[r] for r in rids]
     assert outs["multi"] == outs["single"]
+
+
+def test_paged_sync_every_matches_per_step(setup):
+    """Windowed host sync on the paged engine: identical tokens, pages
+    fully recycled despite finished rows decoding garbage steps until
+    the next drain."""
+    cfg, params, px = setup
+    ref = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla",
+    )
+    win = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla", sync_every=4,
+    )
+    outs = {}
+    for name, eng in (("ref", ref), ("win", win)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, max_new_tokens=7
+            )
+            for i in range(4)
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["win"] == outs["ref"]
+    assert all(not p for p in win.row_pages)

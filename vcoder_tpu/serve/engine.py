@@ -272,6 +272,7 @@ class ServingEngine:
         kv_quant: bool = False,
         mesh=None,
         speculative: int = 0,
+        sync_every: int = 1,
     ):
         self.cfg = cfg
         self.params = params
@@ -286,6 +287,17 @@ class ServingEngine:
         # stay identical to the plain engine.
         self.spec_k = speculative if speculative >= 2 else 0
         self.cache_len = max_len + self.spec_k
+        # Windowed host sync: dispatch ``sync_every`` decode steps
+        # back-to-back and fetch their tokens in ONE device->host round
+        # trip (each blocking fetch through the tunnel costs ~45 ms of
+        # RTT on top of the ~16 ms step — measured 60 ms/step at
+        # sync_every=1). Finished rows decode up to sync_every-1 garbage
+        # steps before the host notices; their cache writes are masked
+        # on reuse. Speculative mode keeps per-step sync (host drafting
+        # needs the freshest tokens) and already amortizes ~k tokens per
+        # fetch.
+        self.sync_every = max(1, int(sync_every))
+        self._pending: List = []  # (device tokens, active snapshot)
         # Multi-chip serving: slot rows shard over data x fsdp, attention
         # heads over model; the dense graphs partition via GSPMD from the
         # cache/param NamedShardings (paged engine handles its own pools).
@@ -346,9 +358,15 @@ class ServingEngine:
     def step(self) -> List[Tuple[int, int, bool]]:
         """Admit queued requests into free slots (prefill), then run one
         decode step. Returns (request_id, token, done) events, including
-        the prefill-sampled FIRST token of newly admitted requests."""
+        the prefill-sampled FIRST token of newly admitted requests.
+
+        With ``sync_every > 1`` events arrive in bursts: most steps only
+        dispatch (returning admission events at most), every
+        ``sync_every``-th step fetches the window's tokens in one round
+        trip and returns its decode events."""
         events = self._admit()
         if not any(self.active):
+            events += self._drain_pending()
             return events
         if self.spec_k:
             return events + self._step_speculative()
@@ -367,22 +385,37 @@ class ServingEngine:
                 attn_impl=self.attn_impl,
             )
             self.tokens = nxt
-            nxt_host = np.asarray(nxt)
+            self._pending.append((nxt, self.active.copy()))
+        if len(self._pending) >= self.sync_every:
+            events += self._drain_pending()
+        return events
 
-        for slot, req in enumerate(self.slots):
-            if req is None or not self.active[slot]:
-                continue
-            tok = int(nxt_host[slot])
-            req.generated.append(tok)
-            done = (
-                tok == self.eos_id
-                or len(req.generated) >= req.max_new_tokens
-                or req.prompt_len + len(req.generated) >= self.max_len - 1
-            )
-            events.append((req.request_id, tok, done))
-            if done:
-                req.done = True
-                self._release_slot(slot)
+    def _drain_pending(self) -> List[Tuple[int, int, bool]]:
+        """Fetch all dispatched-but-unread step tokens in ONE round trip
+        and emit their events in dispatch order."""
+        if not self._pending:
+            return []
+        with self.timer.measure("sync"):
+            toks_host = jax.device_get(tuple(t for t, _ in self._pending))
+        snapshots = [a for _, a in self._pending]
+        self._pending = []
+        events: List[Tuple[int, int, bool]] = []
+        for nxt_host, was_active in zip(toks_host, snapshots):
+            for slot, req in enumerate(self.slots):
+                if req is None or not was_active[slot] or not self.active[slot]:
+                    continue
+                tok = int(nxt_host[slot])
+                req.generated.append(tok)
+                done = (
+                    tok == self.eos_id
+                    or len(req.generated) >= req.max_new_tokens
+                    or req.prompt_len + len(req.generated)
+                    >= self.max_len - 1
+                )
+                events.append((req.request_id, tok, done))
+                if done:
+                    req.done = True
+                    self._release_slot(slot)
         return events
 
     def _device_flags(self):
@@ -583,6 +616,10 @@ class ServingEngine:
     def _admit(self) -> List[Tuple[int, int, bool]]:
         """Fill free slots from the queue; returns first-token events."""
         events: List[Tuple[int, int, bool]] = []
+        if self.queue and self._pending and not all(self.active):
+            # Never admit over undrained steps: pending tokens in a free
+            # slot belong to its previous occupant.
+            events += self._drain_pending()
         while self.queue and not all(self.active):
             slot = int(np.nonzero(~self.active)[0][0])
             req = self.queue.pop(0)

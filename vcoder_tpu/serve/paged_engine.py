@@ -271,6 +271,7 @@ class PagedServingEngine(ServingEngine):
         mesh=None,
         kv_quant: bool = False,
         speculative: int = 0,
+        sync_every: int = 1,
     ):
         assert max_len % page_size == 0, (
             f"max_len {max_len} must be a multiple of page_size {page_size}"
@@ -310,6 +311,7 @@ class PagedServingEngine(ServingEngine):
             attn_impl=attn_impl,
             seed=seed,
             speculative=speculative,
+            sync_every=sync_every,
         )
         # Speculative windows may overshoot a row's accepted length by up
         # to spec_k rejected tokens; the table covers that slack so the
@@ -518,6 +520,11 @@ class PagedServingEngine(ServingEngine):
             pos_last = int(self.lengths[slot]) + horizon - 1
             needed_total = pos_last // self.page_size + 1
             if needed_total > self.p_max:
+                # Undrained window tokens may already have finished this
+                # row; sync before concluding it ran out of context.
+                events += self._drain_pending()
+                if not self.active[slot]:
+                    continue
                 ended = self._end_request(
                     slot, "context reached max_len"
                 )
@@ -540,10 +547,12 @@ class PagedServingEngine(ServingEngine):
     def step(self) -> List[Tuple[int, int, bool]]:
         events = self._admit()
         if not any(self.active):
+            events += self._drain_pending()
             return events
 
         self._ensure_pages(events)
         if not any(self.active):
+            events += self._drain_pending()
             return events
         if self.spec_k:
             return events + self._step_speculative_paged()
@@ -574,25 +583,10 @@ class PagedServingEngine(ServingEngine):
                 sharded=self.mesh is not None,
             )
             self.tokens = nxt
-            nxt_host = np.asarray(nxt)
+            self._pending.append((nxt, self.active.copy()))
         self.lengths += self.active.astype(np.int32)
-
-        for slot, req in enumerate(self.slots):
-            if req is None or not self.active[slot]:
-                continue
-            tok = int(nxt_host[slot])
-            req.generated.append(tok)
-            # Same cap expression as the slot engine (token-for-token
-            # parity when the max_len cap binds).
-            done = (
-                tok == self.eos_id
-                or len(req.generated) >= req.max_new_tokens
-                or req.prompt_len + len(req.generated) >= self.max_len - 1
-            )
-            events.append((req.request_id, tok, done))
-            if done:
-                req.done = True
-                self._release_slot(slot)
+        if len(self._pending) >= self.sync_every:
+            events += self._drain_pending()
         return events
 
     def _release_slot(self, slot: int) -> None:
