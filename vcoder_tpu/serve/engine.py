@@ -181,6 +181,46 @@ def _decode_all(
 
 @partial(
     jax.jit,
+    static_argnames=("cfg", "steps", "attn_impl"),
+    donate_argnums=(3,),
+)
+def _decode_all_n(
+    params,
+    cfg: VCoderConfig,
+    tokens,
+    cache: KVCache,
+    active,
+    temperature,
+    rng,
+    *,
+    steps: int,
+    attn_impl: str,
+):
+    """``steps`` decode steps in ONE on-device loop dispatch; returns
+    ([steps, B] tokens, last tokens, cache). NOTE: bf16 (non-quantized)
+    weights inside fused loops relayout at B>=2 (the round-1 OOM,
+    docs/PERFORMANCE.md) — int8 serving weights are loop-safe; use
+    sync_every=1 for bf16 batched serving."""
+    B = tokens.shape[0]
+    buf = jnp.zeros((steps, B), jnp.int32)
+
+    def body(i, carry):
+        tokens, cache, buf, rng = carry
+        rng, sub = jax.random.split(rng)
+        nxt, cache = _decode_all(
+            params, cfg, tokens, cache, active, temperature, sub,
+            attn_impl=attn_impl,
+        )
+        return nxt, cache, buf.at[i].set(nxt), rng
+
+    tokens, cache, buf, _ = jax.lax.fori_loop(
+        0, steps, body, (tokens, cache, buf, rng)
+    )
+    return buf, tokens, cache
+
+
+@partial(
+    jax.jit,
     static_argnames=("cfg", "eos_id", "attn_impl"),
     donate_argnums=(4,),
 )
@@ -286,18 +326,20 @@ class ServingEngine:
         # The slot cache gets k tokens of slack so the admission/cap rules
         # stay identical to the plain engine.
         self.spec_k = speculative if speculative >= 2 else 0
-        self.cache_len = max_len + self.spec_k
-        # Windowed host sync: dispatch ``sync_every`` decode steps
-        # back-to-back and fetch their tokens in ONE device->host round
-        # trip (each blocking fetch through the tunnel costs ~45 ms of
-        # RTT on top of the ~16 ms step — measured 60 ms/step at
-        # sync_every=1). Finished rows decode up to sync_every-1 garbage
-        # steps before the host notices; their cache writes are masked
-        # on reuse. Speculative mode keeps per-step sync (host drafting
-        # needs the freshest tokens) and already amortizes ~k tokens per
-        # fetch.
+        self.cache_len = max_len + max(
+            self.spec_k, max(1, int(sync_every))
+        )
+        # Windowed decode: ``sync_every = N`` runs N decode steps in ONE
+        # on-device fori_loop dispatch and fetches the [N, B] token block
+        # in one round trip. Through the tunnel a dispatch costs ~15 ms
+        # to submit and a blocking fetch ~40 ms, vs ~16 ms device compute
+        # per step (measured: 60 ms/step fully synced, 31 ms dispatch-
+        # chained, ~16 ms fused). Finished rows decode up to N-1 garbage
+        # steps before the host notices; their cache writes are masked on
+        # slot reuse. Speculative mode keeps per-dispatch sync (host
+        # drafting needs the freshest tokens) and already amortizes ~k
+        # tokens per fetch.
         self.sync_every = max(1, int(sync_every))
-        self._pending: List = []  # (device tokens, active snapshot)
         # Multi-chip serving: slot rows shard over data x fsdp, attention
         # heads over model; the dense graphs partition via GSPMD from the
         # cache/param NamedShardings (paged engine handles its own pools).
@@ -360,13 +402,10 @@ class ServingEngine:
         decode step. Returns (request_id, token, done) events, including
         the prefill-sampled FIRST token of newly admitted requests.
 
-        With ``sync_every > 1`` events arrive in bursts: most steps only
-        dispatch (returning admission events at most), every
-        ``sync_every``-th step fetches the window's tokens in one round
-        trip and returns its decode events."""
+        With ``sync_every = N > 1``, each step() runs N decode steps in
+        one on-device loop dispatch and returns all N steps' events."""
         events = self._admit()
         if not any(self.active):
-            events += self._drain_pending()
             return events
         if self.spec_k:
             return events + self._step_speculative()
@@ -374,7 +413,7 @@ class ServingEngine:
         self.rng, sub = jax.random.split(self.rng)
         active_dev, temps_dev = self._device_flags()
         with self.timer.measure("decode_step"), self._mesh_ctx():
-            nxt, self.cache = _decode_all(
+            toks, self.tokens, self.cache = _decode_all_n(
                 self.params,
                 self.cfg,
                 self.tokens,
@@ -382,29 +421,23 @@ class ServingEngine:
                 active_dev,
                 temps_dev,
                 sub,
+                steps=self.sync_every,
                 attn_impl=self.attn_impl,
             )
-            self.tokens = nxt
-            self._pending.append((nxt, self.active.copy()))
-        if len(self._pending) >= self.sync_every:
-            events += self._drain_pending()
-        return events
+            toks_host = jax.device_get(toks)  # [N, B], ONE round trip
+        return events + self._emit_step_events(toks_host)
 
-    def _drain_pending(self) -> List[Tuple[int, int, bool]]:
-        """Fetch all dispatched-but-unread step tokens in ONE round trip
-        and emit their events in dispatch order."""
-        if not self._pending:
-            return []
-        with self.timer.measure("sync"):
-            toks_host = jax.device_get(tuple(t for t, _ in self._pending))
-        snapshots = [a for _, a in self._pending]
-        self._pending = []
+    def _emit_step_events(self, toks_host) -> List[Tuple[int, int, bool]]:
+        """Emit events for an [N, B] block of decoded tokens in step
+        order; a row's tokens past its done condition are discarded (the
+        device keeps decoding it until the window ends; those cache
+        writes are masked on slot reuse)."""
         events: List[Tuple[int, int, bool]] = []
-        for nxt_host, was_active in zip(toks_host, snapshots):
+        for n in range(toks_host.shape[0]):
             for slot, req in enumerate(self.slots):
-                if req is None or not was_active[slot] or not self.active[slot]:
+                if req is None or not self.active[slot]:
                     continue
-                tok = int(nxt_host[slot])
+                tok = int(toks_host[n, slot])
                 req.generated.append(tok)
                 done = (
                     tok == self.eos_id
@@ -616,10 +649,6 @@ class ServingEngine:
     def _admit(self) -> List[Tuple[int, int, bool]]:
         """Fill free slots from the queue; returns first-token events."""
         events: List[Tuple[int, int, bool]] = []
-        if self.queue and self._pending and not all(self.active):
-            # Never admit over undrained steps: pending tokens in a free
-            # slot belong to its previous occupant.
-            events += self._drain_pending()
         while self.queue and not all(self.active):
             slot = int(np.nonzero(~self.active)[0][0])
             req = self.queue.pop(0)

@@ -190,6 +190,62 @@ def _paged_decode_all(
 
 @partial(
     jax.jit,
+    static_argnames=("cfg", "steps", "sharded"),
+    donate_argnums=(3, 4, 5, 6),
+)
+def _paged_decode_all_n(
+    params,
+    cfg: VCoderConfig,
+    tokens,
+    k_pages,
+    v_pages,
+    k_scale,
+    v_scale,
+    page_table,
+    lengths,  # [B] tokens BEFORE the window
+    active,
+    temperature,
+    rng,
+    *,
+    steps: int,
+    sharded: bool = False,
+):
+    """``steps`` paged decode steps in ONE on-device loop dispatch
+    (engine windowed sync; see ServingEngine). Returns ([steps, B]
+    tokens, last tokens, pools). Per-row lengths advance by ``active``
+    inside the loop; the host adds steps*active after."""
+    B = tokens.shape[0]
+    buf = jnp.zeros((steps, B), jnp.int32)
+    act32 = active.astype(jnp.int32)
+
+    def body(i, carry):
+        tokens, k_pages, v_pages, k_scale, v_scale, buf, rng = carry
+        rng, sub = jax.random.split(rng)
+        nxt, k_pages, v_pages, k_scale, v_scale = _paged_decode_all(
+            params,
+            cfg,
+            tokens,
+            k_pages,
+            v_pages,
+            k_scale,
+            v_scale,
+            page_table,
+            lengths + i * act32,
+            active,
+            temperature,
+            sub,
+            sharded=sharded,
+        )
+        return nxt, k_pages, v_pages, k_scale, v_scale, buf.at[i].set(nxt), rng
+
+    tokens, k_pages, v_pages, k_scale, v_scale, buf, _ = jax.lax.fori_loop(
+        0, steps, body, (tokens, k_pages, v_pages, k_scale, v_scale, buf, rng)
+    )
+    return buf, tokens, k_pages, v_pages, k_scale, v_scale
+
+
+@partial(
+    jax.jit,
     static_argnames=("cfg", "eos_id", "sharded"),
     donate_argnums=(4, 5, 6, 7),
 )
@@ -313,10 +369,13 @@ class PagedServingEngine(ServingEngine):
             speculative=speculative,
             sync_every=sync_every,
         )
-        # Speculative windows may overshoot a row's accepted length by up
-        # to spec_k rejected tokens; the table covers that slack so the
-        # write never needs a page past p_max.
-        self.p_max = -(-(max_len + self.spec_k) // page_size)
+        # Speculative windows overshoot a row's accepted length by up to
+        # spec_k rejected tokens, and sync windows by up to sync_every-1
+        # late-discovered tokens; the table covers that slack so writes
+        # never need a page past p_max.
+        self.p_max = -(
+            -(max_len + max(self.spec_k, self.sync_every)) // page_size
+        )
         if total_pages is None:
             # Default: enough for every slot at max_len plus a per-shard
             # sentinel + scratch. Set lower to oversubscribe (the point of
@@ -513,18 +572,13 @@ class PagedServingEngine(ServingEngine):
         token, or the speculative window). A row that cannot get one is
         preempted (ended) rather than corrupting the pool or killing the
         whole engine."""
-        horizon = self.spec_k if self.spec_k else 1
+        horizon = self.spec_k if self.spec_k else self.sync_every
         for slot in range(self.max_batch):
             if not self.active[slot]:
                 continue
             pos_last = int(self.lengths[slot]) + horizon - 1
             needed_total = pos_last // self.page_size + 1
             if needed_total > self.p_max:
-                # Undrained window tokens may already have finished this
-                # row; sync before concluding it ran out of context.
-                events += self._drain_pending()
-                if not self.active[slot]:
-                    continue
                 ended = self._end_request(
                     slot, "context reached max_len"
                 )
@@ -547,12 +601,10 @@ class PagedServingEngine(ServingEngine):
     def step(self) -> List[Tuple[int, int, bool]]:
         events = self._admit()
         if not any(self.active):
-            events += self._drain_pending()
             return events
 
         self._ensure_pages(events)
         if not any(self.active):
-            events += self._drain_pending()
             return events
         if self.spec_k:
             return events + self._step_speculative_paged()
@@ -562,12 +614,13 @@ class PagedServingEngine(ServingEngine):
         active_dev, temps_dev = self._device_flags()
         with self.timer.measure("decode_step"), self._mesh_ctx():
             (
-                nxt,
+                toks,
+                self.tokens,
                 self.k_pages,
                 self.v_pages,
                 self.k_scale,
                 self.v_scale,
-            ) = _paged_decode_all(
+            ) = _paged_decode_all_n(
                 self.params,
                 self.cfg,
                 self.tokens,
@@ -580,14 +633,12 @@ class PagedServingEngine(ServingEngine):
                 active_dev,
                 temps_dev,
                 sub,
+                steps=self.sync_every,
                 sharded=self.mesh is not None,
             )
-            self.tokens = nxt
-            self._pending.append((nxt, self.active.copy()))
-        self.lengths += self.active.astype(np.int32)
-        if len(self._pending) >= self.sync_every:
-            events += self._drain_pending()
-        return events
+            toks_host = jax.device_get(toks)  # [N, B], ONE round trip
+        self.lengths += self.sync_every * self.active.astype(np.int32)
+        return events + self._emit_step_events(toks_host)
 
     def _release_slot(self, slot: int) -> None:
         super()._release_slot(slot)
