@@ -330,7 +330,15 @@ def llama_forward(
         x = residual + mlp
         return (x, kv), None
 
-    if remat:
+    if remat == "dots":
+        # Save matmul outputs, recompute elementwise — trades a little
+        # activation memory for skipping most of the recompute that full
+        # per-layer remat pays in the backward.
+        layer = jax.checkpoint(
+            layer,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    elif remat:
         layer = jax.checkpoint(layer)
 
     L = jax.tree_util.tree_leaves(params["layers"])[0].shape[0]

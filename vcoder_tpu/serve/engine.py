@@ -340,6 +340,19 @@ class ServingEngine:
         # drafting needs the freshest tokens) and already amortizes ~k
         # tokens per fetch.
         self.sync_every = max(1, int(sync_every))
+        if self.sync_every > 1 and jax.default_backend() == "tpu":
+            qp = params["lm"]["layers"]["q_proj"]
+            if not hasattr(qp, "q"):  # not a QuantizedTensor
+                import warnings
+
+                warnings.warn(
+                    "sync_every > 1 with bf16 weights: XLA's loop layout"
+                    " assignment relayouts the stacked projections inside"
+                    " fused decode loops at B>=2 (~1 GB copies each, can"
+                    " OOM at 7B — docs/PERFORMANCE.md). Use int8 weights"
+                    " or sync_every=1.",
+                    stacklevel=3,
+                )
         # Multi-chip serving: slot rows shard over data x fsdp, attention
         # heads over model; the dense graphs partition via GSPMD from the
         # cache/param NamedShardings (paged engine handles its own pools).
