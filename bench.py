@@ -313,7 +313,7 @@ def main():
     # the cache bytes each step streams, so more rows amortize the int8
     # weight pass; page_size 128 per the Mosaic scale-DMA tiling) ---
     page_q = 128
-    Bq = 16
+    Bq = 32
     pq_max = (T + page_q) // page_q
     nq_pages = Bq * pq_max + 2
     kq_pages = jnp.zeros((L, nq_pages, KH, page_q, HD), jnp.int8)
@@ -437,7 +437,7 @@ def main():
     batch_tr = _example_batch(cfg, batch_size=B_tr, with_labels=True)
     optimizer = make_optimizer(1e-3, total_steps=100)
     opt_state = init_opt_state(qparams7, optimizer, "vcoder_ds")
-    tstep = make_train_step(cfg, optimizer, stage="vcoder_ds", remat=True)
+    tstep = make_train_step(cfg, optimizer, stage="vcoder_ds", remat="dots")
     params_t, opt_state, metrics = tstep(qparams7, opt_state, batch_tr)
     jax_block(metrics["loss"])
     n_tr = 5
@@ -457,8 +457,8 @@ def main():
         f"decode_int8={tok_per_s_int8:.1f} tok/s  "
         f"serve_int8_B8={serve_tok_per_s:.1f} tok/s aggregate  "
         f"paged_int8_B8={paged_tok_per_s:.1f} tok/s aggregate  "
-        f"paged_q8kv_B16={paged_q8_tok_per_s:.1f} tok/s aggregate "
-        f"(int8 pages, page=128)  "
+        f"paged_q8kv_B32={paged_q8_tok_per_s:.1f} tok/s aggregate "
+        f"(int8 pages, page=128, B=32)  "
         f"train_vcoder_ds_7b={train_step_ms:.0f} ms/step "
         f"({train_tok_s:.0f} tok/s, B={B_tr}, int8 base, remat)  "
         f"13b_ttft={ttft13_ms:.1f} ms p50 (int8)  "

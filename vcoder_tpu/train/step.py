@@ -122,7 +122,7 @@ def make_train_step(
     *,
     stage: str = "vcoder_ds",
     attn_impl: str = "auto",
-    remat: bool = True,
+    remat="dots",
 ) -> Callable:
     """Build the jitted train step.
 

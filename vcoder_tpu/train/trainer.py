@@ -71,7 +71,7 @@ class TrainArgs:
     model_max_length: int = 2048
     group_by_modality_length: bool = True
     seed: int = 42
-    remat: bool = True
+    remat: object = "dots"  # True | "dots" | False
     attn_impl: str = "auto"
 
 
