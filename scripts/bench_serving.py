@@ -85,8 +85,10 @@ def main():
     results = {}
     for mode, spec, sync in (
         ("plain", 0, 1),
-        ("windowed", 0, 8),  # batch 8 decode dispatches per host fetch
+        ("windowed", 0, 8),  # 8 decode steps per dispatch+fetch
         ("spec", args.lookahead, 1),
+        ("spec-fused", args.lookahead, 8),  # 8 verifies per dispatch,
+        # device-resident drafting histories
     ):
         eng = ServingEngine(
             cfg,
@@ -140,6 +142,7 @@ def main():
                 "plain_tok_per_s": results["plain"]["tok_per_s"],
                 "windowed_tok_per_s": results["windowed"]["tok_per_s"],
                 "spec_tok_per_s": results["spec"]["tok_per_s"],
+                "spec_fused_tok_per_s": results["spec-fused"]["tok_per_s"],
                 "batch": args.batch,
                 "requests": args.requests,
             }

@@ -294,3 +294,48 @@ def test_sync_every_matches_per_step(setup):
         res = eng.run()
         outs[name] = [res[r] for r in rids]
     assert outs["win"] == outs["ref"]
+
+
+def test_spec_fused_matches_plain(setup):
+    """Fused speculative windows (speculative=k + sync_every=N: N
+    draft+verify steps per dispatch with device-resident histories) must
+    emit token-for-token what the plain engine does."""
+    cfg, params, px = setup
+    plain = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla"
+    )
+    fused = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla",
+        speculative=5, sync_every=3,
+    )
+    assert fused._spec_fused
+    outs = {}
+    for name, eng in (("plain", plain), ("fused", fused)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, depths=px,
+                max_new_tokens=9,
+            )
+            for i in range(4)  # slot reuse under fused windows
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["fused"] == outs["plain"]
+
+
+def test_spec_fused_mixed_temperature(setup):
+    cfg, params, px = setup
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla",
+        speculative=4, sync_every=2, seed=3,
+    )
+    g = eng.add_request(
+        _prompt(0), images=px, segs=px, depths=px, max_new_tokens=6,
+        temperature=0.0,
+    )
+    s = eng.add_request(
+        _prompt(1), images=px, segs=px, depths=px, max_new_tokens=6,
+        temperature=0.9,
+    )
+    res = eng.run()
+    assert len(res[g]) >= 1 and len(res[s]) >= 1

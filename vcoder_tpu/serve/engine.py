@@ -299,6 +299,86 @@ def _spec_decode_all(
     return outs, emit, nxt, cache
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "steps", "lookahead", "eos_id", "attn_impl"),
+    donate_argnums=(3, 4, 5, 6, 7),
+)
+def _spec_decode_all_n(
+    params,
+    cfg: VCoderConfig,
+    tokens,  # [B] current token per slot
+    cache: KVCache,
+    history,  # [B, H] int32 prompt+generated per slot (device-resident)
+    hist_len,  # [B]
+    gen_count,  # [B] tokens generated so far per slot
+    done,  # [B] bool device-side done flags
+    active,  # [B]
+    budget_max,  # [B] total-generation cap per slot
+    temperature,  # [B]
+    rng,
+    *,
+    steps: int,
+    lookahead: int,
+    eos_id: int,
+    attn_impl: str,
+):
+    """``steps`` fused speculative verify steps in ONE dispatch: drafting
+    runs on the device history (speculative.ngram_draft), so no host
+    round trip is needed between verifies. int8 weights are fused-loop
+    safe; bf16 weights relayout (docs/PERFORMANCE.md) — the engine warns.
+
+    Returns (outs_buf [steps, B, k], emit_buf [steps, B], tokens, cache,
+    history, hist_len, gen_count, done).
+    """
+    from vcoder_tpu.speculative import ngram_draft
+
+    B = tokens.shape[0]
+    k = lookahead
+    H = history.shape[1]
+    rows = jnp.arange(B, dtype=jnp.int32)
+    jpos = jnp.arange(k, dtype=jnp.int32)[None, :]
+    outs_buf = jnp.zeros((steps, B, k), jnp.int32)
+    emit_buf = jnp.zeros((steps, B), jnp.int32)
+
+    def body(i, st):
+        (tokens, cache, history, hist_len, gen_count, done,
+         outs_buf, emit_buf, rng) = st
+        rng, sub = jax.random.split(rng)
+        draft = ngram_draft(history, hist_len, k - 1)
+        budget = jnp.maximum(budget_max - gen_count, 0)
+        outs, emit, nxt, cache = _spec_decode_all(
+            params, cfg, tokens, draft, cache, active & ~done, budget,
+            temperature, sub, eos_id=eos_id, attn_impl=attn_impl,
+        )
+        live = jpos < emit[:, None]
+        hidx = jnp.where(live, hist_len[:, None] + jpos, H)
+        history = history.at[rows[:, None], hidx].set(outs, mode="drop")
+        hist_len = jnp.minimum(hist_len + emit, H)
+        gen_count = gen_count + emit
+        done = (
+            done
+            | ((emit > 0) & (nxt == eos_id))
+            | (gen_count >= budget_max)
+        )
+        tokens = jnp.where(emit > 0, nxt, tokens)
+        return (
+            tokens, cache, history, hist_len, gen_count, done,
+            outs_buf.at[i].set(outs), emit_buf.at[i].set(emit), rng,
+        )
+
+    (tokens, cache, history, hist_len, gen_count, done,
+     outs_buf, emit_buf, _) = jax.lax.fori_loop(
+        0, steps, body,
+        (tokens, cache, history, hist_len, gen_count, done,
+         outs_buf, emit_buf, rng),
+    )
+    return (
+        outs_buf, emit_buf, tokens, cache, history, hist_len, gen_count,
+        done,
+    )
+
+
 class ServingEngine:
     def __init__(
         self,
@@ -340,6 +420,23 @@ class ServingEngine:
         # drafting needs the freshest tokens) and already amortizes ~k
         # tokens per fetch.
         self.sync_every = max(1, int(sync_every))
+        # Fused speculative windows: with spec_k AND sync_every > 1, the
+        # slot engine runs sync_every draft+verify steps per dispatch
+        # with device-resident per-slot histories (drafting needs no
+        # host round trip). Paged engine keeps per-dispatch speculation.
+        self._spec_fused = bool(
+            self.spec_k and self.sync_every > 1
+            and type(self) is ServingEngine
+        )
+        if self._spec_fused:
+            self._hist_cap = self.max_len + 8
+            self._history = jnp.full(
+                (max_batch, self._hist_cap), -1, jnp.int32
+            )
+            self._hist_len = jnp.zeros((max_batch,), jnp.int32)
+            self._gen_count = jnp.zeros((max_batch,), jnp.int32)
+            self._done_dev = jnp.ones((max_batch,), bool)
+            self._budget_max = jnp.zeros((max_batch,), jnp.int32)
         if self.sync_every > 1 and jax.default_backend() == "tpu":
             qp = params["lm"]["layers"]["q_proj"]
             if not hasattr(qp, "q"):  # not a QuantizedTensor
@@ -530,9 +627,87 @@ class ServingEngine:
                     break
         return events
 
+    def _on_admitted(self, slot: int, req: Request, first_tok: int,
+                     done: bool) -> None:
+        """Per-admission hook: fused-spec engines sync the slot's device
+        history/draft state."""
+        if not getattr(self, "_spec_fused", False):
+            return
+        row = np.full((self._hist_cap,), -1, np.int32)
+        ids = (list(req.input_ids) + [int(first_tok)])[-self._hist_cap:]
+        row[: len(ids)] = ids
+        self._history = self._history.at[slot].set(jnp.asarray(row))
+        self._hist_len = self._hist_len.at[slot].set(len(ids))
+        self._gen_count = self._gen_count.at[slot].set(1)
+        self._done_dev = self._done_dev.at[slot].set(bool(done))
+        self._budget_max = self._budget_max.at[slot].set(
+            min(
+                req.max_new_tokens,
+                (self.max_len - 1) - req.prompt_len,
+            )
+        )
+
+    def _step_speculative_fused(self) -> List[Tuple[int, int, bool]]:
+        """sync_every fused draft+verify steps in one dispatch; device
+        histories make between-step host syncs unnecessary."""
+        active_dev, temps_dev = self._device_flags()
+        self.rng, sub = jax.random.split(self.rng)
+        with self.timer.measure("decode_step"), self._mesh_ctx():
+            (
+                outs_buf,
+                emit_buf,
+                self.tokens,
+                self.cache,
+                self._history,
+                self._hist_len,
+                self._gen_count,
+                self._done_dev,
+            ) = _spec_decode_all_n(
+                self.params,
+                self.cfg,
+                self.tokens,
+                self.cache,
+                self._history,
+                self._hist_len,
+                self._gen_count,
+                self._done_dev,
+                active_dev,
+                self._budget_max,
+                temps_dev,
+                sub,
+                steps=self.sync_every,
+                lookahead=self.spec_k,
+                eos_id=self.eos_id,
+                attn_impl=self.attn_impl,
+            )
+            # ONE device->host sync for the whole window.
+            outs_host, emit_host = jax.device_get((outs_buf, emit_buf))
+        events: List[Tuple[int, int, bool]] = []
+        for n in range(outs_host.shape[0]):
+            for slot, req in enumerate(self.slots):
+                if req is None or not self.active[slot]:
+                    continue
+                for tok in outs_host[n, slot, : int(emit_host[n, slot])]:
+                    tok = int(tok)
+                    req.generated.append(tok)
+                    done = (
+                        tok == self.eos_id
+                        or len(req.generated) >= req.max_new_tokens
+                        or req.prompt_len + len(req.generated)
+                        >= self.max_len - 1
+                    )
+                    events.append((req.request_id, tok, done))
+                    if done:
+                        req.done = True
+                        self._release_slot(slot)
+                        break
+        return events
+
     def _step_speculative(self) -> List[Tuple[int, int, bool]]:
         """One speculative verify dispatch for all slots: up to
         ``spec_k`` tokens per greedy row, 1 per sampling row."""
+        if getattr(self, "_spec_fused", False):
+            return self._step_speculative_fused()
         draft, budget = self._spec_host_inputs()
         # draft + budget ride ONE host->device transfer.
         db = jnp.asarray(np.concatenate([draft, budget[:, None]], axis=1))
@@ -686,6 +861,7 @@ class ServingEngine:
             self._flags_dirty = True
             self.tokens = self.tokens.at[slot].set(first_tok)
             done = first_tok == self.eos_id or req.max_new_tokens <= 1
+            self._on_admitted(slot, req, first_tok, done)
             events.append((req.request_id, first_tok, done))
             if done:
                 req.done = True
