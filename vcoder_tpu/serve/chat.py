@@ -187,8 +187,13 @@ class Chat:
             top_p=top_p,
             stop_str=stop_str,
             # Greedy requests stream through prompt-lookup speculative
-            # decoding (several tokens per decoder dispatch).
-            lookahead=int(params.get("lookahead") or 8),
+            # decoding (several tokens per decoder dispatch). An explicit
+            # 0/1 disables speculation (exact-parity debugging); only a
+            # missing/None key falls back to the default of 8.
+            lookahead=int(
+                8 if params.get("lookahead", 8) is None
+                else params.get("lookahead", 8)
+            ),
         ):
             generated_text = ori_prompt + text
             if stop_str and generated_text.endswith(stop_str):

@@ -86,14 +86,22 @@ class WorkerHandler(BaseHTTPRequestHandler):
             self.wfile.write(data + b"\r\n")
             self.wfile.flush()
 
-        with self.lock:
-            for chunk in self.chat.generate_stream_gate(params):
-                # generate_stream_gate yields JSON bytes; the NUL byte is
-                # the FastChat message delimiter.
-                send_chunk(
-                    chunk if chunk.endswith(b"\0") else chunk + b"\0"
-                )
-        send_chunk(b"")  # chunked-encoding terminator
+        try:
+            with self.lock:
+                for chunk in self.chat.generate_stream_gate(params):
+                    # generate_stream_gate yields JSON bytes; the NUL byte
+                    # is the FastChat message delimiter.
+                    send_chunk(
+                        chunk if chunk.endswith(b"\0") else chunk + b"\0"
+                    )
+        finally:
+            # Always terminate the chunked response — a mid-stream error
+            # must not leave well-behaved clients waiting on an
+            # unterminated body until their own timeout.
+            try:
+                send_chunk(b"")  # chunked-encoding terminator
+            except OSError:
+                self.close_connection = True
 
 
 def serve(
