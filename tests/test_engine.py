@@ -323,6 +323,113 @@ def test_spec_fused_matches_plain(setup):
     assert outs["fused"] == outs["plain"]
 
 
+def test_sync_every_window_strategies(setup):
+    """Non-quantized params choose the Python-unrolled window (bf16 fori
+    bodies relayout the stacked projections on TPU); int8 params keep the
+    fused fori_loop. Both must match per-step sync token-for-token."""
+    from vcoder_tpu.quant import quantize_params
+
+    cfg, params, px = setup
+    qparams = quantize_params(params, bits=8, destroy=False)
+
+    ref = ServingEngine(
+        cfg, qparams, max_batch=2, max_len=768, attn_impl="xla"
+    )
+    win = ServingEngine(
+        cfg, qparams, max_batch=2, max_len=768, attn_impl="xla",
+        sync_every=4,
+    )
+    assert not win._loop_unroll  # int8: fused fori window
+    fl = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla",
+        sync_every=4,
+    )
+    assert fl._loop_unroll  # float: unrolled window
+
+    outs = {}
+    for name, eng in (("ref", ref), ("win", win)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, depths=px,
+                max_new_tokens=7,
+            )
+            for i in range(3)
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["win"] == outs["ref"]
+
+
+def test_engine_top_p_near_zero_is_greedy(setup):
+    """top_p -> 0 keeps only the argmax token, so a sampling request with
+    a tiny top_p must emit exactly the greedy tokens — proving the
+    per-request top_p vector reaches the decode dispatch."""
+    cfg, params, px = setup
+    greedy_eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla"
+    )
+    topp_eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla", seed=11
+    )
+    g = greedy_eng.add_request(
+        _prompt(0), images=px, segs=px, depths=px, max_new_tokens=6,
+        temperature=0.0,
+    )
+    t = topp_eng.add_request(
+        _prompt(0), images=px, segs=px, depths=px, max_new_tokens=6,
+        temperature=0.9, top_p=1e-9,
+    )
+    assert topp_eng._nucleus() or not topp_eng.active.any()
+    assert topp_eng.run()[t] == greedy_eng.run()[g]
+
+
+def test_engine_top_p_mixed_rows(setup):
+    """A tiny-top_p sampling row next to an unrestricted sampling row:
+    only the restricted row must reduce to greedy."""
+    cfg, params, px = setup
+    greedy_eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla"
+    )
+    mix_eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla", seed=5
+    )
+    g = greedy_eng.add_request(
+        _prompt(0), images=px, segs=px, depths=px, max_new_tokens=5,
+    )
+    a = mix_eng.add_request(
+        _prompt(0), images=px, segs=px, depths=px, max_new_tokens=5,
+        temperature=1.3, top_p=1e-9,
+    )
+    b = mix_eng.add_request(
+        _prompt(1), images=px, segs=px, depths=px, max_new_tokens=5,
+        temperature=1.3, top_p=1.0,
+    )
+    ref = greedy_eng.run()[g]
+    res = mix_eng.run()
+    assert res[a] == ref
+    assert len(res[b]) >= 1
+
+
+def test_spec_engine_top_p(setup):
+    """Sampling rows inside a speculative verify dispatch honor top_p."""
+    cfg, params, px = setup
+    greedy_eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla"
+    )
+    spec_eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla",
+        speculative=4, seed=2,
+    )
+    g = greedy_eng.add_request(
+        _prompt(0), images=px, segs=px, depths=px, max_new_tokens=6,
+    )
+    s = spec_eng.add_request(
+        _prompt(0), images=px, segs=px, depths=px, max_new_tokens=6,
+        temperature=0.8, top_p=1e-9,
+    )
+    assert spec_eng.run()[s] == greedy_eng.run()[g]
+
+
 def test_spec_fused_mixed_temperature(setup):
     cfg, params, px = setup
     eng = ServingEngine(

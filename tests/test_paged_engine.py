@@ -677,3 +677,46 @@ def test_paged_sync_every_matches_per_step(setup):
         outs[name] = [res[r] for r in rids]
     assert outs["win"] == outs["ref"]
     assert all(not p for p in win.row_pages)
+
+
+def test_paged_engine_top_p_near_zero_is_greedy(setup):
+    """Per-request top_p reaches the paged decode dispatch: a sampling
+    request with top_p -> 0 must emit exactly the greedy tokens."""
+    cfg, params, px = setup
+    greedy = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla",
+    )
+    topp = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla", seed=9,
+    )
+    g = greedy.add_request(
+        _prompt(0), images=px, segs=px, max_new_tokens=5, temperature=0.0
+    )
+    t = topp.add_request(
+        _prompt(0), images=px, segs=px, max_new_tokens=5,
+        temperature=1.1, top_p=1e-9,
+    )
+    assert topp.run()[t] == greedy.run()[g]
+
+
+def test_paged_spec_engine_top_p(setup):
+    """top_p in the paged speculative verify dispatch."""
+    cfg, params, px = setup
+    greedy = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla",
+    )
+    spec = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla", speculative=4, seed=3,
+    )
+    g = greedy.add_request(
+        _prompt(0), images=px, segs=px, max_new_tokens=5, temperature=0.0
+    )
+    s = spec.add_request(
+        _prompt(0), images=px, segs=px, max_new_tokens=5,
+        temperature=0.9, top_p=1e-9,
+    )
+    assert spec.run()[s] == greedy.run()[g]

@@ -32,6 +32,29 @@ from vcoder_tpu.models.llama import KVCache
 from vcoder_tpu.multimodal import build_splice_plan, validate_features
 
 
+def nucleus_filter(
+    logits: jnp.ndarray,  # [B, V] (already temperature-scaled)
+    top_p: jnp.ndarray,  # [B] or scalar
+) -> jnp.ndarray:
+    """Mask logits outside each row's top-p nucleus to -inf.
+
+    Keeps tokens until the cumulative prob exceeds top_p; the first token
+    crossing the threshold is kept (HF convention). The single nucleus
+    rule for every sampling path — generate(), the streaming path, and
+    both serving engines — so they can never diverge."""
+    top_p = jnp.asarray(top_p)
+    if top_p.ndim == 1:
+        top_p = top_p[:, None]
+    sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+    sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cumprobs = jnp.cumsum(sorted_probs, axis=-1)
+    keep = cumprobs - sorted_probs < top_p
+    threshold = jnp.min(
+        jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+    )
+    return jnp.where(logits >= threshold, logits, -jnp.inf)
+
+
 def sample_token(
     logits: jnp.ndarray,  # [B, V] f32
     rng: jax.Array,
@@ -44,17 +67,32 @@ def sample_token(
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
     logits = logits / temperature
     if top_p < 1.0:
-        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
-        sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
-        cumprobs = jnp.cumsum(sorted_probs, axis=-1)
-        # Keep tokens until cumulative prob exceeds top_p (the first token
-        # crossing the threshold is kept — HF convention).
-        keep = cumprobs - sorted_probs < top_p
-        threshold = jnp.min(
-            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
-        )
-        logits = jnp.where(logits >= threshold, logits, -jnp.inf)
+        logits = nucleus_filter(logits, top_p)
     return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+
+
+def sample_token_batch(
+    logits: jnp.ndarray,  # [B, V]
+    rng: jax.Array,
+    temperature: jnp.ndarray,  # [B] f32 — rows <= 0 are greedy
+    top_p: jnp.ndarray,  # [B] f32 — rows >= 1 skip the nucleus filter
+    *,
+    nucleus: bool = True,
+) -> jnp.ndarray:
+    """Per-row sampling rule for the serving engines (the vectorized twin
+    of :func:`sample_token` — per-request temperature AND top_p ride as
+    vectors through one [B] decode dispatch). ``nucleus=False`` skips the
+    vocab sort entirely when the engine knows no active row wants it."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    temp_safe = jnp.maximum(temperature, 1e-6)
+    scaled = logits / temp_safe[:, None]
+    if nucleus:
+        # Rows with top_p >= 1 keep every token (the filter is identity
+        # up to -inf on zero-probability tails, which categorical never
+        # draws anyway).
+        scaled = nucleus_filter(scaled, top_p)
+    sampled = jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature > 0.0, sampled, greedy)
 
 
 @dataclasses.dataclass

@@ -60,6 +60,19 @@ def dequantize(w: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
     return (w.q.astype(jnp.float32) * w.scale).astype(dtype)
 
 
+def base_weight_dtype(w):
+    """Effective storage dtype of a weight leaf, unwrapping LoraWeight
+    and QuantizedTensor (a LoRA adapter over an int8 base is int8; a
+    plain or LoRA-wrapped bf16 matrix is bf16). Callers use this to pick
+    execution strategies that depend on whether the stacked projections
+    are quantized (e.g. fused-loop vs unrolled decode windows)."""
+    while type(w).__name__ == "LoraWeight":
+        w = w.base
+    if isinstance(w, QuantizedTensor):
+        return w.q.dtype
+    return w.dtype
+
+
 def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
     """``x @ w`` for plain, quantized, or LoRA-wrapped weights."""
     if isinstance(w, QuantizedTensor):

@@ -57,6 +57,7 @@ class Request:
     depths: Optional[np.ndarray] = None
     max_new_tokens: int = 256
     temperature: float = 0.0
+    top_p: float = 1.0
     # runtime state
     slot: int = -1
     prompt_len: int = 0
@@ -139,7 +140,7 @@ def _prefill_insert(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "attn_impl"),
+    static_argnames=("cfg", "nucleus", "attn_impl"),
     donate_argnums=(3,),
 )
 def _decode_all(
@@ -149,12 +150,16 @@ def _decode_all(
     cache: KVCache,
     active,  # [B_max] bool
     temperature,  # [B_max] f32
+    top_p,  # [B_max] f32
     rng,
     *,
+    nucleus: bool,
     attn_impl: str,
 ):
     """One decode step for every slot; inactive slots are masked out of the
     cache write and their sampled token is ignored by the host."""
+    from vcoder_tpu.generation import sample_token_batch
+
     positions = cache.length  # next position == current length
     embeds = model_mod.llama_mod.embed_tokens(
         params["lm"], tokens[:, None]
@@ -170,18 +175,13 @@ def _decode_all(
         attn_impl=attn_impl,
     )
     logits = model_mod.llama_mod.lm_head(params["lm"], hidden)[:, 0]
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    temp_safe = jnp.maximum(temperature, 1e-6)
-    sampled = jax.random.categorical(
-        rng, logits / temp_safe[:, None], axis=-1
-    ).astype(jnp.int32)
-    nxt = jnp.where(temperature > 0.0, sampled, greedy)
+    nxt = sample_token_batch(logits, rng, temperature, top_p, nucleus=nucleus)
     return nxt, cache
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "attn_impl"),
+    static_argnames=("cfg", "steps", "nucleus", "attn_impl", "unroll"),
     donate_argnums=(3,),
 )
 def _decode_all_n(
@@ -191,16 +191,26 @@ def _decode_all_n(
     cache: KVCache,
     active,
     temperature,
+    top_p,
     rng,
     *,
     steps: int,
+    nucleus: bool,
     attn_impl: str,
+    unroll: bool = False,
 ):
-    """``steps`` decode steps in ONE on-device loop dispatch; returns
-    ([steps, B] tokens, last tokens, cache). NOTE: bf16 (non-quantized)
-    weights inside fused loops relayout at B>=2 (the round-1 OOM,
-    docs/PERFORMANCE.md) — int8 serving weights are loop-safe; use
-    sync_every=1 for bf16 batched serving."""
+    """``steps`` decode steps in ONE dispatch; returns ([steps, B] tokens,
+    last tokens, cache).
+
+    ``unroll=False`` fuses the steps in a ``fori_loop`` — but a loop body
+    closing over bf16 params makes XLA's while-loop layout assignment
+    relayout the stacked q/k/v projections at B>=2 (~1 GB copies each,
+    the round-1 OOM; docs/PERFORMANCE.md). int8 weights are loop-safe.
+    ``unroll=True`` Python-unrolls the window instead: every step's
+    matmuls feed straight from the ENTRY parameters (which XLA never
+    copies), so bf16 batched serving gets the same one-dispatch-per-
+    window amortization — at ``steps``-times the executable size, so
+    keep windows modest (4-8)."""
     B = tokens.shape[0]
     buf = jnp.zeros((steps, B), jnp.int32)
 
@@ -208,20 +218,26 @@ def _decode_all_n(
         tokens, cache, buf, rng = carry
         rng, sub = jax.random.split(rng)
         nxt, cache = _decode_all(
-            params, cfg, tokens, cache, active, temperature, sub,
-            attn_impl=attn_impl,
+            params, cfg, tokens, cache, active, temperature, top_p, sub,
+            nucleus=nucleus, attn_impl=attn_impl,
         )
         return nxt, cache, buf.at[i].set(nxt), rng
 
-    tokens, cache, buf, _ = jax.lax.fori_loop(
-        0, steps, body, (tokens, cache, buf, rng)
-    )
+    if unroll:
+        carry = (tokens, cache, buf, rng)
+        for i in range(steps):
+            carry = body(i, carry)
+        tokens, cache, buf, _ = carry
+    else:
+        tokens, cache, buf, _ = jax.lax.fori_loop(
+            0, steps, body, (tokens, cache, buf, rng)
+        )
     return buf, tokens, cache
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "eos_id", "attn_impl"),
+    static_argnames=("cfg", "eos_id", "nucleus", "attn_impl"),
     donate_argnums=(4,),
 )
 def _spec_decode_all(
@@ -233,9 +249,11 @@ def _spec_decode_all(
     active,  # [B_max] bool
     budget,  # [B_max] int32 tokens each row may still emit (>= 1 if active)
     temperature,  # [B_max] f32
+    top_p,  # [B_max] f32
     rng,
     *,
     eos_id: int,
+    nucleus: bool,
     attn_impl: str,
 ):
     """One speculative verify step for every slot (the engine analogue of
@@ -268,14 +286,15 @@ def _spec_decode_all(
     logits = model_mod.llama_mod.lm_head(params["lm"], hidden)  # [B, k, V]
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    # Sampling rows: draw from the first position, force emit == 1.
-    temp_safe = jnp.maximum(temperature, 1e-6)
-    sampled = jax.random.categorical(
-        rng, logits[:, 0] / temp_safe[:, None], axis=-1
-    ).astype(jnp.int32)
+    # Sampling rows: draw from the first position (temperature + top_p),
+    # force emit == 1; greedy rows keep their argmax.
+    from vcoder_tpu.generation import sample_token_batch
+
     is_sampling = temperature > 0.0
     outs = pred.at[:, 0].set(
-        jnp.where(is_sampling, sampled, pred[:, 0])
+        sample_token_batch(
+            logits[:, 0], rng, temperature, top_p, nucleus=nucleus
+        )
     )
 
     emit, nxt = accept_window(
@@ -301,7 +320,10 @@ def _spec_decode_all(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "lookahead", "eos_id", "attn_impl"),
+    static_argnames=(
+        "cfg", "steps", "lookahead", "eos_id", "nucleus", "attn_impl",
+        "unroll",
+    ),
     donate_argnums=(3, 4, 5, 6, 7),
 )
 def _spec_decode_all_n(
@@ -316,17 +338,22 @@ def _spec_decode_all_n(
     active,  # [B]
     budget_max,  # [B] total-generation cap per slot
     temperature,  # [B]
+    top_p,  # [B]
     rng,
     *,
     steps: int,
     lookahead: int,
     eos_id: int,
+    nucleus: bool,
     attn_impl: str,
+    unroll: bool = False,
 ):
     """``steps`` fused speculative verify steps in ONE dispatch: drafting
     runs on the device history (speculative.ngram_draft), so no host
     round trip is needed between verifies. int8 weights are fused-loop
-    safe; bf16 weights relayout (docs/PERFORMANCE.md) — the engine warns.
+    safe; bf16 weights relayout inside ``fori_loop`` bodies
+    (docs/PERFORMANCE.md) — ``unroll=True`` Python-unrolls the window so
+    every verify's matmuls feed straight from the entry parameters.
 
     Returns (outs_buf [steps, B, k], emit_buf [steps, B], tokens, cache,
     history, hist_len, gen_count, done).
@@ -349,7 +376,8 @@ def _spec_decode_all_n(
         budget = jnp.maximum(budget_max - gen_count, 0)
         outs, emit, nxt, cache = _spec_decode_all(
             params, cfg, tokens, draft, cache, active & ~done, budget,
-            temperature, sub, eos_id=eos_id, attn_impl=attn_impl,
+            temperature, top_p, sub, eos_id=eos_id, nucleus=nucleus,
+            attn_impl=attn_impl,
         )
         live = jpos < emit[:, None]
         hidx = jnp.where(live, hist_len[:, None] + jpos, H)
@@ -367,12 +395,15 @@ def _spec_decode_all_n(
             outs_buf.at[i].set(outs), emit_buf.at[i].set(emit), rng,
         )
 
+    st = (tokens, cache, history, hist_len, gen_count, done,
+          outs_buf, emit_buf, rng)
+    if unroll:
+        for i in range(steps):
+            st = body(i, st)
+    else:
+        st = jax.lax.fori_loop(0, steps, body, st)
     (tokens, cache, history, hist_len, gen_count, done,
-     outs_buf, emit_buf, _) = jax.lax.fori_loop(
-        0, steps, body,
-        (tokens, cache, history, hist_len, gen_count, done,
-         outs_buf, emit_buf, rng),
-    )
+     outs_buf, emit_buf, _) = st
     return (
         outs_buf, emit_buf, tokens, cache, history, hist_len, gen_count,
         done,
@@ -437,19 +468,18 @@ class ServingEngine:
             self._gen_count = jnp.zeros((max_batch,), jnp.int32)
             self._done_dev = jnp.ones((max_batch,), bool)
             self._budget_max = jnp.zeros((max_batch,), jnp.int32)
-        if self.sync_every > 1 and jax.default_backend() == "tpu":
-            qp = params["lm"]["layers"]["q_proj"]
-            if not hasattr(qp, "q"):  # not a QuantizedTensor
-                import warnings
+        # Window-dispatch strategy: int8/int4 projections are fused-loop
+        # safe; bf16 (non-quantized) stacked projections would be
+        # relayouted inside a fori_loop body at B>=2 (~1 GB copies each,
+        # the round-1 OOM — docs/PERFORMANCE.md), so bf16 windows Python-
+        # unroll the steps instead (weights stay entry args, never
+        # copied).
+        from vcoder_tpu.ops.quant import base_weight_dtype
 
-                warnings.warn(
-                    "sync_every > 1 with bf16 weights: XLA's loop layout"
-                    " assignment relayouts the stacked projections inside"
-                    " fused decode loops at B>=2 (~1 GB copies each, can"
-                    " OOM at 7B — docs/PERFORMANCE.md). Use int8 weights"
-                    " or sync_every=1.",
-                    stacklevel=3,
-                )
+        self._loop_unroll = self.sync_every > 1 and not jnp.issubdtype(
+            base_weight_dtype(params["lm"]["layers"]["q_proj"]),
+            jnp.integer,
+        )
         # Multi-chip serving: slot rows shard over data x fsdp, attention
         # heads over model; the dense graphs partition via GSPMD from the
         # cache/param NamedShardings (paged engine handles its own pools).
@@ -464,12 +494,14 @@ class ServingEngine:
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.active = np.zeros((max_batch,), bool)
         self.temps = np.zeros((max_batch,), np.float32)
-        # active/temps only change at admission/completion; cache their
-        # device copies so steady-state decode pays no H2D round trips
-        # for them (each upload costs a tunnel RTT).
+        self.top_ps = np.ones((max_batch,), np.float32)
+        # active/temps/top_ps only change at admission/completion; cache
+        # their device copies so steady-state decode pays no H2D round
+        # trips for them (each upload costs a tunnel RTT).
         self._flags_dirty = True
         self._active_dev = None
         self._temps_dev = None
+        self._top_ps_dev = None
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.queue: List[Request] = []
         self._next_id = 0
@@ -490,6 +522,7 @@ class ServingEngine:
         *,
         max_new_tokens: int = 256,
         temperature: float = 0.0,
+        top_p: float = 1.0,
     ) -> int:
         req = Request(
             request_id=self._next_id,
@@ -499,6 +532,7 @@ class ServingEngine:
             depths=depths,
             max_new_tokens=max_new_tokens,
             temperature=temperature,
+            top_p=top_p,
         )
         self._next_id += 1
         self.queue.append(req)
@@ -521,7 +555,7 @@ class ServingEngine:
             return events + self._step_speculative()
 
         self.rng, sub = jax.random.split(self.rng)
-        active_dev, temps_dev = self._device_flags()
+        active_dev, temps_dev, top_ps_dev = self._device_flags()
         with self.timer.measure("decode_step"), self._mesh_ctx():
             toks, self.tokens, self.cache = _decode_all_n(
                 self.params,
@@ -530,9 +564,12 @@ class ServingEngine:
                 self.cache,
                 active_dev,
                 temps_dev,
+                top_ps_dev,
                 sub,
                 steps=self.sync_every,
+                nucleus=self._nucleus(),
                 attn_impl=self.attn_impl,
+                unroll=self._loop_unroll,
             )
             toks_host = jax.device_get(toks)  # [N, B], ONE round trip
         return events + self._emit_step_events(toks_host)
@@ -565,8 +602,17 @@ class ServingEngine:
         if self._flags_dirty:
             self._active_dev = jnp.asarray(self.active)
             self._temps_dev = jnp.asarray(self.temps)
+            self._top_ps_dev = jnp.asarray(self.top_ps)
             self._flags_dirty = False
-        return self._active_dev, self._temps_dev
+        return self._active_dev, self._temps_dev, self._top_ps_dev
+
+    def _nucleus(self) -> bool:
+        """Static jit flag: only pay the per-step vocab sort when some
+        active sampling row actually restricts top_p (both variants stay
+        in the jit cache, so flipping costs nothing after first use)."""
+        return bool(
+            np.any(self.active & (self.temps > 0.0) & (self.top_ps < 1.0))
+        )
 
     def _release_slot(self, slot: int) -> None:
         """Vacate a finished request's slot (paged engine also frees its
@@ -650,7 +696,7 @@ class ServingEngine:
     def _step_speculative_fused(self) -> List[Tuple[int, int, bool]]:
         """sync_every fused draft+verify steps in one dispatch; device
         histories make between-step host syncs unnecessary."""
-        active_dev, temps_dev = self._device_flags()
+        active_dev, temps_dev, top_ps_dev = self._device_flags()
         self.rng, sub = jax.random.split(self.rng)
         with self.timer.measure("decode_step"), self._mesh_ctx():
             (
@@ -674,11 +720,14 @@ class ServingEngine:
                 active_dev,
                 self._budget_max,
                 temps_dev,
+                top_ps_dev,
                 sub,
                 steps=self.sync_every,
                 lookahead=self.spec_k,
                 eos_id=self.eos_id,
+                nucleus=self._nucleus(),
                 attn_impl=self.attn_impl,
+                unroll=self._loop_unroll,
             )
             # ONE device->host sync for the whole window.
             outs_host, emit_host = jax.device_get((outs_buf, emit_buf))
@@ -711,7 +760,7 @@ class ServingEngine:
         draft, budget = self._spec_host_inputs()
         # draft + budget ride ONE host->device transfer.
         db = jnp.asarray(np.concatenate([draft, budget[:, None]], axis=1))
-        active_dev, temps_dev = self._device_flags()
+        active_dev, temps_dev, top_ps_dev = self._device_flags()
         self.rng, sub = jax.random.split(self.rng)
         with self.timer.measure("decode_step"), self._mesh_ctx():
             outs, emit, nxt, self.cache = _spec_decode_all(
@@ -723,8 +772,10 @@ class ServingEngine:
                 active_dev,
                 db[:, -1],
                 temps_dev,
+                top_ps_dev,
                 sub,
                 eos_id=self.eos_id,
+                nucleus=self._nucleus(),
                 attn_impl=self.attn_impl,
             )
             self.tokens = nxt
@@ -828,9 +879,16 @@ class ServingEngine:
 
     def _sample_first(self, logits, req: Request) -> int:
         if req.temperature > 0.0:
+            from vcoder_tpu.generation import sample_token
+
             self.rng, sub = jax.random.split(self.rng)
             return int(
-                jax.random.categorical(sub, logits / req.temperature)
+                sample_token(
+                    logits[None, :],
+                    sub,
+                    temperature=float(req.temperature),
+                    top_p=float(req.top_p),
+                )[0]
             )
         return int(jnp.argmax(logits))
 
@@ -858,6 +916,7 @@ class ServingEngine:
             self.slots[slot] = req
             self.active[slot] = True
             self.temps[slot] = req.temperature
+            self.top_ps[slot] = req.top_p
             self._flags_dirty = True
             self.tokens = self.tokens.at[slot].set(first_tok)
             done = first_tok == self.eos_id or req.max_new_tokens <= 1

@@ -139,7 +139,7 @@ def _scatter_pages_q8(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "sharded"),
+    static_argnames=("cfg", "nucleus", "sharded"),
     donate_argnums=(3, 4, 5, 6),
 )
 def _paged_decode_all(
@@ -154,9 +154,14 @@ def _paged_decode_all(
     lengths,  # [B]
     active,  # [B] bool
     temperature,  # [B] f32
+    top_p,  # [B] f32
     rng,
+    *,
+    nucleus: bool = False,
     sharded: bool = False,  # jit-cache key: trace reads the ambient mesh
 ):
+    from vcoder_tpu.generation import sample_token_batch
+
     quantized = k_scale is not None and k_scale.ndim == 4
     embeds = llama_mod.embed_tokens(params["lm"], tokens[:, None])
     out = llama_mod.llama_paged_decode(
@@ -179,18 +184,13 @@ def _paged_decode_all(
     else:
         hidden, k_pages, v_pages = out
     logits = llama_mod.lm_head(params["lm"], hidden)[:, 0]
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    temp_safe = jnp.maximum(temperature, 1e-6)
-    sampled = jax.random.categorical(
-        rng, logits / temp_safe[:, None], axis=-1
-    ).astype(jnp.int32)
-    nxt = jnp.where(temperature > 0.0, sampled, greedy)
+    nxt = sample_token_batch(logits, rng, temperature, top_p, nucleus=nucleus)
     return nxt, k_pages, v_pages, k_scale, v_scale
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "sharded"),
+    static_argnames=("cfg", "steps", "nucleus", "sharded", "unroll"),
     donate_argnums=(3, 4, 5, 6),
 )
 def _paged_decode_all_n(
@@ -205,15 +205,20 @@ def _paged_decode_all_n(
     lengths,  # [B] tokens BEFORE the window
     active,
     temperature,
+    top_p,
     rng,
     *,
     steps: int,
+    nucleus: bool = False,
     sharded: bool = False,
+    unroll: bool = False,
 ):
-    """``steps`` paged decode steps in ONE on-device loop dispatch
-    (engine windowed sync; see ServingEngine). Returns ([steps, B]
-    tokens, last tokens, pools). Per-row lengths advance by ``active``
-    inside the loop; the host adds steps*active after."""
+    """``steps`` paged decode steps in ONE dispatch (engine windowed
+    sync; see ServingEngine). Returns ([steps, B] tokens, last tokens,
+    pools). Per-row lengths advance by ``active`` inside the loop; the
+    host adds steps*active after. ``unroll`` Python-unrolls the window
+    for bf16 weights (fori bodies relayout them — see engine
+    _decode_all_n)."""
     B = tokens.shape[0]
     buf = jnp.zeros((steps, B), jnp.int32)
     act32 = active.astype(jnp.int32)
@@ -233,20 +238,26 @@ def _paged_decode_all_n(
             lengths + i * act32,
             active,
             temperature,
+            top_p,
             sub,
+            nucleus=nucleus,
             sharded=sharded,
         )
         return nxt, k_pages, v_pages, k_scale, v_scale, buf.at[i].set(nxt), rng
 
-    tokens, k_pages, v_pages, k_scale, v_scale, buf, _ = jax.lax.fori_loop(
-        0, steps, body, (tokens, k_pages, v_pages, k_scale, v_scale, buf, rng)
-    )
+    carry = (tokens, k_pages, v_pages, k_scale, v_scale, buf, rng)
+    if unroll:
+        for i in range(steps):
+            carry = body(i, carry)
+    else:
+        carry = jax.lax.fori_loop(0, steps, body, carry)
+    tokens, k_pages, v_pages, k_scale, v_scale, buf, _ = carry
     return buf, tokens, k_pages, v_pages, k_scale, v_scale
 
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "eos_id", "sharded"),
+    static_argnames=("cfg", "eos_id", "nucleus", "sharded"),
     donate_argnums=(4, 5, 6, 7),
 )
 def _paged_spec_decode_all(
@@ -263,8 +274,10 @@ def _paged_spec_decode_all(
     active,  # [B] bool
     budget,  # [B] int32
     temperature,  # [B] f32
+    top_p,  # [B] f32
     rng,
     eos_id: int,
+    nucleus: bool = False,
     sharded: bool = False,
 ):
     """Speculative verify step over paged KV (the paged analogue of
@@ -296,12 +309,16 @@ def _paged_spec_decode_all(
     logits = llama_mod.lm_head(params["lm"], hidden)  # [B, k, V]
     pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    temp_safe = jnp.maximum(temperature, 1e-6)
-    sampled = jax.random.categorical(
-        rng, logits[:, 0] / temp_safe[:, None], axis=-1
-    ).astype(jnp.int32)
+    # Sampling rows: temperature + top_p draw from the first position,
+    # force emit == 1; greedy rows keep their argmax.
+    from vcoder_tpu.generation import sample_token_batch
+
     is_sampling = temperature > 0.0
-    outs = pred.at[:, 0].set(jnp.where(is_sampling, sampled, pred[:, 0]))
+    outs = pred.at[:, 0].set(
+        sample_token_batch(
+            logits[:, 0], rng, temperature, top_p, nucleus=nucleus
+        )
+    )
 
     emit, nxt = accept_window(
         outs, draft, is_sampling, ~active, budget, eos_id
@@ -611,7 +628,7 @@ class PagedServingEngine(ServingEngine):
 
         self.rng, sub = jax.random.split(self.rng)
         table_dev = self._device_table()
-        active_dev, temps_dev = self._device_flags()
+        active_dev, temps_dev, top_ps_dev = self._device_flags()
         with self.timer.measure("decode_step"), self._mesh_ctx():
             (
                 toks,
@@ -632,9 +649,12 @@ class PagedServingEngine(ServingEngine):
                 jnp.asarray(self.lengths),
                 active_dev,
                 temps_dev,
+                top_ps_dev,
                 sub,
                 steps=self.sync_every,
+                nucleus=self._nucleus(),
                 sharded=self.mesh is not None,
+                unroll=self._loop_unroll,
             )
             toks_host = jax.device_get(toks)  # [N, B], ONE round trip
         self.lengths += self.sync_every * self.active.astype(np.int32)
@@ -650,7 +670,7 @@ class PagedServingEngine(ServingEngine):
         # draft + budget ride ONE host->device transfer.
         db = jnp.asarray(np.concatenate([draft, budget[:, None]], axis=1))
         table_dev = self._device_table()
-        active_dev, temps_dev = self._device_flags()
+        active_dev, temps_dev, top_ps_dev = self._device_flags()
         self.rng, sub = jax.random.split(self.rng)
         with self.timer.measure("decode_step"), self._mesh_ctx():
             out = _paged_spec_decode_all(
@@ -667,8 +687,10 @@ class PagedServingEngine(ServingEngine):
                 active_dev,
                 db[:, -1],
                 temps_dev,
+                top_ps_dev,
                 sub,
                 eos_id=self.eos_id,
+                nucleus=self._nucleus(),
                 sharded=self.mesh is not None,
             )
             outs, emit, self.tokens = out[0], out[1], out[2]
