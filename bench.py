@@ -182,15 +182,19 @@ def main():
     tok_per_s = n_steps / (time.perf_counter() - t0)
     del cache
 
-    # --- secondary: bf16 BATCHED decode (B=4), single-step pipelined ---
-    # The fused fori-loop decode closes over the params, and XLA's while-
-    # loop layout assignment then materializes ~1 GB relayout copies of
-    # each of the stacked q/k/v projections at B>=2 — the round-1 bf16
-    # batched OOM. Single-step dispatch (the ServingEngine structure) feeds
-    # the weights straight from entry parameters, which XLA never copies;
-    # pipelined async dispatches hide the ~1 ms tunnel latency. int8 KV
-    # keeps B=4x704-token cache within the 16 GB chip next to 14.5 GB of
-    # bf16 weights (kv_quant engine flag; weights stay full bf16).
+    # --- secondary: bf16 BATCHED decode (B=4), windowed fori_loop ---
+    # A fori-loop decode body at B>=2 makes XLA's while-loop layout
+    # assignment re-lay the stacked bf16 q/k/v projections (~1 GB copy
+    # each — the round-1 bf16 batched OOM). Pinning those projections to
+    # the decode-preferred layout FIRST (serve.engine.apply_serving_layout,
+    # what the windowed ServingEngine does at init) compiles the same loop
+    # with zero weight copies, so bf16 gets the one-dispatch-per-window
+    # amortization int8 always had. int8 KV keeps B=4x704-token cache
+    # within the 16 GB chip next to 14.5 GB of bf16 weights (kv_quant
+    # engine flag; weights stay full bf16).
+    from vcoder_tpu.serve.engine import apply_serving_layout
+
+    apply_serving_layout(params)
     B4 = 4
     cache = KVCache.create(cfg.text, B4, S_cache, quantized=True)
     cache = KVCache(
@@ -201,19 +205,12 @@ def main():
         length=jnp.full((B4,), T, jnp.int32),
         k_scale=cache.k_scale, v_scale=cache.v_scale,
     )
-
-    @partial(jax.jit, donate_argnums=(3,))
-    def decode_one(params, tok, pos, cache):
-        logits, cache = model_mod.decode_step(params, cfg, tok, pos, cache)
-        return jnp.argmax(logits, -1).astype(jnp.int32), cache
-
     tok4 = jnp.zeros((B4,), jnp.int32)
     pos4 = jnp.full((B4,), T, jnp.int32)
-    tok4, cache = decode_one(params, tok4, pos4, cache)  # compile
+    tok4, cache = decode_n(params, tok4, pos4, cache)  # compile
     jax_block(tok4)
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        tok4, cache = decode_one(params, tok4, pos4, cache)
+    tok4, cache = decode_n(params, tok4, pos4, cache)
     jax_block(tok4)
     bf16_b4_tok_per_s = B4 * n_steps / (time.perf_counter() - t0)
     del cache
@@ -453,7 +450,7 @@ def main():
         f"secondary: vision_encode={img_per_s:.1f} img/s/chip  "
         f"decode={tok_per_s:.1f} tok/s (7B bf16, B=1)  "
         f"decode_bf16_B4={bf16_b4_tok_per_s:.1f} tok/s aggregate "
-        f"(single-step pipelined, int8 KV)  "
+        f"(fused {n_steps}-step window, serving layout, int8 KV)  "
         f"decode_int8={tok_per_s_int8:.1f} tok/s  "
         f"serve_int8_B8={serve_tok_per_s:.1f} tok/s aggregate  "
         f"paged_int8_B8={paged_tok_per_s:.1f} tok/s aggregate  "

@@ -324,9 +324,10 @@ def test_spec_fused_matches_plain(setup):
 
 
 def test_sync_every_window_strategies(setup):
-    """Non-quantized params choose the Python-unrolled window (bf16 fori
-    bodies relayout the stacked projections on TPU); int8 params keep the
-    fused fori_loop. Both must match per-step sync token-for-token."""
+    """Windowed engines pin bf16 stacked projections to the serving
+    layout (so the fori window compiles without weight relayout copies);
+    int8 params are left alone. Both dtypes must match per-step sync
+    token-for-token, and the relayout must not change bf16 decode."""
     from vcoder_tpu.quant import quantize_params
 
     cfg, params, px = setup
@@ -339,25 +340,37 @@ def test_sync_every_window_strategies(setup):
         cfg, qparams, max_batch=2, max_len=768, attn_impl="xla",
         sync_every=4,
     )
-    assert not win._loop_unroll  # int8: fused fori window
+    assert not win._serving_layout  # int8: nothing to relayout
+
+    # bf16: per-step reference FIRST (params not yet re-laid), then the
+    # windowed engine, whose init relayouts the shared params in place —
+    # token parity across the relayout is part of the contract.
+    fl_ref = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla"
+    )
+    fl_ref_out = _run_three(fl_ref, px)
     fl = ServingEngine(
         cfg, params, max_batch=2, max_len=768, attn_impl="xla",
         sync_every=4,
     )
-    assert fl._loop_unroll  # float: unrolled window
+    assert fl._serving_layout  # float: serving layout applied
+    assert _run_three(fl, px) == fl_ref_out
 
     outs = {}
     for name, eng in (("ref", ref), ("win", win)):
-        rids = [
-            eng.add_request(
-                _prompt(i), images=px, segs=px, depths=px,
-                max_new_tokens=7,
-            )
-            for i in range(3)
-        ]
-        res = eng.run()
-        outs[name] = [res[r] for r in rids]
+        outs[name] = _run_three(eng, px)
     assert outs["win"] == outs["ref"]
+
+
+def _run_three(eng, px):
+    rids = [
+        eng.add_request(
+            _prompt(i), images=px, segs=px, depths=px, max_new_tokens=7
+        )
+        for i in range(3)
+    ]
+    res = eng.run()
+    return [res[r] for r in rids]
 
 
 def test_engine_top_p_near_zero_is_greedy(setup):

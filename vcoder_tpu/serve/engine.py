@@ -48,6 +48,54 @@ class DeferAdmission(Exception):
     exhausted); the request must already be back in the queue."""
 
 
+def apply_serving_layout(params) -> bool:
+    """Pin the stacked bf16 q/k/v projections to the batched-decode
+    weight layout (``major_to_minor=(0, 2, 1)`` — layer-major, output-dim
+    before input-dim in memory).
+
+    Why: the windowed decode jits (`_decode_all_n` and friends) run their
+    matmuls inside a ``fori_loop``.  Entry parameters arrive in whatever
+    layout the first graph that touched them chose (row-major ``[L, in,
+    out]`` from init/prefill), but XLA's layout assignment wants the
+    transposed layout for the B>=2 decode matmuls in the loop body — and
+    because a while-loop body cannot read an entry arg in two layouts, it
+    materializes a full relayout COPY of each 1.07 GB projection (the
+    round-1 bf16 batched-decode OOM; docs/PERFORMANCE.md).  Handing the
+    weights over already in the decode-preferred layout compiles the same
+    loop with ZERO weight copies; prefill is layout-insensitive (measured
+    TTFT unchanged-to-better, docs/PERFORMANCE.md).
+
+    Mutates ``params`` in place (so the relayouted old arrays actually
+    free — at 7B the weights are 14.5 of 15.5 GB and a functional copy
+    would hold both).  int8/int4 ``QuantizedTensor`` and LoRA-wrapped
+    projections are left alone (integer weights never relayout in loop
+    bodies — measured).  Returns True if any leaf was re-laid."""
+    try:
+        from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
+    except ImportError:  # pragma: no cover - older jax
+        return False
+    dev = jax.devices()[0]
+    fmt = Format(Layout(major_to_minor=(0, 2, 1)), SingleDeviceSharding(dev))
+    layers = params["lm"]["layers"]
+    changed = False
+    for name in ("q_proj", "k_proj", "v_proj"):
+        w = layers.get(name)
+        if (
+            not isinstance(w, jax.Array)
+            or w.ndim != 3
+            or not jnp.issubdtype(w.dtype, jnp.floating)
+        ):
+            continue
+        layers[name] = jax.device_put(w, fmt)
+        # Fence before dropping the old buffer so peak HBM holds at most
+        # one extra projection (~1 GB) at a time.
+        jax.device_get(jnp.zeros(1))
+        del w
+        changed = True
+    return changed
+
+
 @dataclasses.dataclass
 class Request:
     request_id: int
@@ -181,7 +229,7 @@ def _decode_all(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "nucleus", "attn_impl", "unroll"),
+    static_argnames=("cfg", "steps", "nucleus", "attn_impl"),
     donate_argnums=(3,),
 )
 def _decode_all_n(
@@ -197,20 +245,19 @@ def _decode_all_n(
     steps: int,
     nucleus: bool,
     attn_impl: str,
-    unroll: bool = False,
 ):
-    """``steps`` decode steps in ONE dispatch; returns ([steps, B] tokens,
-    last tokens, cache).
+    """``steps`` decode steps in ONE dispatch (a ``fori_loop`` whose body
+    is one full decode step); returns ([steps, B] tokens, last tokens,
+    cache).
 
-    ``unroll=False`` fuses the steps in a ``fori_loop`` — but a loop body
-    closing over bf16 params makes XLA's while-loop layout assignment
-    relayout the stacked q/k/v projections at B>=2 (~1 GB copies each,
-    the round-1 OOM; docs/PERFORMANCE.md). int8 weights are loop-safe.
-    ``unroll=True`` Python-unrolls the window instead: every step's
-    matmuls feed straight from the ENTRY parameters (which XLA never
-    copies), so bf16 batched serving gets the same one-dispatch-per-
-    window amortization — at ``steps``-times the executable size, so
-    keep windows modest (4-8)."""
+    bf16 engines MUST hold their stacked q/k/v projections in the
+    serving layout (``apply_serving_layout``) before tracing this: with
+    the default [L, in, out] row-major entry layout, XLA's layout
+    assignment re-lays each projection for the batched matmuls inside
+    the loop body (~1 GB materialized copy per projection — the round-1
+    bf16 batched OOM; docs/PERFORMANCE.md). With the weights already in
+    the layout the loop body wants, the graph has zero weight copies for
+    any window size. int8 weights never relayout."""
     B = tokens.shape[0]
     buf = jnp.zeros((steps, B), jnp.int32)
 
@@ -223,15 +270,9 @@ def _decode_all_n(
         )
         return nxt, cache, buf.at[i].set(nxt), rng
 
-    if unroll:
-        carry = (tokens, cache, buf, rng)
-        for i in range(steps):
-            carry = body(i, carry)
-        tokens, cache, buf, _ = carry
-    else:
-        tokens, cache, buf, _ = jax.lax.fori_loop(
-            0, steps, body, (tokens, cache, buf, rng)
-        )
+    tokens, cache, buf, _ = jax.lax.fori_loop(
+        0, steps, body, (tokens, cache, buf, rng)
+    )
     return buf, tokens, cache
 
 
@@ -322,7 +363,6 @@ def _spec_decode_all(
     jax.jit,
     static_argnames=(
         "cfg", "steps", "lookahead", "eos_id", "nucleus", "attn_impl",
-        "unroll",
     ),
     donate_argnums=(3, 4, 5, 6, 7),
 )
@@ -346,14 +386,13 @@ def _spec_decode_all_n(
     eos_id: int,
     nucleus: bool,
     attn_impl: str,
-    unroll: bool = False,
 ):
     """``steps`` fused speculative verify steps in ONE dispatch: drafting
     runs on the device history (speculative.ngram_draft), so no host
-    round trip is needed between verifies. int8 weights are fused-loop
-    safe; bf16 weights relayout inside ``fori_loop`` bodies
-    (docs/PERFORMANCE.md) — ``unroll=True`` Python-unrolls the window so
-    every verify's matmuls feed straight from the entry parameters.
+    round trip is needed between verifies. bf16 engines must hold their
+    stacked q/k/v projections in the serving layout first (see
+    ``apply_serving_layout`` / `_decode_all_n`); int8 weights never
+    relayout.
 
     Returns (outs_buf [steps, B, k], emit_buf [steps, B], tokens, cache,
     history, hist_len, gen_count, done).
@@ -395,13 +434,11 @@ def _spec_decode_all_n(
             outs_buf.at[i].set(outs), emit_buf.at[i].set(emit), rng,
         )
 
-    st = (tokens, cache, history, hist_len, gen_count, done,
-          outs_buf, emit_buf, rng)
-    if unroll:
-        for i in range(steps):
-            st = body(i, st)
-    else:
-        st = jax.lax.fori_loop(0, steps, body, st)
+    st = jax.lax.fori_loop(
+        0, steps, body,
+        (tokens, cache, history, hist_len, gen_count, done,
+         outs_buf, emit_buf, rng),
+    )
     (tokens, cache, history, hist_len, gen_count, done,
      outs_buf, emit_buf, _) = st
     return (
@@ -468,18 +505,18 @@ class ServingEngine:
             self._gen_count = jnp.zeros((max_batch,), jnp.int32)
             self._done_dev = jnp.ones((max_batch,), bool)
             self._budget_max = jnp.zeros((max_batch,), jnp.int32)
-        # Window-dispatch strategy: int8/int4 projections are fused-loop
-        # safe; bf16 (non-quantized) stacked projections would be
-        # relayouted inside a fori_loop body at B>=2 (~1 GB copies each,
-        # the round-1 OOM — docs/PERFORMANCE.md), so bf16 windows Python-
-        # unroll the steps instead (weights stay entry args, never
-        # copied).
-        from vcoder_tpu.ops.quant import base_weight_dtype
-
-        self._loop_unroll = self.sync_every > 1 and not jnp.issubdtype(
-            base_weight_dtype(params["lm"]["layers"]["q_proj"]),
-            jnp.integer,
-        )
+        # Windowed decode runs the per-step matmuls inside a fori_loop;
+        # bf16 stacked projections must be pinned to the decode-preferred
+        # layout FIRST or layout assignment materializes ~1 GB relayout
+        # copies of each (the round-1 OOM — see apply_serving_layout).
+        # Mesh-sharded params keep their NamedSharding (GSPMD owns
+        # layouts there); int8/quantized/LoRA projections are skipped
+        # inside the helper.
+        self._serving_layout = False
+        if self.sync_every > 1 and (
+            mesh is None or getattr(mesh, "size", 1) <= 1
+        ):
+            self._serving_layout = apply_serving_layout(params)
         # Multi-chip serving: slot rows shard over data x fsdp, attention
         # heads over model; the dense graphs partition via GSPMD from the
         # cache/param NamedShardings (paged engine handles its own pools).
@@ -569,7 +606,6 @@ class ServingEngine:
                 steps=self.sync_every,
                 nucleus=self._nucleus(),
                 attn_impl=self.attn_impl,
-                unroll=self._loop_unroll,
             )
             toks_host = jax.device_get(toks)  # [N, B], ONE round trip
         return events + self._emit_step_events(toks_host)
@@ -727,7 +763,6 @@ class ServingEngine:
                 eos_id=self.eos_id,
                 nucleus=self._nucleus(),
                 attn_impl=self.attn_impl,
-                unroll=self._loop_unroll,
             )
             # ONE device->host sync for the whole window.
             outs_host, emit_host = jax.device_get((outs_buf, emit_buf))

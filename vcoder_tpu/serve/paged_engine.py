@@ -190,7 +190,7 @@ def _paged_decode_all(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "steps", "nucleus", "sharded", "unroll"),
+    static_argnames=("cfg", "steps", "nucleus", "sharded"),
     donate_argnums=(3, 4, 5, 6),
 )
 def _paged_decode_all_n(
@@ -211,14 +211,14 @@ def _paged_decode_all_n(
     steps: int,
     nucleus: bool = False,
     sharded: bool = False,
-    unroll: bool = False,
 ):
     """``steps`` paged decode steps in ONE dispatch (engine windowed
     sync; see ServingEngine). Returns ([steps, B] tokens, last tokens,
     pools). Per-row lengths advance by ``active`` inside the loop; the
-    host adds steps*active after. ``unroll`` Python-unrolls the window
-    for bf16 weights (fori bodies relayout them — see engine
-    _decode_all_n)."""
+    host adds steps*active after. bf16 engines pin the stacked q/k/v
+    projections to the serving layout first (engine
+    ``apply_serving_layout``) so the loop compiles without weight
+    relayout copies."""
     B = tokens.shape[0]
     buf = jnp.zeros((steps, B), jnp.int32)
     act32 = active.astype(jnp.int32)
@@ -246,11 +246,7 @@ def _paged_decode_all_n(
         return nxt, k_pages, v_pages, k_scale, v_scale, buf.at[i].set(nxt), rng
 
     carry = (tokens, k_pages, v_pages, k_scale, v_scale, buf, rng)
-    if unroll:
-        for i in range(steps):
-            carry = body(i, carry)
-    else:
-        carry = jax.lax.fori_loop(0, steps, body, carry)
+    carry = jax.lax.fori_loop(0, steps, body, carry)
     tokens, k_pages, v_pages, k_scale, v_scale, buf, _ = carry
     return buf, tokens, k_pages, v_pages, k_scale, v_scale
 
@@ -654,7 +650,6 @@ class PagedServingEngine(ServingEngine):
                 steps=self.sync_every,
                 nucleus=self._nucleus(),
                 sharded=self.mesh is not None,
-                unroll=self._loop_unroll,
             )
             toks_host = jax.device_get(toks)  # [N, B], ONE round trip
         self.lengths += self.sync_every * self.active.astype(np.int32)
