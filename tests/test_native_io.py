@@ -90,3 +90,55 @@ def test_pipeline_reports_decode_failure(tmp_path):
     jid, px = pipe.next()
     pipe.close()
     assert jid == 7 and px is None
+
+
+def test_load_images_preprocessed_matches_pil_path(tmp_path, monkeypatch):
+    """The batched native file loader (eval loaders' hot path) must
+    agree with the portable PIL + process_images path within the
+    golden-activation envelope, and fall back to it exactly when
+    disabled."""
+    from vcoder_tpu.preprocess import load_images_preprocessed
+
+    paths = []
+    for i in range(5):
+        img = _rand_img(20 + i, 90 + 7 * i, 130 - 9 * i)
+        p = str(tmp_path / f"b{i}.png")
+        PIL.fromarray(img).save(p)
+        paths.append(p)
+
+    native = np.asarray(load_images_preprocessed(paths, size=64))
+
+    monkeypatch.setenv("VCODER_TPU_NATIVE_IO", "0")
+    portable = np.asarray(load_images_preprocessed(paths, size=64))
+
+    assert native.shape == portable.shape == (5, 64, 64, 3)
+    diff = np.abs(native - portable)
+    # Both resample ~PIL-bicubic within a couple of LSBs; normalized
+    # units (1 LSB ~ 0.0147).
+    assert diff.mean() < 0.01, diff.mean()
+    assert np.quantile(diff, 0.99) < 0.06, np.quantile(diff, 0.99)
+
+
+def test_load_images_preprocessed_per_file_fallback(tmp_path):
+    """A file the native decoder rejects but PIL reads must ride the
+    per-file PIL fallback instead of failing the batch."""
+    from vcoder_tpu import preprocess as pp
+    from vcoder_tpu.preprocess import load_images_preprocessed
+
+    good = _rand_img(30, 70, 70)
+    p_good = str(tmp_path / "good.png")
+    PIL.fromarray(good).save(p_good)
+    # A BMP: PIL reads it, the native lib (jpeg/png only) cannot.
+    p_bmp = str(tmp_path / "odd.bmp")
+    PIL.fromarray(good).save(p_bmp)
+
+    out = np.asarray(load_images_preprocessed([p_good, p_bmp], size=48))
+    assert out.shape == (2, 48, 48, 3)
+    np.testing.assert_allclose(out[0], out[1], atol=0.08)
+
+    # A truly unreadable file raises, as the PIL path would.
+    p_bad = str(tmp_path / "bad.png")
+    with open(p_bad, "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(Exception):
+        load_images_preprocessed([p_good, p_bad], size=48)

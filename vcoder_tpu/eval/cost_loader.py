@@ -59,9 +59,23 @@ def _round_up(n, m):
     return -(-n // m) * m
 
 
-def eval_model(args, task: str) -> str:
-    from PIL import Image
+def _batch_pixels(paths: List[str], processor) -> np.ndarray:
+    """[N, S, S, 3] float pixels for a list of files, honoring the
+    processor's size/aspect; native threaded decode when available."""
+    from vcoder_tpu.preprocess import load_images_preprocessed
 
+    return np.asarray(
+        load_images_preprocessed(
+            paths,
+            size=getattr(processor, "size", 336),
+            image_aspect_ratio=getattr(
+                processor, "image_aspect_ratio", "pad"
+            ),
+        )
+    )
+
+
+def eval_model(args, task: str) -> str:
     model_name = get_model_name_from_path(args.model_path)
     (
         tokenizer,
@@ -100,34 +114,17 @@ def eval_model(args, task: str) -> str:
     B = args.batch_size
     for start in range(0, len(images), B):
         batch_files = images[start : start + B]
-        rows, px_i, px_s, px_d, keys, quests = [], [], [], [], [], []
+        rows, keys, quests = [], [], []
+        seg_paths, depth_paths = [], []
         for image_file in batch_files:
             key = os.path.basename(image_file)
             ques = rng.choice(questions)
             qs = DEFAULT_IMAGE_TOKEN + "\n" + ques
-            img = Image.open(image_file).convert("RGB")
-            px_i.append(
-                np.asarray(image_processor.preprocess(img)["pixel_values"])[0]
-            )
             if seg_folder is not None:
-                seg_path = os.path.join(seg_folder, key)
-                seg = Image.open(seg_path).convert("RGB")
-                px_s.append(
-                    np.asarray(
-                        seg_image_processor.preprocess(seg)["pixel_values"]
-                    )[0]
-                )
+                seg_paths.append(os.path.join(seg_folder, key))
                 qs = DEFAULT_SEG_TOKEN + "\n" + qs
                 if depth_folder is not None:
-                    d_path = os.path.join(depth_folder, key)
-                    dep = Image.open(d_path).convert("RGB")
-                    px_d.append(
-                        np.asarray(
-                            depth_image_processor.preprocess(dep)[
-                                "pixel_values"
-                            ]
-                        )[0]
-                    )
+                    depth_paths.append(os.path.join(depth_folder, key))
                     qs = DEFAULT_DEPTH_TOKEN + "\n" + qs
             else:
                 # No-seg fallback appends the paragraph-format instruction
@@ -152,15 +149,31 @@ def eval_model(args, task: str) -> str:
             keys.append(key)
             quests.append(ques)
 
-        n_mod = 1 + int(bool(px_s)) + int(bool(px_d))
+        # Batched decode+pad+resize+normalize per modality: the native
+        # threaded pipeline when built, PIL otherwise (see
+        # preprocess.load_images_preprocessed). The reference decodes
+        # batch-1 via a PIL DataLoader (model_seg_loader.py:92-96).
+        px_i = _batch_pixels(batch_files, image_processor)
+        px_s = (
+            _batch_pixels(seg_paths, seg_image_processor)
+            if seg_paths
+            else []
+        )
+        px_d = (
+            _batch_pixels(depth_paths, depth_image_processor)
+            if depth_paths
+            else []
+        )
+
+        n_mod = 1 + int(len(px_s) > 0) + int(len(px_d) > 0)
         max_len = max(len(r) for r in rows) + n_mod * self_num_patches(model)
         pad_to = _round_up(max_len, 256)
 
         result = model.generate(
             rows,
-            images=np.stack(px_i),
-            segs=np.stack(px_s) if px_s else None,
-            depths=np.stack(px_d) if px_d else None,
+            images=px_i,
+            segs=px_s if len(px_s) > 0 else None,
+            depths=px_d if len(px_d) > 0 else None,
             max_new_tokens=512,
             temperature=args.temperature,
             top_p=args.top_p if args.top_p is not None else 1.0,

@@ -38,8 +38,6 @@ def _round_up(n, m):
 
 
 def eval_model(args):
-    from PIL import Image
-
     model_path = os.path.expanduser(args.model_path)
     model_name = get_model_name_from_path(model_path)
     tokenizer, model, image_processor, _, _, _ = load_pretrained_model(
@@ -64,7 +62,7 @@ def eval_model(args):
     num_patches = model.config.vision.num_patches
     for start in range(0, len(questions), B):
         lines = questions[start : start + B]
-        rows, pixels = [], []
+        rows, paths = [], []
         for line in lines:
             qs = line["text"]
             if args.single_pred_prompt:
@@ -76,20 +74,29 @@ def eval_model(args):
             conv.append_message(conv.roles[0], qs)
             conv.append_message(conv.roles[1], None)
             prompt = conv.get_prompt()
-            img = Image.open(
-                os.path.join(args.image_folder, line["image"])
-            ).convert("RGB")
-            pixels.append(
-                np.asarray(image_processor.preprocess(img)["pixel_values"])[0]
-            )
+            paths.append(os.path.join(args.image_folder, line["image"]))
             rows.append(list(tokenizer_image_token(prompt, tokenizer)))
+
+        # Batched native decode+preprocess (threaded C++ when built;
+        # PIL fallback) — see preprocess.load_images_preprocessed.
+        from vcoder_tpu.preprocess import load_images_preprocessed
+
+        pixels = np.asarray(
+            load_images_preprocessed(
+                paths,
+                size=getattr(image_processor, "size", 336),
+                image_aspect_ratio=getattr(
+                    image_processor, "image_aspect_ratio", "pad"
+                ),
+            )
+        )
 
         pad_to = _round_up(
             max(len(r) for r in rows) + num_patches, 256
         )
         result = model.generate(
             rows,
-            images=np.stack(pixels),
+            images=pixels,
             max_new_tokens=args.max_new_tokens,
             temperature=args.temperature,
             top_p=args.top_p if args.top_p is not None else 1.0,

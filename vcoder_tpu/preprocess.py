@@ -80,6 +80,100 @@ def resize_normalize(
     return x.astype(dtype)
 
 
+def _native_pad_resize(
+    arr: np.ndarray, size: int, background_color
+) -> Optional[np.ndarray]:
+    """Pad+bicubic-resize via the C++ lib (native/vcoder_io.cpp) when it
+    is built and enabled; returns None to select the portable path.
+
+    Numerics: the native resize matches PIL within a couple of LSBs
+    (tests/test_native_io.py), the same envelope as the on-device
+    jax.image bicubic — both sit inside the golden-activation tolerance
+    (tests/test_preprocess.py). Set VCODER_TPU_NATIVE_IO=0 to force the
+    portable path when bisecting numerics."""
+    import os
+
+    if os.environ.get("VCODER_TPU_NATIVE_IO", "1") == "0":
+        return None
+    from vcoder_tpu.native import io as nio
+
+    if not nio.is_available():
+        return None
+    try:
+        return nio.pad_resize(
+            arr, size=size, pad=True, background_color=background_color
+        )
+    except Exception:
+        return None
+
+
+def load_images_preprocessed(
+    paths: Sequence[str],
+    *,
+    size: int = 336,
+    image_aspect_ratio: str = "pad",
+    dtype=jnp.float32,
+    n_threads: int = 8,
+) -> jnp.ndarray:
+    """Decode + pad + resize + CLIP-normalize a batch of image FILES.
+
+    The eval loaders' hot loop (reference runs a batch-1 PIL DataLoader:
+    vcoder_llava/eval/model_seg_loader.py:92-96). When the native lib is
+    available and aspect is 'pad', files decode+pad+resize across
+    ``n_threads`` C++ workers with the GIL released, then ONE device
+    call normalizes the whole batch; otherwise falls back to PIL +
+    :func:`process_images`. Missing/corrupt files raise IOError in both
+    paths.
+    """
+    import os as _os
+
+    from vcoder_tpu.native import io as nio
+
+    use_native = (
+        image_aspect_ratio == "pad"
+        and _os.environ.get("VCODER_TPU_NATIVE_IO", "1") != "0"
+        and nio.is_available()
+    )
+    if use_native:
+        pipe = nio.PrefetchPipeline(
+            min(n_threads, max(1, len(paths))), size=size, pad=True
+        )
+        try:
+            for i, p in enumerate(paths):
+                pipe.submit(i, p)
+            u8 = np.empty((len(paths), size, size, 3), np.uint8)
+            failed = []
+            for _ in paths:
+                jid, px = pipe.next()
+                if px is None:
+                    failed.append(jid)
+                else:
+                    u8[jid] = px
+        finally:
+            pipe.close()
+        # Per-file PIL fallback: a file the native decoder rejects but
+        # PIL can read (exotic JPEG variants) stays readable; a truly
+        # corrupt file raises from Image.open, matching the PIL path.
+        for jid in failed:
+            from PIL import Image
+
+            img = Image.open(paths[jid]).convert("RGB")
+            sq = expand2square(_to_numpy_rgb(img))
+            u8[jid] = np.asarray(
+                Image.fromarray(sq).resize((size, size), Image.BICUBIC)
+            )
+        return resize_normalize(jnp.asarray(u8), size=size, dtype=dtype)
+
+    from PIL import Image
+
+    return process_images(
+        [Image.open(p).convert("RGB") for p in paths],
+        image_aspect_ratio=image_aspect_ratio,
+        size=size,
+        dtype=dtype,
+    )
+
+
 def _to_numpy_rgb(image) -> np.ndarray:
     """Accept PIL.Image or numpy [H, W, 3]; return uint8 numpy RGB."""
     if hasattr(image, "convert"):  # PIL
@@ -111,7 +205,12 @@ def process_images(
     for im in images:
         arr = _to_numpy_rgb(im)
         if image_aspect_ratio == "pad":
-            arr = expand2square(arr, background_color)
+            # Native C++ pad+resize when built (serve/eval preprocessing
+            # rides this); portable host-pad + device-resize otherwise.
+            narr = _native_pad_resize(arr, size, background_color)
+            arr = narr if narr is not None else expand2square(
+                arr, background_color
+            )
         else:
             # 'square'/default CLIPImageProcessor behavior: resize shortest
             # edge then center crop; for simplicity resize directly (the
