@@ -1,5 +1,7 @@
 #!/bin/bash
 # Stage-2 LLaVA full finetune (reference: scripts/v1_5/finetune.sh, lr 2e-5).
+# Memory-tight meshes: add --offload-opt-state (the zero3_offload.json
+# analog — f32 Adam moments pinned in host memory, streamed per step).
 python -m vcoder_tpu.train.train --stage full \
     --model-path ${MODEL_PATH:-checkpoints/llava-v1.5-7b-pretrain} \
     --output-dir ${OUTPUT_DIR:-checkpoints/llava-v1.5-7b} \

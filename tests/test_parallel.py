@@ -152,3 +152,70 @@ def test_data_parallel_batch_sharding():
     spec = sharded.sharding.spec
     assert tuple(spec)[0] == ("data", "fsdp")
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(x))
+
+
+def test_offloaded_full_finetune_matches_resident():
+    """zero3_offload analog: the 'full' stage with the optimizer state
+    pinned in host memory must produce the SAME parameters as the
+    device-resident step (the offload is a placement change, not a
+    numerics change), and the returned opt state must live in
+    pinned_host."""
+    from vcoder_tpu.parallel.sharding import (
+        device_shardings_like,
+        host_shardings,
+    )
+
+    cfg = VCoderConfig.tiny("vcoder_ds_llava")
+    mesh = _mesh()
+    batch = shard_batch(_make_batch(cfg, 4), mesh)
+
+    def run(offload: bool):
+        params = shard_params(
+            model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg), mesh
+        )
+        optimizer = make_optimizer(1e-2, total_steps=10)
+        opt_state = init_opt_state(params, optimizer, "full")
+        offload_shardings = None
+        if offload:
+            host_sh = host_shardings(opt_state, mesh)
+            opt_state = jax.tree.map(
+                jax.device_put, opt_state, host_sh
+            )
+            offload_shardings = (
+                device_shardings_like(host_sh), host_sh,
+            )
+        step = make_train_step(
+            cfg, optimizer, stage="full", attn_impl="xla", remat=False,
+            offload_shardings=offload_shardings,
+        )
+        for _ in range(2):
+            params, opt_state, metrics = step(params, opt_state, batch)
+        return params, opt_state, float(metrics["loss"])
+
+    params_res, _, loss_res = run(offload=False)
+    params_off, opt_off, loss_off = run(offload=True)
+
+    assert np.isclose(loss_off, loss_res, rtol=1e-5)
+    # The 'full' stage trains the LM: q_proj must match across modes.
+    np.testing.assert_allclose(
+        np.asarray(params_off["lm"]["layers"]["q_proj"]),
+        np.asarray(params_res["lm"]["layers"]["q_proj"]),
+        rtol=1e-6, atol=1e-7,
+    )
+    kinds = {
+        x.sharding.memory_kind for x in jax.tree.leaves(opt_off)
+        if hasattr(x, "sharding")
+    }
+    assert kinds == {"pinned_host"}
+
+
+def test_trainer_offload_requires_mesh(tmp_path):
+    from vcoder_tpu.train.trainer import TrainArgs, Trainer
+
+    cfg = VCoderConfig.tiny("vcoder_ds_llava")
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+    args = TrainArgs(
+        output_dir=str(tmp_path), stage="full", offload_opt_state=True,
+    )
+    with pytest.raises(ValueError, match="mesh"):
+        Trainer(cfg, params, dataset=[], args=args)

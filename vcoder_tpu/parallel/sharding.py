@@ -136,3 +136,44 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# ---- host offload (the zero3_offload analog) ----
+#
+# reference: scripts/zero3_offload.json — DeepSpeed ZeRO-3 with
+# offload_optimizer {device: cpu, pin_memory: true} for memory-tight
+# full-LLM finetunes. The TPU-native analog parks pytree leaves in
+# pinned host memory via sharding memory_kind='pinned_host' (same mesh,
+# same PartitionSpec — each host holds its devices' shards); the train
+# step streams them to device at use. At 7B the f32 Adam moments are
+# 8 bytes/param = ~54 GB — the largest training-only footprint.
+
+
+def _with_memory_kind(x, mesh: Mesh, memory_kind: str) -> NamedSharding:
+    spec = (
+        x.sharding.spec
+        if isinstance(getattr(x, "sharding", None), NamedSharding)
+        else P()
+    )
+    return NamedSharding(mesh, spec, memory_kind=memory_kind)
+
+
+def host_shardings(tree: Any, mesh: Mesh) -> Any:
+    """Pytree of pinned-host NamedShardings mirroring each leaf's current
+    spec (replicated for leaves without a NamedSharding)."""
+    return jax.tree.map(
+        lambda x: _with_memory_kind(x, mesh, "pinned_host"), tree
+    )
+
+
+def device_shardings_like(host_sh: Any) -> Any:
+    """Device-memory twins of a host-sharding pytree."""
+    return jax.tree.map(
+        lambda s: NamedSharding(s.mesh, s.spec, memory_kind="device"),
+        host_sh,
+    )
+
+
+def offload_to_host(tree: Any, mesh: Mesh) -> Any:
+    """Move a pytree into pinned host memory, keeping its mesh layout."""
+    return jax.tree.map(jax.device_put, tree, host_shardings(tree, mesh))

@@ -73,6 +73,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh-data", type=int, default=None)
     p.add_argument("--mesh-fsdp", type=int, default=None)
     p.add_argument("--mesh-model", type=int, default=None)
+    # zero3_offload analog (reference: scripts/zero3_offload.json):
+    # optimizer state pinned in host memory, streamed per step.
+    p.add_argument(
+        "--offload-opt-state",
+        action=argparse.BooleanOptionalAction,
+        default=False,
+    )
     return p
 
 
@@ -223,6 +230,7 @@ def run_stage(stage: str, args) -> None:
         # (save matmuls, recompute elementwise: 791 vs 892 ms/step at
         # the 7B stage-3 config, same memory envelope).
         remat="dots" if args.gradient_checkpointing else False,
+        offload_opt_state=args.offload_opt_state,
     )
     with use_mesh(mesh):
         trainer = Trainer(cfg, model.params, dataset, targs, mesh=mesh)

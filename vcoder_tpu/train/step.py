@@ -123,6 +123,7 @@ def make_train_step(
     stage: str = "vcoder_ds",
     attn_impl: str = "auto",
     remat="dots",
+    offload_shardings=None,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -131,12 +132,25 @@ def make_train_step(
     where ``batch`` is a dict with the SplicePlan arrays (incl. ``labels``)
     plus optional ``images``/``segs``/``depths`` pixel arrays. Donation keeps
     HBM flat across steps.
+
+    ``offload_shardings=(dev_sh, host_sh)`` (pytrees mirroring the opt
+    state; see ``parallel.sharding.host_shardings``) enables the
+    zero3_offload analog (reference: scripts/zero3_offload.json): the
+    opt state lives pinned in host memory, is streamed to device inside
+    the step, and is returned host-pinned — via jit ``out_shardings``
+    where the backend supports host-pinned outputs (TPU), or an eager
+    post-step transfer where it doesn't (the CPU test mesh).
     """
     use_seg = cfg.use_seg
     use_depth = cfg.use_depth
 
-    @partial(jax.jit, donate_argnums=(0, 1), static_argnums=())
     def step(params, opt_state, batch):
+        if offload_shardings is not None:
+            # Host -> device upload inside the graph: XLA's latency-
+            # hiding scheduler overlaps the moment streams with compute.
+            opt_state = jax.tree.map(
+                jax.device_put, opt_state, offload_shardings[0]
+            )
         mask = trainable_mask(params, stage)
         t_params, f_params = partition(params, mask)
 
@@ -161,7 +175,38 @@ def make_train_step(
         gnorm = optax.global_norm(grads)
         return params, opt_state, {"loss": loss, "grad_norm": gnorm}
 
-    return step
+    if offload_shardings is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    host_sh = offload_shardings[1]
+    pinned = jax.jit(
+        step,
+        donate_argnums=(0, 1),
+        out_shardings=(None, host_sh, None),
+    )
+    plain = jax.jit(step, donate_argnums=(0, 1))
+    mode = []
+
+    def offloaded_step(params, opt_state, batch):
+        if not mode:
+            # Host-pinned jit outputs are a TPU feature; probe once (the
+            # failure raises at lowering, before any donation executes).
+            try:
+                out = pinned(params, opt_state, batch)
+                mode.append("pinned")
+                return out
+            except Exception:
+                mode.append("eager")
+        if mode[0] == "pinned":
+            return pinned(params, opt_state, batch)
+        params, opt_state, metrics = plain(params, opt_state, batch)
+        return (
+            params,
+            jax.tree.map(jax.device_put, opt_state, host_sh),
+            metrics,
+        )
+
+    return offloaded_step
 
 
 def init_opt_state(

@@ -73,6 +73,13 @@ class TrainArgs:
     seed: int = 42
     remat: object = "dots"  # True | "dots" | False
     attn_impl: str = "auto"
+    # zero3_offload analog (reference: scripts/zero3_offload.json): park
+    # the optimizer state in pinned host memory, streamed to device per
+    # step. Pays host<->device bandwidth for ~8 bytes/trainable-param of
+    # HBM back — the relief valve for full-LLM stages (at 7B 'full', f32
+    # Adam moments are ~54 GB: ~6.75 GB/chip back on a v5e-8 fsdp mesh).
+    # Requires a mesh (wrap a single chip in a 1-device mesh).
+    offload_opt_state: bool = False
 
 
 class Trainer:
@@ -115,12 +122,31 @@ class Trainer:
             params = shard_params(params, mesh)
         self.params = params
         self.opt_state = init_opt_state(params, self.optimizer, args.stage)
+        offload_shardings = None
+        if args.offload_opt_state:
+            if mesh is None:
+                raise ValueError(
+                    "offload_opt_state requires a mesh (host-pinned "
+                    "shardings are mesh-relative; wrap a single chip in "
+                    "a 1-device Mesh)"
+                )
+            from vcoder_tpu.parallel.sharding import (
+                device_shardings_like,
+                host_shardings,
+            )
+
+            host_sh = host_shardings(self.opt_state, mesh)
+            self.opt_state = jax.tree.map(
+                jax.device_put, self.opt_state, host_sh
+            )
+            offload_shardings = (device_shardings_like(host_sh), host_sh)
         self.step_fn = make_train_step(
             cfg,
             self.optimizer,
             stage=args.stage,
             attn_impl=args.attn_impl,
             remat=args.remat,
+            offload_shardings=offload_shardings,
         )
         self.step = 0
         os.makedirs(args.output_dir, exist_ok=True)
