@@ -86,11 +86,27 @@ def _wait_for_healthy_tunnel(max_wait_s: float = 1500.0) -> None:
         time.sleep(60)
 
 
+def _fetch_probe_s() -> float:
+    """Seconds for one trivial dispatch+fetch — the tunnel-health unit.
+    Healthy: <0.1 s. Degraded windows add a constant ~1.4 s to EVERY
+    blocking fetch, which collapses all decode/serving secondaries while
+    leaving few-dispatch sections (TTFT, vision) looking normal."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros(8) + 1
+    jax_block(x)
+    t0 = time.perf_counter()
+    jax_block(jnp.zeros(8) + 2)
+    return time.perf_counter() - t0
+
+
 def main():
     import jax
     import jax.numpy as jnp
 
     _wait_for_healthy_tunnel()
+    probe_start_s = _fetch_probe_s()
 
     from __graft_entry__ import _example_batch
     from vcoder_tpu.config import VCoderConfig
@@ -214,6 +230,54 @@ def main():
     jax_block(tok4)
     bf16_b4_tok_per_s = B4 * n_steps / (time.perf_counter() - t0)
     del cache
+
+    # --- secondary: speculative decode, COST-like repetition regime ---
+    # Random weights produce unrepetitive text (accept 1.3-1.6/dispatch,
+    # docs/PERFORMANCE.md); COST answers repeat the prompt's object
+    # nouns, which is what prompt-lookup speculation exploits. Surgery
+    # turns the random decoder into a deterministic token-cycle seeded
+    # by the prompt: o_proj/down_proj zeroed (every matmul still runs at
+    # full shape — residual stream just stays the embedding) and lm_head
+    # columns set to permuted embeddings so argmax(logits(t)) = perm(t).
+    # The n-gram drafter then operates in the high-repetition regime the
+    # COST workload lives in; with the random-weights number this
+    # brackets realized speculative speedup. In-place on params: only
+    # TIMING of later sections depends on weight values.
+    from vcoder_tpu import speculative
+
+    Lp = params["lm"]["layers"]
+    Lp["o_proj"] = jnp.zeros_like(Lp["o_proj"])
+    Lp["down_proj"] = jnp.zeros_like(Lp["down_proj"])
+    emb = np.asarray(params["lm"]["embed_tokens"], np.float32)  # [V, D]
+    Vv = emb.shape[0]
+    period = 12
+    cyc = np.arange(100, 100 + period)
+    perm = np.arange(Vv)
+    perm[cyc] = np.roll(cyc, -1)
+    head = np.zeros(params["lm"]["lm_head"].shape, np.float32)  # [D, V]
+    head[:, perm] = emb.T
+    params["lm"]["lm_head"] = jnp.asarray(
+        head, params["lm"]["lm_head"].dtype
+    )
+    del head, emb
+    spec_prompt = [1] + list(map(int, cyc)) * 2
+    spec_stats = {}
+    for k in (4, 8, 16):
+        seqs, num_gen, iters = speculative.generate_speculative(
+            params, cfg, [spec_prompt], max_new_tokens=96, lookahead=k,
+        )  # compile + warm the drafter
+        jax_block(seqs)
+        t0 = time.perf_counter()
+        seqs, num_gen, iters = speculative.generate_speculative(
+            params, cfg, [spec_prompt], max_new_tokens=96, lookahead=k,
+        )
+        jax_block(seqs)
+        dt = time.perf_counter() - t0
+        spec_stats[k] = (
+            int(num_gen[0]) / dt,
+            int(num_gen[0]) / max(int(iters), 1),
+        )
+    spec_costlike_tok_s, spec_costlike_accept = spec_stats[8]
 
     # --- secondary: int8 weight-only decode (load_8bit path) ---
     from vcoder_tpu.quant import quantize_params
@@ -415,7 +479,68 @@ def main():
         tok13, cache13 = decode_one13(params13, tok13, pos13, cache13)
     jax_block(tok13)
     tok13_per_s = B13 * n_steps / (time.perf_counter() - t0)
-    del cache13, params13
+    del cache13
+
+    # --- secondary: 13B int8 weights + int8 PAGE pools (the stated
+    # motivation for kv_quant: 13B serving capacity on one 16 GB chip —
+    # docs/PERFORMANCE.md #11). B=4 x 640 ctx: ~13 GB weights + ~1.4 GB
+    # q8 pools; page 128 per the Mosaic scale-DMA tiling. ---
+    L13 = cfg13.text.num_layers
+    KH13 = cfg13.text.num_kv_heads
+    HD13 = cfg13.text.head_dim
+    B13q = 4
+    pq13 = (T + page_q) // page_q
+    n13_pages = B13q * pq13 + 2
+    k13_pages = jnp.zeros((L13, n13_pages, KH13, page_q, HD13), jnp.int8)
+    v13_pages = jnp.zeros((L13, n13_pages, KH13, page_q, HD13), jnp.int8)
+    k13_scale = jnp.zeros((L13, n13_pages, KH13, page_q), jnp.float32)
+    v13_scale = jnp.zeros((L13, n13_pages, KH13, page_q), jnp.float32)
+    table13 = jnp.asarray(
+        np.arange(1, B13q * pq13 + 1).reshape(B13q, pq13).astype(np.int32)
+    )
+    lengths13 = jnp.full((B13q,), T, jnp.int32)
+    active13 = jnp.ones((B13q,), bool)
+
+    @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
+    def paged13_q8_decode_n(params, tok, k_pages, v_pages, k_scale, v_scale):
+        def body(i, carry):
+            tok, k_pages, v_pages, k_scale, v_scale = carry
+            embeds = jnp.take(
+                params["lm"]["embed_tokens"], tok[:, None], axis=0
+            )
+            hidden, k_pages, v_pages, k_scale, v_scale = (
+                llama_paged_decode(
+                    params["lm"], cfg13.text, embeds, lengths13 + i,
+                    k_pages, v_pages, table13, lengths13 + i, active13,
+                    k_scale=k_scale, v_scale=v_scale,
+                )
+            )
+            logits = hidden[:, 0] @ (
+                params["lm"]["lm_head"].q.astype(jnp.bfloat16)
+                if hasattr(params["lm"]["lm_head"], "q")
+                else params["lm"]["lm_head"]
+            )
+            return (
+                jnp.argmax(logits, -1).astype(jnp.int32),
+                k_pages, v_pages, k_scale, v_scale,
+            )
+
+        return jax.lax.fori_loop(
+            0, n_steps, body, (tok, k_pages, v_pages, k_scale, v_scale)
+        )
+
+    tok13q = jnp.zeros((B13q,), jnp.int32)
+    tok13q, k13_pages, v13_pages, k13_scale, v13_scale = paged13_q8_decode_n(
+        params13, tok13q, k13_pages, v13_pages, k13_scale, v13_scale
+    )
+    jax_block(tok13q)
+    t0 = time.perf_counter()
+    tok13q, k13_pages, v13_pages, k13_scale, v13_scale = paged13_q8_decode_n(
+        params13, tok13q, k13_pages, v13_pages, k13_scale, v13_scale
+    )
+    jax_block(tok13q)
+    paged13_q8_tok_per_s = B13q * n_steps / (time.perf_counter() - t0)
+    del k13_pages, v13_pages, k13_scale, v13_scale, tok13q, params13
 
     # --- secondary: stage-3 training step (vcoder_ds adapters over an
     # int8-frozen 7B base — the reference's `--bits 8` training path,
@@ -446,11 +571,25 @@ def main():
     T_tr = int(batch_tr["safe_ids"].shape[1])
     train_tok_s = B_tr * T_tr / (train_step_ms / 1e3)
 
+    probe_end_s = _fetch_probe_s()
+    if max(probe_start_s, probe_end_s) > 0.5:
+        print(
+            "bench: TUNNEL DEGRADED during run (trivial-fetch probe "
+            f"{probe_start_s * 1e3:.0f} -> {probe_end_s * 1e3:.0f} ms) — "
+            "decode/serving secondaries are poisoned by a constant "
+            "per-fetch offset; rerun in a healthy window",
+            file=sys.stderr,
+        )
+
     print(
         f"secondary: vision_encode={img_per_s:.1f} img/s/chip  "
         f"decode={tok_per_s:.1f} tok/s (7B bf16, B=1)  "
         f"decode_bf16_B4={bf16_b4_tok_per_s:.1f} tok/s aggregate "
         f"(fused {n_steps}-step window, serving layout, int8 KV)  "
+        f"spec_costlike={spec_costlike_tok_s:.1f} tok/s "
+        f"(B=1 bf16, lookahead=8, accept {spec_costlike_accept:.1f}/"
+        f"dispatch; k=4 {spec_stats[4][0]:.1f}@{spec_stats[4][1]:.1f}, "
+        f"k=16 {spec_stats[16][0]:.1f}@{spec_stats[16][1]:.1f})  "
         f"decode_int8={tok_per_s_int8:.1f} tok/s  "
         f"serve_int8_B8={serve_tok_per_s:.1f} tok/s aggregate  "
         f"paged_int8_B8={paged_tok_per_s:.1f} tok/s aggregate  "
@@ -459,7 +598,9 @@ def main():
         f"train_vcoder_ds_7b={train_step_ms:.0f} ms/step "
         f"({train_tok_s:.0f} tok/s, B={B_tr}, int8 base, remat)  "
         f"13b_ttft={ttft13_ms:.1f} ms p50 (int8)  "
-        f"13b_decode_B2={tok13_per_s:.1f} tok/s aggregate (int8, int8 KV)",
+        f"13b_decode_B2={tok13_per_s:.1f} tok/s aggregate (int8, int8 KV)  "
+        f"13b_paged_q8_B4={paged13_q8_tok_per_s:.1f} tok/s aggregate "
+        f"(int8 weights + int8 pages, page=128)",
         file=sys.stderr,
     )
 

@@ -119,6 +119,7 @@ def test_engine_temperature_sampling(setup):
     assert len(out[rid]) >= 1
 
 
+@pytest.mark.slow
 def test_slot_engine_multichip_matches_single(setup):
     """ServingEngine over the 8-device CPU mesh (sharded params, cache rows
     over data x fsdp + heads over model) decodes token-for-token like the
@@ -238,6 +239,7 @@ def test_spec_engine_mixed_temperature(setup):
     assert outs["spec"][1] >= 1
 
 
+@pytest.mark.slow
 def test_spec_engine_multichip_matches_single(setup):
     """Speculative engine under the 8-device mesh: the multi-token verify
     partitions via GSPMD exactly like the plain decode, so sharded spec

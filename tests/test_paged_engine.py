@@ -299,6 +299,7 @@ def test_sharded_paged_attention_matches_single():
     )
 
 
+@pytest.mark.slow
 def test_paged_engine_multichip_matches_single(setup):
     """PagedServingEngine over the 8-device mesh (sharded params, per-shard
     page pools) decodes token-for-token identically to single-device."""
@@ -433,6 +434,7 @@ def test_paged_engine_q8_matches_slot_kv_quant(setup):
     assert outs["paged"] == outs["slot"]
 
 
+@pytest.mark.slow
 def test_paged_engine_q8_multichip_matches_single(setup):
     """kv_quant engine over the 8-device mesh (sharded int8 pools + scale
     pools) must match the single-device kv_quant engine."""
@@ -625,6 +627,7 @@ def test_paged_spec_engine_matches_plain(setup, quant):
     assert all(not p for p in spec.row_pages)
 
 
+@pytest.mark.slow
 def test_paged_spec_engine_multichip_matches_single(setup):
     from vcoder_tpu.parallel.mesh import make_mesh
     from vcoder_tpu.parallel.sharding import shard_params

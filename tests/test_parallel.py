@@ -113,6 +113,7 @@ def _make_batch(cfg, batch_size):
     return batch
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_learns():
     cfg = VCoderConfig.tiny("vcoder_ds_llava")
     mesh = _mesh()
@@ -154,6 +155,7 @@ def test_data_parallel_batch_sharding():
     np.testing.assert_array_equal(np.asarray(sharded), np.asarray(x))
 
 
+@pytest.mark.slow
 def test_offloaded_full_finetune_matches_resident():
     """zero3_offload analog: the 'full' stage with the optimizer state
     pinned in host memory must produce the SAME parameters as the

@@ -9,6 +9,8 @@ import subprocess
 import jax
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end driver runs (see pyproject markers)
+
 from vcoder_tpu.checkpoint import save_pretrained
 from vcoder_tpu.config import VCoderConfig
 from vcoder_tpu.models import vcoder as model_mod

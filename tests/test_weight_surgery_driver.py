@@ -8,6 +8,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end driver runs (see pyproject markers)
+
 from vcoder_tpu.checkpoint import (
     load_safetensors_state,
     save_pretrained,
