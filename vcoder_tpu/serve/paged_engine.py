@@ -30,6 +30,11 @@ from vcoder_tpu.models import vcoder as model_mod
 from vcoder_tpu.models.llama import KVCache
 from vcoder_tpu.ops.paged_attention import write_prompt_pages
 from vcoder_tpu.serve.engine import DeferAdmission, Request, ServingEngine
+from vcoder_tpu.serve.prefix_cache import (
+    PrefixIndex,
+    chain_hashes,
+    content_key_ids,
+)
 
 
 @partial(
@@ -135,6 +140,109 @@ def _scatter_pages_q8(
     k_scale = jax.vmap(one_layer_scale)(k_scale, ks[..., 0])
     v_scale = jax.vmap(one_layer_scale)(v_scale, vs[..., 0])
     return k_pages, v_pages, k_scale, v_scale
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "use_vcoder_emb", "has_images", "has_segs", "has_depths",
+        "attn_impl",
+    ),
+)
+def _plan_embeds(
+    params,
+    cfg: VCoderConfig,
+    plan_arrays,
+    images,
+    segs,
+    depths,
+    *,
+    use_vcoder_emb: bool,
+    has_images: bool,
+    has_segs: bool,
+    has_depths: bool,
+    attn_impl: str,
+):
+    """Spliced embedding sequence [1, T_pad, D] of a planned request —
+    the embedding half of the prefill graph, for suffix prefill over
+    cached prefix pages whose suffix contains vision positions."""
+    vis_table = None
+    if has_images:
+        vis_table = model_mod.encode_vision(
+            params,
+            cfg,
+            images,
+            segs if has_segs else None,
+            depths if has_depths else None,
+            attn_impl=attn_impl,
+        )
+    return model_mod.assemble_embeddings(
+        params,
+        cfg,
+        plan_arrays["safe_ids"],
+        plan_arrays["is_text"],
+        plan_arrays["vis_idx"],
+        vis_table,
+        use_vcoder_emb=use_vcoder_emb,
+    )
+
+
+@partial(jax.jit, static_argnames=("use_vcoder_emb",))
+def _embed_chunk(params, ids, *, use_vcoder_emb: bool):
+    """Text-only suffix chunk embeddings (skips the vision encode)."""
+    table = (
+        params["vcoder_lm_emb"]
+        if (use_vcoder_emb and "vcoder_lm_emb" in params)
+        else params["lm"]["embed_tokens"]
+    )
+    return jnp.take(table, ids, axis=0)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3, 4, 5, 6))
+def _suffix_chunk(
+    params,
+    cfg: VCoderConfig,
+    embeds,  # [1, kc, D] — chunk of the suffix (pads only in the tail)
+    k_pages,
+    v_pages,
+    k_scale,  # dummy () leaves when unquantized
+    v_scale,
+    page_table,  # [1, P_max] — this row's pages (reused prefix + fresh)
+    start,  # [] int32: absolute position of the chunk's first token
+):
+    """One chunk of suffix prefill over paged KV: the speculative verify
+    forward doubles as a chunked prefill (append the chunk's KV into the
+    row's pages, attend each token causally to the cached prefix + its
+    own window). Returns (hidden [1, kc, D], pools...)."""
+    kc = embeds.shape[1]
+    quantized = k_scale is not None and k_scale.ndim == 4
+    positions = start + jnp.arange(kc, dtype=jnp.int32)[None, :]
+    out = llama_mod.llama_paged_verify(
+        params["lm"],
+        cfg.text,
+        embeds,
+        positions,
+        k_pages,
+        v_pages,
+        page_table,
+        start[None].astype(jnp.int32),
+        jnp.ones((1,), bool),
+        k_scale=k_scale if quantized else None,
+        v_scale=v_scale if quantized else None,
+        interpret=jax.default_backend() != "tpu",
+    )
+    if quantized:
+        return out
+    # Pass the donated dummy scale leaves through so the caller's
+    # rebinding stays uniform (donation invalidates the inputs).
+    return out + (k_scale, v_scale)
+
+
+@jax.jit
+def _hidden_logits(params, hidden, idx):
+    """lm_head at one position of a chunk's hidden states -> [V]."""
+    h = jax.lax.dynamic_slice_in_dim(hidden[0], idx, 1, axis=0)
+    return llama_mod.lm_head(params["lm"], h[None])[0, 0]
 
 
 @partial(
@@ -341,6 +449,9 @@ class PagedServingEngine(ServingEngine):
         kv_quant: bool = False,
         speculative: int = 0,
         sync_every: int = 1,
+        prefix_cache: bool = False,
+        prefix_chunk: int = 128,
+        prefix_max_suffix: int = 1024,
     ):
         assert max_len % page_size == 0, (
             f"max_len {max_len} must be a multiple of page_size {page_size}"
@@ -462,6 +573,29 @@ class PagedServingEngine(ServingEngine):
         self.table = np.zeros((max_batch, self.p_max), np.int32)
         for slot in range(max_batch):
             self.table[slot, :] = self._shard_of(slot) * per
+        # Automatic prefix caching: full prompt pages are published under
+        # chained content hashes; later requests map matching prefix pages
+        # into their table and only the suffix runs through the model
+        # (serve/prefix_cache.py). Single-device engines only: the chunked
+        # suffix forward rides the B=1 verify path, which the shard_map
+        # row sharding cannot take.
+        if prefix_cache and self.mesh is not None:
+            raise ValueError(
+                "prefix_cache is single-device only (suffix prefill runs"
+                " the B=1 verify path)"
+            )
+        self.prefix_idx: Optional[List[PrefixIndex]] = (
+            [PrefixIndex() for _ in range(row_shards)]
+            if prefix_cache
+            else None
+        )
+        # Suffix chunks are multiples of page_size so the region tiles
+        # with at most two compiled chunk shapes (the chunk and one
+        # remainder multiple).
+        self._chunk = max(
+            prefix_chunk - prefix_chunk % page_size, page_size
+        )
+        self.prefix_max_suffix = prefix_max_suffix
 
 
     def _device_table(self):
@@ -481,6 +615,10 @@ class PagedServingEngine(ServingEngine):
 
     def _alloc(self, n: int, shard: int = 0) -> List[int]:
         free = self.free_pages[shard]
+        if len(free) < n and self.prefix_idx is not None:
+            # Cached-but-unreferenced prefix pages are reclaimable: evict
+            # LRU-first until the allocation fits.
+            free.extend(self.prefix_idx[shard].evict(n - len(free)))
         if len(free) < n:
             raise PoolExhausted(
                 f"page pool exhausted (shard {shard}): need {n},"
@@ -492,11 +630,30 @@ class PagedServingEngine(ServingEngine):
 
     def _free_row(self, slot: int) -> None:
         shard = self._shard_of(slot)
-        self.free_pages[shard].extend(self.row_pages[slot])
+        idx = self.prefix_idx[shard] if self.prefix_idx is not None else None
+        for pid in self.row_pages[slot]:
+            if idx is not None and idx.is_registered(pid):
+                # Shared/published page: drop this row's reference; the
+                # KV stays cached (evictable at zero refs) for reuse.
+                idx.release(pid)
+            else:
+                self.free_pages[shard].append(pid)
         self.row_pages[slot] = []
         self.lengths[slot] = 0
         self.table[slot, :] = shard * self.pages_per_shard
         self._table_dirty = True
+
+    def prefix_stats(self) -> dict:
+        """Aggregate prefix-cache counters across shards (zeros when the
+        cache is disabled)."""
+        out = {
+            "hits": 0, "misses": 0, "reused_pages": 0,
+            "evicted": 0, "cached_pages": 0,
+        }
+        for idx in self.prefix_idx or []:
+            for k, v in idx.stats().items():
+                out[k] += v
+        return out
 
     # ---- request lifecycle ----
 
@@ -520,10 +677,32 @@ class PagedServingEngine(ServingEngine):
         plan, arrays, px = self._plan_request(
             req, pad_round=self.page_size
         )
-        n_used = -(-req.prompt_len // self.page_size)
+        page = self.page_size
+        shard = self._shard_of(slot)
+        n_used = -(-req.prompt_len // page)
+
+        # ---- prefix-cache lookup ----
+        idx = self.prefix_idx[shard] if self.prefix_idx is not None else None
+        reused: List[int] = []
+        hashes: List[bytes] = []
+        if idx is not None:
+            hashes = chain_hashes(content_key_ids(plan, req), page)
+            # Keep >= 1 suffix token so first-token logits exist even
+            # when the whole prompt is cached.
+            reused = idx.match(hashes[: (req.prompt_len - 1) // page])
+            if reused and (n_used - len(reused)) * page > self.prefix_max_suffix:
+                # Long suffix: the fused dense prefill beats many chunked
+                # verify dispatches — drop the reuse, re-prefill densely.
+                for pid in reused:
+                    idx.release(pid)
+                reused = []
+        m = len(reused)
+
         try:
-            ids = self._alloc(n_used, self._shard_of(slot))
+            ids = self._alloc(n_used - m, shard)
         except PoolExhausted as e:
+            for pid in reused:
+                idx.release(pid)
             if not any(self.active):
                 # Nothing running that could ever free pages: the pool is
                 # simply too small for this request — fail it.
@@ -532,7 +711,28 @@ class PagedServingEngine(ServingEngine):
             # whatever is running; pages free as requests finish.
             self.queue.insert(0, req)
             raise DeferAdmission()
+        row_ids = reused + ids
 
+        if m:
+            logits = self._suffix_prefill(req, plan, arrays, px, row_ids, m)
+        else:
+            logits = self._dense_prefill_scatter(req, plan, arrays, px, ids)
+
+        if idx is not None:
+            # Publish this prompt's fully-covered pages (decode writes
+            # land at positions >= prompt_len, so they stay immutable).
+            for i in range(m, req.prompt_len // page):
+                idx.register(hashes[i], row_ids[i])
+
+        self.row_pages[slot] = row_ids
+        self.lengths[slot] = req.prompt_len
+        self.table[slot, :] = shard * self.pages_per_shard
+        self.table[slot, :n_used] = row_ids
+        self._table_dirty = True
+        return self._sample_first(logits, req)
+
+    def _dense_prefill_scatter(self, req, plan, arrays, px, ids) -> "jnp.ndarray":
+        n_used = len(ids)
         with self._mesh_ctx():
             logits, tmp_k, tmp_v = _dense_prefill(
                 self.params,
@@ -573,12 +773,84 @@ class PagedServingEngine(ServingEngine):
                     jnp.asarray(ids, jnp.int32),
                     n_pages_used=n_used,
                 )
-        self.row_pages[slot] = ids
-        self.lengths[slot] = req.prompt_len
-        self.table[slot, :] = self._shard_of(slot) * self.pages_per_shard
-        self.table[slot, :n_used] = ids
-        self._table_dirty = True
-        return self._sample_first(logits, req)
+        return logits
+
+    def _suffix_prefill(self, req, plan, arrays, px, row_ids, m):
+        """Prefill only the suffix [m*page, ceil(prompt/page)*page) over
+        the ``m`` reused prefix pages, in page-multiple chunks through the
+        paged verify forward. Pads (tail of the last page) write garbage
+        KV into this row's own pages at positions >= prompt_len — never
+        attended (lengths bound reads) and overwritten by decode."""
+        page = self.page_size
+        n_used = len(row_ids)
+        start = m * page
+        region = (n_used - m) * page
+        # req.slot isn't assigned until admission completes; derive the
+        # shard from the pages themselves (all row pages live in one
+        # shard's id range).
+        shard = row_ids[0] // self.pages_per_shard
+        table = np.full((1, self.p_max), shard * self.pages_per_shard,
+                        np.int32)
+        table[0, :n_used] = row_ids
+        table_dev = jnp.asarray(table)
+
+        # Suffix embeddings: skip the vision encode when every suffix
+        # position is text (the multi-turn hot path — images sit in the
+        # cached prefix).
+        T_pad = plan.safe_ids.shape[1]
+        end = min(start + region, T_pad)
+        text_only = bool(plan.is_text[0, start:end].all())
+        use_vemb = plan.use_vcoder_emb and self.cfg.use_vcoder_lm_emb
+        full_embeds = None
+        if not text_only:
+            with self._mesh_ctx():
+                full_embeds = _plan_embeds(
+                    self.params,
+                    self.cfg,
+                    arrays,
+                    px(req.images),
+                    px(req.segs),
+                    px(req.depths),
+                    use_vcoder_emb=use_vemb,
+                    has_images=req.images is not None,
+                    has_segs=req.segs is not None,
+                    has_depths=req.depths is not None,
+                    attn_impl=self.attn_impl,
+                )
+
+        last_idx = req.prompt_len - 1 - start  # region-local last valid
+        logits = None
+        off = 0
+        while off < region:
+            kc = min(self._chunk, region - off)
+            s = start + off
+            if full_embeds is not None:
+                emb = jax.lax.dynamic_slice_in_dim(full_embeds, s, kc, 1)
+            else:
+                emb = _embed_chunk(
+                    self.params,
+                    jax.lax.dynamic_slice_in_dim(arrays["safe_ids"], s, kc, 1),
+                    use_vcoder_emb=use_vemb,
+                )
+            out = _suffix_chunk(
+                self.params,
+                self.cfg,
+                emb,
+                self.k_pages,
+                self.v_pages,
+                self.k_scale,
+                self.v_scale,
+                table_dev,
+                jnp.asarray(s, jnp.int32),
+            )
+            (hidden, self.k_pages, self.v_pages,
+             self.k_scale, self.v_scale) = out
+            if off <= last_idx < off + kc:
+                logits = _hidden_logits(
+                    self.params, hidden, jnp.asarray(last_idx - off, jnp.int32)
+                )
+            off += kc
+        return logits
 
     def _ensure_pages(self, events) -> None:
         """Give every active row pages covering its write horizon (one
