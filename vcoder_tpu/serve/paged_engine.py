@@ -17,6 +17,7 @@ boundary-allocation failure mid-generation ends only that request.
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import List, Optional, Tuple
 
@@ -431,6 +432,40 @@ def _paged_spec_decode_all(
     return (outs, emit, nxt) + pools
 
 
+class _RegionPrefill:
+    """Resumable paged prefill of one request's uncached page region.
+
+    Carries everything `_advance_region` needs to run the next chunk:
+    the region's page table row, precomputed spliced embeddings (when the
+    region holds vision positions), the cursor, and — once the chunk
+    containing the last prompt token has run — the first-token logits."""
+
+    __slots__ = (
+        "req", "arrays", "row_ids", "m", "hashes", "table_dev",
+        "full_embeds", "use_vemb", "start", "region", "off", "last_idx",
+        "logits", "chunk", "slot", "t0",
+    )
+
+    def __init__(self, *, req, arrays, row_ids, m, table_dev, full_embeds,
+                 use_vemb, start, region, last_idx, chunk):
+        self.req = req
+        self.arrays = arrays
+        self.row_ids = row_ids
+        self.m = m
+        self.hashes: List[bytes] = []
+        self.table_dev = table_dev
+        self.full_embeds = full_embeds
+        self.use_vemb = use_vemb
+        self.start = start
+        self.region = region
+        self.off = 0
+        self.last_idx = last_idx
+        self.logits = None
+        self.chunk = chunk
+        self.slot = -1
+        self.t0 = 0.0
+
+
 class PagedServingEngine(ServingEngine):
     """Continuous batching over paged KV storage."""
 
@@ -452,6 +487,7 @@ class PagedServingEngine(ServingEngine):
         prefix_cache: bool = False,
         prefix_chunk: int = 128,
         prefix_max_suffix: int = 1024,
+        chunked_prefill: int = 0,
     ):
         assert max_len % page_size == 0, (
             f"max_len {max_len} must be a multiple of page_size {page_size}"
@@ -596,6 +632,24 @@ class PagedServingEngine(ServingEngine):
             prefix_chunk - prefix_chunk % page_size, page_size
         )
         self.prefix_max_suffix = prefix_max_suffix
+        # Chunked prefill: admissions run `chunked_prefill`-token chunks
+        # through the paged verify forward, ONE chunk per engine step, so
+        # a long multimodal prompt (up to 2048 text + 1728 vision tokens)
+        # never stalls in-flight decodes for more than a chunk. vLLM-style
+        # prefill/decode interleaving; the reference blocks its whole
+        # generate loop on each admission (HF GenerationMixin is
+        # strictly sequential, vcoder_llava/serve/chat.py:141-150).
+        if chunked_prefill and self.mesh is not None:
+            raise ValueError(
+                "chunked_prefill is single-device only (chunks run the"
+                " B=1 verify path)"
+            )
+        self._cp_chunk = (
+            max(chunked_prefill - chunked_prefill % page_size, page_size)
+            if chunked_prefill
+            else 0
+        )
+        self._pending: Optional[_RegionPrefill] = None
 
 
     def _device_table(self):
@@ -657,16 +711,140 @@ class PagedServingEngine(ServingEngine):
 
     # ---- request lifecycle ----
 
+    def has_work(self) -> bool:
+        return super().has_work() or self._pending is not None
+
     def _admit(self):
-        events = super()._admit()
+        if self._cp_chunk:
+            events = self._admit_chunked()
+        else:
+            events = super()._admit()
         # Requests that finished AT admission vacated their slot before the
         # base loop could reuse it; _prefill frees on reuse, but reclaim
-        # anything still attached to an inactive slot here too.
+        # anything still attached to an inactive slot here too. A pending
+        # chunked prefill's slot legitimately holds pages while inactive —
+        # skip it.
+        pend_slot = self._pending.slot if self._pending is not None else -1
         for slot in range(self.max_batch):
+            if slot == pend_slot:
+                continue
             if not self.active[slot] and self.slots[slot] is None:
                 if self.row_pages[slot]:
                     self._free_row(slot)
         return events
+
+    # ---- chunked admission (prefill/decode interleaving) ----
+
+    def _admit_chunked(self) -> List[Tuple[int, int, bool]]:
+        """Advance prefill work by AT MOST one chunk this step: either
+        continue the pending request's region, or pop the queue and start
+        (plus run the first chunk of) a new one. Decode for active slots
+        proceeds every step regardless."""
+        if self._pending is not None:
+            return self._advance_pending()
+        events: List[Tuple[int, int, bool]] = []
+        while self.queue and not all(self.active):
+            slot = int(np.nonzero(~self.active)[0][0])
+            req = self.queue.pop(0)
+            try:
+                self._start_pending(req, slot)
+            except ValueError as e:
+                # Oversized prompt / pool too small: fail this request.
+                req.done = True
+                req.error = str(e)
+                events.append((req.request_id, self.eos_id, True))
+                continue
+            except DeferAdmission:
+                break
+            events += self._advance_pending()
+            break
+        return events
+
+    def _start_pending(self, req: Request, slot: int) -> None:
+        """Plan + allocate pages for a chunked admission; mirrors the
+        front half of `_prefill` (including prefix-cache reuse and the
+        defer-on-exhaustion rule) but defers the forward passes to
+        per-step `_advance_pending` calls."""
+        if self.row_pages[slot]:
+            self._free_row(slot)
+        t0 = time.perf_counter()
+        plan, arrays, px = self._plan_request(req, pad_round=self.page_size)
+        page = self.page_size
+        shard = self._shard_of(slot)
+        n_used = -(-req.prompt_len // page)
+
+        idx = self.prefix_idx[shard] if self.prefix_idx is not None else None
+        reused: List[int] = []
+        hashes: List[bytes] = []
+        if idx is not None:
+            hashes = chain_hashes(content_key_ids(plan, req), page)
+            # No prefix_max_suffix bailout here: chunked mode never takes
+            # the fused dense path, so a long suffix costs the same
+            # either way and the reuse is pure win.
+            reused = idx.match(hashes[: (req.prompt_len - 1) // page])
+        m = len(reused)
+
+        try:
+            ids = self._alloc(n_used - m, shard)
+        except PoolExhausted as e:
+            for pid in reused:
+                idx.release(pid)
+            if not any(self.active):
+                raise ValueError(str(e))
+            self.queue.insert(0, req)
+            raise DeferAdmission()
+
+        rp = self._begin_region(
+            req, plan, arrays, px, reused + ids, m, chunk=self._cp_chunk
+        )
+        rp.hashes = hashes
+        rp.slot = slot
+        rp.t0 = t0
+        self._pending = rp
+
+    def _advance_pending(self) -> List[Tuple[int, int, bool]]:
+        rp = self._pending
+        with self._mesh_ctx():
+            done = self._advance_region(rp)
+        if not done:
+            return []
+        self._pending = None
+        self.timer.record("ttft", time.perf_counter() - rp.t0)
+        return self._finish_admission(rp)
+
+    def _finish_admission(self, rp: "_RegionPrefill") -> List[Tuple[int, int, bool]]:
+        """Activate a fully-prefilled pending request: publish its prefix
+        pages, install its page-table row, sample the first token, and do
+        the slot bookkeeping the base `_admit` does after `_prefill`."""
+        req, slot = rp.req, rp.slot
+        page = self.page_size
+        n_used = len(rp.row_ids)
+        shard = self._shard_of(slot)
+        idx = self.prefix_idx[shard] if self.prefix_idx is not None else None
+        if idx is not None:
+            for i in range(rp.m, req.prompt_len // page):
+                idx.register(rp.hashes[i], rp.row_ids[i])
+        self.row_pages[slot] = rp.row_ids
+        self.lengths[slot] = req.prompt_len
+        self.table[slot, :] = shard * self.pages_per_shard
+        self.table[slot, :n_used] = rp.row_ids
+        self._table_dirty = True
+
+        first_tok = self._sample_first(rp.logits, req)
+        req.slot = slot
+        req.generated.append(first_tok)
+        self.slots[slot] = req
+        self.active[slot] = True
+        self.temps[slot] = req.temperature
+        self.top_ps[slot] = req.top_p
+        self._flags_dirty = True
+        self.tokens = self.tokens.at[slot].set(first_tok)
+        done = first_tok == self.eos_id or req.max_new_tokens <= 1
+        self._on_admitted(slot, req, first_tok, done)
+        if done:
+            req.done = True
+            self._release_slot(slot)
+        return [(req.request_id, first_tok, done)]
 
     def _prefill(self, req: Request, slot: int) -> int:
         # The previous occupant may have finished at admission and this
@@ -781,6 +959,20 @@ class PagedServingEngine(ServingEngine):
         paged verify forward. Pads (tail of the last page) write garbage
         KV into this row's own pages at positions >= prompt_len — never
         attended (lengths bound reads) and overwritten by decode."""
+        rp = self._begin_region(
+            req, plan, arrays, px, row_ids, m, chunk=self._chunk
+        )
+        while not self._advance_region(rp):
+            pass
+        return rp.logits
+
+    def _begin_region(self, req, plan, arrays, px, row_ids, m, *, chunk):
+        """Set up a resumable paged prefill of positions
+        [m*page, len(row_ids)*page): one vision-encode dispatch up front
+        when the region holds vision positions, then `_advance_region`
+        runs one `chunk`-token verify forward per call. Shared by the
+        prefix-cache suffix path (drained in a tight loop) and chunked
+        admission (one chunk per engine step)."""
         page = self.page_size
         n_used = len(row_ids)
         start = m * page
@@ -794,7 +986,7 @@ class PagedServingEngine(ServingEngine):
         table[0, :n_used] = row_ids
         table_dev = jnp.asarray(table)
 
-        # Suffix embeddings: skip the vision encode when every suffix
+        # Region embeddings: skip the vision encode when every region
         # position is text (the multi-turn hot path — images sit in the
         # cached prefix).
         T_pad = plan.safe_ids.shape[1]
@@ -817,40 +1009,59 @@ class PagedServingEngine(ServingEngine):
                     has_depths=req.depths is not None,
                     attn_impl=self.attn_impl,
                 )
+        return _RegionPrefill(
+            req=req,
+            arrays=arrays,
+            row_ids=row_ids,
+            m=m,
+            table_dev=table_dev,
+            full_embeds=full_embeds,
+            use_vemb=use_vemb,
+            start=start,
+            region=region,
+            last_idx=req.prompt_len - 1 - start,  # region-local last valid
+            chunk=chunk,
+        )
 
-        last_idx = req.prompt_len - 1 - start  # region-local last valid
-        logits = None
-        off = 0
-        while off < region:
-            kc = min(self._chunk, region - off)
-            s = start + off
-            if full_embeds is not None:
-                emb = jax.lax.dynamic_slice_in_dim(full_embeds, s, kc, 1)
-            else:
-                emb = _embed_chunk(
-                    self.params,
-                    jax.lax.dynamic_slice_in_dim(arrays["safe_ids"], s, kc, 1),
-                    use_vcoder_emb=use_vemb,
-                )
-            out = _suffix_chunk(
+    def _advance_region(self, rp: "_RegionPrefill") -> bool:
+        """Run ONE chunk of a region prefill; returns True when the
+        region is complete (rp.logits then holds the last prompt
+        position's logits)."""
+        kc = min(rp.chunk, rp.region - rp.off)
+        s = rp.start + rp.off
+        if rp.full_embeds is not None:
+            emb = jax.lax.dynamic_slice_in_dim(rp.full_embeds, s, kc, 1)
+        else:
+            emb = _embed_chunk(
                 self.params,
-                self.cfg,
-                emb,
-                self.k_pages,
-                self.v_pages,
-                self.k_scale,
-                self.v_scale,
-                table_dev,
-                jnp.asarray(s, jnp.int32),
+                jax.lax.dynamic_slice_in_dim(
+                    rp.arrays["safe_ids"], s, kc, 1
+                ),
+                use_vcoder_emb=rp.use_vemb,
             )
-            (hidden, self.k_pages, self.v_pages,
-             self.k_scale, self.v_scale) = out
-            if off <= last_idx < off + kc:
-                logits = _hidden_logits(
-                    self.params, hidden, jnp.asarray(last_idx - off, jnp.int32)
-                )
-            off += kc
-        return logits
+        out = _suffix_chunk(
+            self.params,
+            self.cfg,
+            emb,
+            self.k_pages,
+            self.v_pages,
+            self.k_scale,
+            self.v_scale,
+            rp.table_dev,
+            jnp.asarray(s, jnp.int32),
+        )
+        (hidden, self.k_pages, self.v_pages,
+         self.k_scale, self.v_scale) = out
+        if rp.off <= rp.last_idx < rp.off + kc:
+            rp.logits = _hidden_logits(
+                self.params, hidden,
+                jnp.asarray(rp.last_idx - rp.off, jnp.int32),
+            )
+        rp.off += kc
+        if rp.off >= rp.region:
+            rp.full_embeds = None  # free the [1, T_pad, D] buffer
+            return True
+        return False
 
     def _ensure_pages(self, events) -> None:
         """Give every active row pages covering its write horizon (one
