@@ -10,9 +10,10 @@ same stop-string/stream semantics, and the error-swallowing
 from __future__ import annotations
 
 import base64
+import dataclasses
 import json
 from io import BytesIO
-from typing import Iterator
+from typing import Iterator, List, Optional
 
 from vcoder_tpu import generation as gen_mod
 from vcoder_tpu.builder import load_pretrained_model
@@ -36,6 +37,25 @@ def load_image_from_base64(image: str):
     from PIL import Image
 
     return Image.open(BytesIO(base64.b64decode(image)))
+
+
+@dataclasses.dataclass
+class PreparedRequest:
+    """A wire-protocol params dict resolved into model inputs: sentinel
+    ids spliced, pixels preprocessed, and the token budget clamped —
+    everything a generation backend (host stream loop or batch engine)
+    needs, with the validation already done."""
+
+    ori_prompt: str
+    input_ids: List[int]
+    images: Optional[object]  # [1, N?, H, W, C] arrays or None
+    segs: Optional[object]
+    depths: Optional[object]
+    max_new_tokens: int
+    temperature: float
+    top_p: float
+    stop_str: Optional[str]
+    budget_error: Optional[str] = None  # set when the context is full
 
 
 class Chat:
@@ -79,7 +99,13 @@ class Chat:
     def num_patches(self) -> int:
         return self.model.config.vision.num_patches
 
-    def generate_stream(self, params: dict) -> Iterator[bytes]:
+    def prepare(self, params: dict) -> PreparedRequest:
+        """Validate + preprocess one request (reference semantics:
+        sentinel-count checks, 576-per-modality budget clamp,
+        vcoder_llava/serve/chat.py:53-139). Raises ValueError on
+        sentinel/image mismatches; a full context comes back as
+        ``budget_error`` (the reference streams that as a normal
+        message, not an error)."""
         tokenizer = self.tokenizer
         prompt = params["prompt"]
         ori_prompt = prompt
@@ -162,12 +188,32 @@ class Chat:
             - num_seg_tokens
             - num_depth_tokens,
         )
+        budget_error = None
         if max_new_tokens < 1:
+            budget_error = (
+                "Exceeds max token length. Please start a new"
+                " conversation, thanks."
+            )
+        return PreparedRequest(
+            ori_prompt=ori_prompt,
+            input_ids=list(input_ids),
+            images=px_images,
+            segs=px_segs,
+            depths=px_depths,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            stop_str=stop_str,
+            budget_error=budget_error,
+        )
+
+    def generate_stream(self, params: dict) -> Iterator[bytes]:
+        prep = self.prepare(params)
+        ori_prompt, stop_str = prep.ori_prompt, prep.stop_str
+        if prep.budget_error is not None:
             yield json.dumps(
                 {
-                    "text": ori_prompt
-                    + "Exceeds max token length. Please start a new"
-                    " conversation, thanks.",
+                    "text": ori_prompt + prep.budget_error,
                     "error_code": 0,
                 }
             ).encode() + b"\0"
@@ -177,14 +223,14 @@ class Chat:
         for text in gen_mod.generate_stream(
             self.model.params,
             self.model.config,
-            [list(input_ids)],
-            px_images,
-            px_segs,
-            px_depths,
-            tokenizer=tokenizer,
-            max_new_tokens=max_new_tokens,
-            temperature=temperature,
-            top_p=top_p,
+            [prep.input_ids],
+            prep.images,
+            prep.segs,
+            prep.depths,
+            tokenizer=self.tokenizer,
+            max_new_tokens=prep.max_new_tokens,
+            temperature=prep.temperature,
+            top_p=prep.top_p,
             stop_str=stop_str,
             # Greedy requests stream through prompt-lookup speculative
             # decoding (several tokens per decoder dispatch). An explicit

@@ -578,6 +578,23 @@ class ServingEngine:
     def has_work(self) -> bool:
         return bool(self.queue) or any(self.active)
 
+    def cancel(self, request_id: int) -> bool:
+        """End a request early (client stop-string hit or disconnect):
+        drop it from the queue, or vacate its slot so the capacity goes
+        back to other streams. Returns False for unknown/finished ids
+        (cancel can race completion — that's fine)."""
+        for i, req in enumerate(self.queue):
+            if req.request_id == request_id:
+                req.done = True
+                del self.queue[i]
+                return True
+        for slot, req in enumerate(self.slots):
+            if req is not None and req.request_id == request_id:
+                req.done = True
+                self._release_slot(slot)
+                return True
+        return False
+
     def step(self) -> List[Tuple[int, int, bool]]:
         """Admit queued requests into free slots (prefill), then run one
         decode step. Returns (request_id, token, done) events, including

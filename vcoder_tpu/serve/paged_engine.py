@@ -714,6 +714,29 @@ class PagedServingEngine(ServingEngine):
     def has_work(self) -> bool:
         return super().has_work() or self._pending is not None
 
+    def cancel(self, request_id: int) -> bool:
+        rp = self._pending
+        if rp is not None and rp.req.request_id == request_id:
+            # Mid-chunked-prefill: return the region's pages. Reused
+            # prefix pages hold a reference (match() took one); fresh
+            # pages go straight back to the free list — the same split
+            # `_free_row` applies.
+            self._pending = None
+            rp.req.done = True
+            shard = rp.row_ids[0] // self.pages_per_shard
+            idx = (
+                self.prefix_idx[shard]
+                if self.prefix_idx is not None
+                else None
+            )
+            for pid in rp.row_ids:
+                if idx is not None and idx.is_registered(pid):
+                    idx.release(pid)
+                else:
+                    self.free_pages[shard].append(pid)
+            return True
+        return super().cancel(request_id)
+
     def _admit(self):
         if self._cp_chunk:
             events = self._admit_chunked()
