@@ -17,7 +17,9 @@ from vcoder_tpu.models import clip as clip_mod
 from vcoder_tpu.ops.attention import xla_attention
 from vcoder_tpu.ops.vit_attention import (
     fused_block_attention,
+    fused_block_mlp,
     pick_head_block,
+    pick_i_block,
     repack_stacked,
 )
 
@@ -107,3 +109,33 @@ def test_pick_head_block():
     assert pick_head_block(16) == 4
     assert pick_head_block(2) == 2
     assert pick_head_block(3) == 1
+
+
+@pytest.mark.parametrize("B,T,Dm,I,ib", [(2, 16, 32, 64, 32), (1, 24, 64, 128, 128)])
+def test_fused_mlp_matches_oracle(B, T, Dm, I, ib):
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    x = jax.random.normal(ks[0], (B, T, Dm))
+    lns = 1.0 + 0.1 * jax.random.normal(ks[1], (Dm,))
+    lnb = 0.1 * jax.random.normal(ks[2], (Dm,))
+    fc1 = jax.random.normal(ks[3], (Dm, I)) * 0.2
+    fc1b = jax.random.normal(ks[4], (I,)) * 0.2
+    fc2 = jax.random.normal(ks[5], (I, Dm)) * 0.2
+    fc2b = jax.random.normal(ks[6], (Dm,)) * 0.2
+    eps = 1e-5
+
+    h = clip_mod.layer_norm(x, lns, lnb, eps)
+    ref = x + (clip_mod.quick_gelu(h @ fc1 + fc1b) @ fc2 + fc2b)
+
+    out = fused_block_mlp(
+        x, lns, lnb, fc1, fc1b, fc2, fc2b,
+        eps=eps, i_block=ib, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_pick_i_block():
+    assert pick_i_block(4096) == 512
+    assert pick_i_block(256) == 256
+    assert pick_i_block(96) == 96

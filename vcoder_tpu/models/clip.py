@@ -109,6 +109,12 @@ def _num_blocks(cfg: VisionConfig) -> int:
     return n_blocks
 
 
+# Fused LN2+MLP+residual kernel in the fused tower path: correctness is
+# interpret-proven (tests/test_vit_attention.py); flipped on once the
+# hardware A/B (scripts/bench_vision.py) shows it beats the XLA MLP.
+FUSE_MLP_DEFAULT = False
+
+
 def _fused_eligible(params: dict, cfg: VisionConfig, attn_impl: str) -> bool:
     """Use the fused attention-block kernel (ops/vit_attention.py)?
     TPU-only, single-device (under a multi-chip mesh the Pallas call
@@ -126,14 +132,16 @@ def _fused_eligible(params: dict, cfg: VisionConfig, attn_impl: str) -> bool:
     lp = params["layers"]
     if any(
         not isinstance(lp[k], jnp.ndarray)
-        for k in ("q_proj", "k_proj", "v_proj", "out_proj")
+        for k in ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
     ):
         return False  # quantized / LoRA-wrapped vision weights
     from vcoder_tpu.ops.vit_attention import pick_head_block
 
     hb = pick_head_block(cfg.num_heads)
     return (
-        cfg.hidden_size % 128 == 0 and (hb * 3 * cfg.head_dim) % 128 == 0
+        cfg.hidden_size % 128 == 0
+        and (hb * 3 * cfg.head_dim) % 128 == 0
+        and cfg.intermediate_size % 128 == 0
     )
 
 
@@ -210,17 +218,24 @@ def _run_blocks(params, cfg, x, n_blocks, attn_impl):
     return x
 
 
-def _run_blocks_fused(params, cfg, x, n_blocks, *, interpret=False):
-    """Transformer blocks with the fused attention-block kernel
-    (ops/vit_attention.py): LN1/LN2/MLP/residuals in XLA, QKV+softmax+
-    out-projection in one Pallas call per layer. The sequence is padded
-    to a multiple of 8 for the whole run (584 for CLIP's 577 — measured
-    faster than 640-lane padding despite the unaligned score lanes); pad
-    rows never contaminate valid rows (attention is masked by a key
-    bias, everything else is row-local) and are sliced off here."""
+def _run_blocks_fused(
+    params, cfg, x, n_blocks, *, interpret=False, fuse_mlp=FUSE_MLP_DEFAULT
+):
+    """Transformer blocks with the fused Pallas kernels
+    (ops/vit_attention.py): QKV+softmax+out-projection in one call per
+    layer, and LN2+MLP+residual in a second (``fused_block_mlp``) that
+    keeps the [T, 4D] GELU intermediate in VMEM instead of
+    round-tripping it through HBM between the two XLA matmuls. The
+    sequence is padded to a multiple of 8 for the whole run (584 for
+    CLIP's 577 — measured faster than 640-lane padding despite the
+    unaligned score lanes); pad rows never contaminate valid rows
+    (attention is masked by a key bias, everything else is row-local)
+    and are sliced off here."""
     from vcoder_tpu.ops.vit_attention import (
         fused_block_attention,
+        fused_block_mlp,
         pick_head_block,
+        pick_i_block,
         repack_stacked,
     )
 
@@ -228,6 +243,7 @@ def _run_blocks_fused(params, cfg, x, n_blocks, *, interpret=False):
     H, HD = cfg.num_heads, cfg.head_dim
     eps = cfg.layer_norm_eps
     hb = pick_head_block(H)
+    ib = pick_i_block(cfg.intermediate_size)
     Tp = -(-T // 8) * 8
     x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
 
@@ -248,12 +264,19 @@ def _run_blocks_fused(params, cfg, x, n_blocks, *, interpret=False):
             t_valid=T, n_heads=H, hb=hb, interpret=interpret,
         )
         x = x + a + l["out_bias"]
-        residual = x
-        h = layer_norm(x, l["ln2_scale"], l["ln2_bias"], eps)
-        x = residual + (
-            quick_gelu(h @ l["fc1"] + l["fc1_bias"]) @ l["fc2"]
-            + l["fc2_bias"]
-        )
+        if fuse_mlp:
+            x = fused_block_mlp(
+                x, l["ln2_scale"], l["ln2_bias"],
+                l["fc1"], l["fc1_bias"], l["fc2"], l["fc2_bias"],
+                eps=eps, i_block=ib, interpret=interpret,
+            )
+        else:
+            residual = x
+            h = layer_norm(x, l["ln2_scale"], l["ln2_bias"], eps)
+            x = residual + (
+                quick_gelu(h @ l["fc1"] + l["fc1_bias"]) @ l["fc2"]
+                + l["fc2_bias"]
+            )
         return x, None
 
     sliced = jax.tree.map(lambda a: a[:n_blocks], layers)

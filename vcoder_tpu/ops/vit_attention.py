@@ -155,6 +155,112 @@ def fused_block_attention(
     )(bias, x_ln, wqkv, bqkv, wo)
 
 
+def _mlp_kernel(x_ref, lns_ref, lnb_ref, fc1_ref, fc1b_ref, fc2_ref,
+                fc2b_ref, y_ref, hln_scr, acc_scr, *, eps: float):
+    g = pl.program_id(1)
+    ng = pl.num_programs(1)
+
+    @pl.when(g == 0)
+    def _init():
+        x = x_ref[0].astype(jnp.float32)  # [Tp, Dm]
+        mean = jnp.mean(x, axis=1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=1, keepdims=True)
+        h = (x - mean) * jax.lax.rsqrt(var + eps)
+        h = h * lns_ref[0][None, :] + lnb_ref[0][None, :]
+        hln_scr[:] = h.astype(hln_scr.dtype)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    h = hln_scr[:]
+    t = jax.lax.dot_general(
+        h, fc1_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + fc1b_ref[0][None, :]
+    t = t * jax.nn.sigmoid(1.702 * t)  # quick-GELU, f32
+    acc_scr[:] += jax.lax.dot_general(
+        t.astype(h.dtype), fc2_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(g == ng - 1)
+    def _fin():
+        y = x_ref[0].astype(jnp.float32) + acc_scr[:] + fc2b_ref[0][None, :]
+        y_ref[0] = y.astype(y_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "i_block", "interpret")
+)
+def fused_block_mlp(
+    x: jnp.ndarray,  # [B, Tp, Dm] — block input (post-attention residual)
+    ln_scale: jnp.ndarray,  # [Dm]
+    ln_bias: jnp.ndarray,  # [Dm]
+    fc1: jnp.ndarray,  # [Dm, I]
+    fc1_bias: jnp.ndarray,  # [I]
+    fc2: jnp.ndarray,  # [I, Dm]
+    fc2_bias: jnp.ndarray,  # [Dm]
+    *,
+    eps: float,
+    i_block: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One ViT MLP half-block as a single kernel:
+    ``x + fc2(quick_gelu(fc1(LN(x))))``. The [Tp, I] intermediate never
+    touches HBM — it lives one i_block-column stripe at a time in VMEM
+    (the XLA route writes + re-reads the full [B, T, 4·Dm] activation
+    between the two matmuls), LN runs once into VMEM scratch at the
+    first grid step, and the residual + output bias ride the final
+    accumulator flush. Grid = (image, I/i_block)."""
+    B, Tp, Dm = x.shape
+    I = fc1.shape[1]
+    assert I % i_block == 0, (I, i_block)
+    G = I // i_block
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps),
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((1, Tp, Dm), lambda b, g: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dm), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dm), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dm, i_block), lambda b, g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, i_block), lambda b, g: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((i_block, Dm), lambda b, g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dm), lambda b, g: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, Tp, Dm), lambda b, g: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, Dm), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Tp, Dm), x.dtype),
+            pltpu.VMEM((Tp, Dm), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=int(B * 4 * Tp * Dm * I),
+            bytes_accessed=int(
+                2 * B * Tp * Dm * 2 + (fc1.size + fc2.size) * 2 * B
+            ),
+            transcendentals=int(B * Tp * I),
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale[None, :],
+        ln_bias[None, :],
+        fc1,
+        fc1_bias[None, :],
+        fc2,
+        fc2_bias[None, :],
+    )
+
+
 def repack_stacked(layers: dict, n_heads: int, hb: int, dh: int):
     """Layer-stacked [L, Dm, Dm] q/k/v/out projections + biases -> the
     fused head-group layout. Runs in-graph per encode call (a few hundred
@@ -197,3 +303,13 @@ def pick_head_block(n_heads: int) -> int:
         if n_heads % hb == 0:
             return hb
     return 1
+
+
+def pick_i_block(intermediate: int) -> int:
+    """Largest lane-aligned I-stripe <= 512 that divides the MLP width
+    (512 keeps the f32 [Tp, ib] GELU stripe ~1.2 MB of VMEM at CLIP-L's
+    Tp=584); tiny test configs fall back to the full width."""
+    for ib in (512, 256, 128):
+        if intermediate % ib == 0:
+            return ib
+    return intermediate
