@@ -738,15 +738,22 @@ class PagedServingEngine(ServingEngine):
         return super().cancel(request_id)
 
     def _admit(self):
+        # Reclaim before admitting (a slot vacated by the previous decode
+        # window still holds pages the incoming allocation may need) ...
+        self._reclaim_vacated()
         if self._cp_chunk:
             events = self._admit_chunked()
         else:
             events = super()._admit()
-        # Requests that finished AT admission vacated their slot before the
-        # base loop could reuse it; _prefill frees on reuse, but reclaim
-        # anything still attached to an inactive slot here too. A pending
-        # chunked prefill's slot legitimately holds pages while inactive —
-        # skip it.
+        # ... and after: requests that finished AT admission vacated
+        # their slot inside the loop above.
+        self._reclaim_vacated()
+        return events
+
+    def _reclaim_vacated(self) -> None:
+        """Free pages still attached to empty inactive slots. A pending
+        chunked prefill's slot legitimately holds pages while inactive —
+        skip it."""
         pend_slot = self._pending.slot if self._pending is not None else -1
         for slot in range(self.max_batch):
             if slot == pend_slot:
@@ -754,7 +761,6 @@ class PagedServingEngine(ServingEngine):
             if not self.active[slot] and self.slots[slot] is None:
                 if self.row_pages[slot]:
                     self._free_row(slot)
-        return events
 
     # ---- chunked admission (prefill/decode interleaving) ----
 
