@@ -66,7 +66,7 @@ def base_weight_dtype(w):
     plain or LoRA-wrapped bf16 matrix is bf16). Callers use this to pick
     execution strategies that depend on whether the stacked projections
     are quantized (e.g. fused-loop vs unrolled decode windows)."""
-    while type(w).__name__ == "LoraWeight":
+    while type(w).__name__ in ("LoraWeight", "MultiLoraWeight"):
         w = w.base
     if isinstance(w, QuantizedTensor):
         return w.q.dtype
@@ -82,4 +82,8 @@ def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
         from vcoder_tpu.lora import lora_qmatmul
 
         return lora_qmatmul(x, w)
+    if type(w).__name__ == "MultiLoraWeight":
+        from vcoder_tpu.lora import multilora_qmatmul
+
+        return multilora_qmatmul(x, w)
     return x @ w

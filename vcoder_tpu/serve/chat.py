@@ -56,6 +56,7 @@ class PreparedRequest:
     top_p: float
     stop_str: Optional[str]
     budget_error: Optional[str] = None  # set when the context is full
+    lora: Optional[str] = None  # adapter name (multi-LoRA engine worker)
 
 
 class Chat:
@@ -205,6 +206,7 @@ class Chat:
             top_p=top_p,
             stop_str=stop_str,
             budget_error=budget_error,
+            lora=params.get("lora"),
         )
 
     def generate_stream(self, params: dict) -> Iterator[bytes]:

@@ -106,6 +106,7 @@ class Request:
     max_new_tokens: int = 256
     temperature: float = 0.0
     top_p: float = 1.0
+    lora: Optional[str] = None  # adapter name (multi-LoRA engines)
     # runtime state
     slot: int = -1
     prompt_len: int = 0
@@ -461,6 +462,7 @@ class ServingEngine:
         mesh=None,
         speculative: int = 0,
         sync_every: int = 1,
+        lora_adapters=None,
     ):
         self.cfg = cfg
         self.params = params
@@ -527,6 +529,23 @@ class ServingEngine:
                 self.mesh.shape["data"] * self.mesh.shape["fsdp"]
             ) == 0, "max_batch must divide over data*fsdp"
             assert cfg.text.num_heads % self.mesh.shape["model"] == 0
+        # Multi-LoRA serving: adapter stacks ride next to the frozen base
+        # and each batch row picks its adapter by index (lora.py::
+        # MultiLoraWeight). B=1 prefills slice a single-adapter view so
+        # their jit caches stay shape-stable. The reference can only
+        # merge one adapter at load time (model/builder.py:44-81).
+        self.lora_ids: Dict[str, int] = {}
+        self._multilora = bool(lora_adapters)
+        if self._multilora:
+            if self.mesh is not None:
+                raise ValueError(
+                    "multi-LoRA serving is single-device only"
+                )
+            from vcoder_tpu.lora import stack_adapters
+
+            self.params, self.lora_ids = stack_adapters(
+                self.params, lora_adapters, max_batch
+            )
         self.cache = self._make_cache()
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.active = np.zeros((max_batch,), bool)
@@ -560,6 +579,7 @@ class ServingEngine:
         max_new_tokens: int = 256,
         temperature: float = 0.0,
         top_p: float = 1.0,
+        lora: Optional[str] = None,
     ) -> int:
         req = Request(
             request_id=self._next_id,
@@ -570,10 +590,35 @@ class ServingEngine:
             max_new_tokens=max_new_tokens,
             temperature=temperature,
             top_p=top_p,
+            lora=lora,
         )
         self._next_id += 1
         self.queue.append(req)
         return req.request_id
+
+    def _adapter_idx(self, req: Request) -> int:
+        """Stack index of a request's adapter (0 = none); unknown names
+        fail only that request (ValueError rides the _admit handler)."""
+        if req.lora is None:
+            return 0
+        if not self._multilora or req.lora not in self.lora_ids:
+            raise ValueError(f"unknown LoRA adapter {req.lora!r}")
+        return self.lora_ids[req.lora]
+
+    def _prefill_params(self, req: Request):
+        """Params view for this request's B=1 prefill: multi-LoRA engines
+        slice the request's adapter out of the stacks (index 0 is the
+        zero adapter, so the pytree structure — and the prefill jit
+        cache — never changes)."""
+        if not self._multilora:
+            if req.lora is not None:
+                raise ValueError(
+                    f"engine has no LoRA adapters (got {req.lora!r})"
+                )
+            return self.params
+        from vcoder_tpu.lora import single_adapter_view
+
+        return single_adapter_view(self.params, self._adapter_idx(req))
 
     def has_work(self) -> bool:
         return bool(self.queue) or any(self.active)
@@ -728,8 +773,15 @@ class ServingEngine:
 
     def _on_admitted(self, slot: int, req: Request, first_tok: int,
                      done: bool) -> None:
-        """Per-admission hook: fused-spec engines sync the slot's device
+        """Per-admission hook: point the slot's decode row at the
+        request's adapter; fused-spec engines sync the slot's device
         history/draft state."""
+        if self._multilora:
+            from vcoder_tpu.lora import set_row_adapter
+
+            self.params = set_row_adapter(
+                self.params, slot, self._adapter_idx(req)
+            )
         if not getattr(self, "_spec_fused", False):
             return
         row = np.full((self._hist_cap,), -1, np.int32)
@@ -985,7 +1037,7 @@ class ServingEngine:
 
         with self._mesh_ctx():
             logits, self.cache = _prefill_insert(
-                self.params,
+                self._prefill_params(req),
                 cfg,
                 arrays,
                 px(req.images),

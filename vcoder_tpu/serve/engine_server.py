@@ -143,6 +143,8 @@ class EngineWorker:
         }
         if hasattr(eng, "prefix_stats"):
             out["prefix_cache"] = eng.prefix_stats()
+        if eng.lora_ids:
+            out["lora_adapters"] = sorted(eng.lora_ids)
         return out
 
     def shutdown(self) -> None:
@@ -166,6 +168,7 @@ class EngineWorker:
                 max_new_tokens=prep.max_new_tokens,
                 temperature=prep.temperature,
                 top_p=prep.top_p,
+                lora=prep.lora,
             )
             handle.request_id = rid
             self._streams[rid] = handle
@@ -258,6 +261,15 @@ class EngineWorkerHandler(BaseHTTPRequestHandler):
                     "text": prep.ori_prompt + prep.budget_error,
                     "error_code": 0,
                 }
+            ).encode()
+            return
+        if prep.lora is not None and prep.lora not in worker.engine.lora_ids:
+            # Validate here so the client gets an error payload; the
+            # engine-side ValueError backstop fails silently (one EOS
+            # event, nothing generated).
+            logger.warning("unknown LoRA adapter: %s", prep.lora)
+            yield json.dumps(
+                {"text": server_error_msg, "error_code": 1}
             ).encode()
             return
 
@@ -354,7 +366,23 @@ def main():
     ap.add_argument("--sync-every", type=int, default=1)
     ap.add_argument("--prefix-cache", action="store_true")
     ap.add_argument("--chunked-prefill", type=int, default=0)
+    ap.add_argument(
+        "--lora", action="append", default=[], metavar="NAME=PATH",
+        help="serve a PEFT adapter dir under NAME (repeatable);"
+        " requests pick one via the 'lora' param",
+    )
     args = ap.parse_args()
+
+    lora_adapters = None
+    if args.lora:
+        from vcoder_tpu.lora import load_lora_adapter_dir
+
+        lora_adapters = {}
+        for spec in args.lora:
+            name, _, path = spec.partition("=")
+            if not path:
+                ap.error(f"--lora expects NAME=PATH, got {spec!r}")
+            lora_adapters[name] = load_lora_adapter_dir(path)
 
     engine_kw = dict(
         max_batch=args.max_batch,
@@ -362,6 +390,7 @@ def main():
         kv_quant=args.kv_quant,
         speculative=args.speculative,
         sync_every=args.sync_every,
+        lora_adapters=lora_adapters,
     )
     if args.engine == "paged":
         engine_kw.update(

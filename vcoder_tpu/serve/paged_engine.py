@@ -441,14 +441,15 @@ class _RegionPrefill:
     containing the last prompt token has run — the first-token logits."""
 
     __slots__ = (
-        "req", "arrays", "row_ids", "m", "hashes", "table_dev",
+        "req", "params", "arrays", "row_ids", "m", "hashes", "table_dev",
         "full_embeds", "use_vemb", "start", "region", "off", "last_idx",
         "logits", "chunk", "slot", "t0",
     )
 
-    def __init__(self, *, req, arrays, row_ids, m, table_dev, full_embeds,
-                 use_vemb, start, region, last_idx, chunk):
+    def __init__(self, *, req, params, arrays, row_ids, m, table_dev,
+                 full_embeds, use_vemb, start, region, last_idx, chunk):
         self.req = req
+        self.params = params
         self.arrays = arrays
         self.row_ids = row_ids
         self.m = m
@@ -488,6 +489,7 @@ class PagedServingEngine(ServingEngine):
         prefix_chunk: int = 128,
         prefix_max_suffix: int = 1024,
         chunked_prefill: int = 0,
+        lora_adapters=None,
     ):
         assert max_len % page_size == 0, (
             f"max_len {max_len} must be a multiple of page_size {page_size}"
@@ -528,6 +530,7 @@ class PagedServingEngine(ServingEngine):
             seed=seed,
             speculative=speculative,
             sync_every=sync_every,
+            lora_adapters=lora_adapters,
         )
         # Speculative windows overshoot a row's accepted length by up to
         # spec_k rejected tokens, and sync windows by up to sync_every-1
@@ -797,6 +800,7 @@ class PagedServingEngine(ServingEngine):
         if self.row_pages[slot]:
             self._free_row(slot)
         t0 = time.perf_counter()
+        pp = self._prefill_params(req)  # adapter view (ValueError early)
         plan, arrays, px = self._plan_request(req, pad_round=self.page_size)
         page = self.page_size
         shard = self._shard_of(slot)
@@ -806,7 +810,9 @@ class PagedServingEngine(ServingEngine):
         reused: List[int] = []
         hashes: List[bytes] = []
         if idx is not None:
-            hashes = chain_hashes(content_key_ids(plan, req), page)
+            hashes = chain_hashes(
+                content_key_ids(plan, req), page, salt=req.lora or ""
+            )
             # No prefix_max_suffix bailout here: chunked mode never takes
             # the fused dense path, so a long suffix costs the same
             # either way and the reuse is pure win.
@@ -824,7 +830,8 @@ class PagedServingEngine(ServingEngine):
             raise DeferAdmission()
 
         rp = self._begin_region(
-            req, plan, arrays, px, reused + ids, m, chunk=self._cp_chunk
+            pp, req, plan, arrays, px, reused + ids, m,
+            chunk=self._cp_chunk,
         )
         rp.hashes = hashes
         rp.slot = slot
@@ -881,6 +888,7 @@ class PagedServingEngine(ServingEngine):
         if self.row_pages[slot]:
             self._free_row(slot)
 
+        pp = self._prefill_params(req)  # adapter view (ValueError early)
         plan, arrays, px = self._plan_request(
             req, pad_round=self.page_size
         )
@@ -893,7 +901,9 @@ class PagedServingEngine(ServingEngine):
         reused: List[int] = []
         hashes: List[bytes] = []
         if idx is not None:
-            hashes = chain_hashes(content_key_ids(plan, req), page)
+            hashes = chain_hashes(
+                content_key_ids(plan, req), page, salt=req.lora or ""
+            )
             # Keep >= 1 suffix token so first-token logits exist even
             # when the whole prompt is cached.
             reused = idx.match(hashes[: (req.prompt_len - 1) // page])
@@ -921,9 +931,13 @@ class PagedServingEngine(ServingEngine):
         row_ids = reused + ids
 
         if m:
-            logits = self._suffix_prefill(req, plan, arrays, px, row_ids, m)
+            logits = self._suffix_prefill(
+                pp, req, plan, arrays, px, row_ids, m
+            )
         else:
-            logits = self._dense_prefill_scatter(req, plan, arrays, px, ids)
+            logits = self._dense_prefill_scatter(
+                pp, req, plan, arrays, px, ids
+            )
 
         if idx is not None:
             # Publish this prompt's fully-covered pages (decode writes
@@ -938,11 +952,13 @@ class PagedServingEngine(ServingEngine):
         self._table_dirty = True
         return self._sample_first(logits, req)
 
-    def _dense_prefill_scatter(self, req, plan, arrays, px, ids) -> "jnp.ndarray":
+    def _dense_prefill_scatter(
+        self, pp, req, plan, arrays, px, ids
+    ) -> "jnp.ndarray":
         n_used = len(ids)
         with self._mesh_ctx():
             logits, tmp_k, tmp_v = _dense_prefill(
-                self.params,
+                pp,
                 self.cfg,
                 arrays,
                 px(req.images),
@@ -982,20 +998,21 @@ class PagedServingEngine(ServingEngine):
                 )
         return logits
 
-    def _suffix_prefill(self, req, plan, arrays, px, row_ids, m):
+    def _suffix_prefill(self, pp, req, plan, arrays, px, row_ids, m):
         """Prefill only the suffix [m*page, ceil(prompt/page)*page) over
         the ``m`` reused prefix pages, in page-multiple chunks through the
         paged verify forward. Pads (tail of the last page) write garbage
         KV into this row's own pages at positions >= prompt_len — never
         attended (lengths bound reads) and overwritten by decode."""
         rp = self._begin_region(
-            req, plan, arrays, px, row_ids, m, chunk=self._chunk
+            pp, req, plan, arrays, px, row_ids, m, chunk=self._chunk
         )
         while not self._advance_region(rp):
             pass
         return rp.logits
 
-    def _begin_region(self, req, plan, arrays, px, row_ids, m, *, chunk):
+    def _begin_region(self, pp, req, plan, arrays, px, row_ids, m, *,
+                      chunk):
         """Set up a resumable paged prefill of positions
         [m*page, len(row_ids)*page): one vision-encode dispatch up front
         when the region holds vision positions, then `_advance_region`
@@ -1026,7 +1043,7 @@ class PagedServingEngine(ServingEngine):
         if not text_only:
             with self._mesh_ctx():
                 full_embeds = _plan_embeds(
-                    self.params,
+                    pp,
                     self.cfg,
                     arrays,
                     px(req.images),
@@ -1040,6 +1057,7 @@ class PagedServingEngine(ServingEngine):
                 )
         return _RegionPrefill(
             req=req,
+            params=pp,
             arrays=arrays,
             row_ids=row_ids,
             m=m,
@@ -1062,14 +1080,14 @@ class PagedServingEngine(ServingEngine):
             emb = jax.lax.dynamic_slice_in_dim(rp.full_embeds, s, kc, 1)
         else:
             emb = _embed_chunk(
-                self.params,
+                rp.params,
                 jax.lax.dynamic_slice_in_dim(
                     rp.arrays["safe_ids"], s, kc, 1
                 ),
                 use_vcoder_emb=rp.use_vemb,
             )
         out = _suffix_chunk(
-            self.params,
+            rp.params,
             self.cfg,
             emb,
             self.k_pages,
@@ -1083,7 +1101,7 @@ class PagedServingEngine(ServingEngine):
          self.k_scale, self.v_scale) = out
         if rp.off <= rp.last_idx < rp.off + kc:
             rp.logits = _hidden_logits(
-                self.params, hidden,
+                rp.params, hidden,
                 jnp.asarray(rp.last_idx - rp.off, jnp.int32),
             )
         rp.off += kc

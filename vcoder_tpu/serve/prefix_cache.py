@@ -63,15 +63,19 @@ def content_key_ids(plan, req) -> np.ndarray:
     return ids
 
 
-def chain_hashes(key_ids: np.ndarray, page_size: int) -> List[bytes]:
+def chain_hashes(
+    key_ids: np.ndarray, page_size: int, salt: str = ""
+) -> List[bytes]:
     """Chained content hash per FULL page: h_i = H(h_{i-1} || block_i).
 
     Only blocks fully inside ``key_ids`` are hashed — the partial tail
     page of a prompt is never shareable (its remaining slots get decode
-    writes)."""
+    writes). ``salt`` partitions the cache by anything that changes the
+    KV for identical token content (multi-LoRA: the adapter name — the
+    same prompt under adapter X and Y must never share pages)."""
     n_full = len(key_ids) // page_size
     out: List[bytes] = []
-    prev = b"vcoder-prefix-v1"
+    prev = b"vcoder-prefix-v1" + salt.encode()
     for i in range(n_full):
         h = hashlib.sha256()
         h.update(prev)
