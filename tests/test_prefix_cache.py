@@ -192,6 +192,39 @@ def test_q8_pools_prefix_hit(setup):
     assert eng.prefix_stats()["hits"] >= 1
 
 
+def test_embedding_route_partitions_cache(setup):
+    """A text-only request embeds text via embed_tokens; a seg-carrying
+    request embeds the SAME leading text via vcoder_lm_emb
+    (multimodal.build_splice_plan use_vcoder_emb=has_seg). Identical
+    leading tokens therefore produce different KV and must never share
+    cached pages — the salt partitions on the route."""
+    cfg, params, px, _ = setup
+    # At init vcoder_lm_emb == embed_tokens; perturb it so the two
+    # embedding routes produce visibly different logits.
+    params = dict(params)
+    params["vcoder_lm_emb"] = params["vcoder_lm_emb"] + 0.05
+    lead = [1] + [20 + (j % 50) for j in range(40)]
+    text_prompt = lead + [5, 9]
+    mm_prompt = lead + [IMAGE_TOKEN_INDEX, SEG_TOKEN_INDEX, 7, 8]
+
+    def serve_mixed(eng):
+        r1 = eng.add_request(text_prompt, max_new_tokens=5)
+        out1 = dict(eng.run())
+        r2 = eng.add_request(
+            mm_prompt, images=px, segs=px, max_new_tokens=5
+        )
+        out2 = dict(eng.run())
+        return out1[r1], out2[r2]
+
+    plain = serve_mixed(_engine(cfg, params))
+    eng = _engine(cfg, params, prefix_cache=True, prefix_chunk=16)
+    cached = serve_mixed(eng)
+    assert cached == plain
+    # The seg request must not have reused the text request's pages
+    # (its own pages can still register for future seg requests).
+    assert eng.prefix_stats()["hits"] == 0
+
+
 def test_page_accounting_and_eviction(setup):
     """Distinct prompts under a tight pool: cached pages are evicted to
     satisfy allocations, and no page ever leaks — free + cached always

@@ -811,7 +811,8 @@ class PagedServingEngine(ServingEngine):
         hashes: List[bytes] = []
         if idx is not None:
             hashes = chain_hashes(
-                content_key_ids(plan, req), page, salt=req.lora or ""
+                content_key_ids(plan, req), page,
+                salt=self._cache_salt(plan, req),
             )
             # No prefix_max_suffix bailout here: chunked mode never takes
             # the fused dense path, so a long suffix costs the same
@@ -882,6 +883,17 @@ class PagedServingEngine(ServingEngine):
             self._release_slot(slot)
         return [(req.request_id, first_tok, done)]
 
+    def _cache_salt(self, plan, req: Request) -> str:
+        """Prefix-cache partition key: everything beyond token/pixel
+        content that changes the KV a prompt produces. Today that is the
+        LoRA adapter (same tokens under adapters X and Y must not share
+        pages) and the text-embedding route — a seg-carrying request
+        embeds its TEXT positions through vcoder_lm_emb (multimodal.py
+        use_vcoder_emb=has_seg) while a text/image-only request uses
+        embed_tokens, so identical leading text produces different KV."""
+        use_vemb = plan.use_vcoder_emb and self.cfg.use_vcoder_lm_emb
+        return f"{req.lora or ''}|e{int(bool(use_vemb))}"
+
     def _prefill(self, req: Request, slot: int) -> int:
         # The previous occupant may have finished at admission and this
         # slot is being reused within the same _admit loop — reclaim.
@@ -902,7 +914,8 @@ class PagedServingEngine(ServingEngine):
         hashes: List[bytes] = []
         if idx is not None:
             hashes = chain_hashes(
-                content_key_ids(plan, req), page, salt=req.lora or ""
+                content_key_ids(plan, req), page,
+                salt=self._cache_salt(plan, req),
             )
             # Keep >= 1 suffix token so first-token logits exist even
             # when the whole prompt is cached.
