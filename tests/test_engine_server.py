@@ -238,6 +238,88 @@ def test_stop_string_cancels_engine_request(server, worker):
     assert sum(worker.engine.active) == 0
 
 
+def test_admission_error_reaches_client(server):
+    """A prompt that passes Chat's model-context budget but exceeds the
+    ENGINE's max_len fails at admission; the client must receive an
+    error payload, not an empty successful stream."""
+    payloads = _post(
+        server,
+        {
+            # ~300 tokens: < model ctx (512) but > engine max_len (256).
+            "prompt": "USER: " + "word " * 300 + "ASSISTANT:",
+            "temperature": 0.0,
+            "max_new_tokens": 4,
+        },
+    )
+    assert payloads, "admission failure produced an empty stream"
+    assert payloads[-1]["error_code"] == 1
+
+
+def test_cancel_before_admission(worker):
+    """A cancel that lands before the loop thread admits the request
+    (request_id still None) must still prevent any decoding."""
+    from vcoder_tpu.serve.engine_server import TokenStream
+
+    prep = worker.chat.prepare(
+        {"prompt": "USER: hi ASSISTANT:", "temperature": 0.0,
+         "max_new_tokens": 32}
+    )
+    assert prep.budget_error is None
+    handle = TokenStream()
+    # Hold the worker's lock so the loop thread cannot drain between the
+    # submission and the cancel — the racy window, made deterministic.
+    with worker._cond:
+        worker._submissions.append((prep, handle))
+        handle.cancelled = True
+        worker._cond.notify()
+    deadline = time.monotonic() + 60
+    while time.monotonic() < deadline:
+        with worker._cond:
+            pending = bool(worker._submissions)
+        if not pending and not worker.engine.has_work():
+            break
+        time.sleep(0.05)
+    assert not worker.engine.has_work()
+    assert handle.q.empty()  # nothing was ever decoded for it
+    assert handle.request_id not in worker._streams
+
+
+def test_step_failure_fails_streams_and_drains(server, worker):
+    """A persistent engine.step() failure must (a) surface an error chunk
+    to the client and (b) drain the engine queue/slots so the loop can
+    idle instead of hot-spinning on the failing step."""
+    real_step = worker.engine.step
+
+    def boom():
+        raise RuntimeError("injected step failure")
+
+    worker.engine.step = boom
+    try:
+        payloads = _post(
+            server,
+            {"prompt": "USER: hi ASSISTANT:", "temperature": 0.0,
+             "max_new_tokens": 8},
+        )
+        assert payloads and payloads[-1]["error_code"] == 1
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            if not worker.engine.has_work():
+                break
+            time.sleep(0.05)
+        assert not worker.engine.has_work(), (
+            "engine still has work after step failure: hot-spin"
+        )
+    finally:
+        worker.engine.step = real_step
+    # The worker still serves after recovery.
+    ok = _post(
+        server,
+        {"prompt": "USER: hi ASSISTANT:", "temperature": 0.0,
+         "max_new_tokens": 2},
+    )
+    assert ok and ok[-1]["error_code"] == 0
+
+
 def test_engine_cancel_returns_pages():
     """Engine-level cancel: a running request's pages and a pending
     chunked prefill's pages both return to the pool."""

@@ -245,6 +245,54 @@ def test_prefix_cache_is_adapter_salted(setup):
     assert out2[0] == out[0]
 
 
+def test_partial_layer_adapter_rejected(setup):
+    """An adapter covering fewer layers than the model must raise a
+    clear error, not be reshape()d into cross-layer garbage."""
+    cfg, params, adapters = setup
+    bad = {
+        path: (a[:1], b[:1], s)  # 1 of L layers
+        for path, (a, b, s) in adapters["x"].items()
+    }
+    with pytest.raises(ValueError, match="stacked over"):
+        stack_adapters(params, {"x": bad}, max_batch=4)
+
+
+def test_no_target_adapter_rejected(setup):
+    """An adapter whose paths match no parameter of this model would
+    silently serve as the base model; it must be rejected."""
+    cfg, params, adapters = setup
+    ghost = {
+        "lm/layers/nonexistent_proj": next(iter(adapters["x"].values()))
+    }
+    with pytest.raises(ValueError, match="targets no parameter"):
+        stack_adapters(params, {"x": adapters["x"], "g": ghost},
+                       max_batch=4)
+    with pytest.raises(ValueError, match="no LoRA targets"):
+        stack_adapters(params, {"e": {}}, max_batch=4)
+
+
+def test_adapter_dir_ab_layer_mismatch(tmp_path):
+    """lora_A/lora_B covering different layer sets is a corrupt adapter:
+    a clear ValueError, not a bare KeyError."""
+    import numpy as np
+
+    from safetensors.numpy import save_file
+
+    from vcoder_tpu.lora import load_lora_adapter_dir
+
+    state = {
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight":
+            np.zeros((4, 8), np.float32),
+        "base_model.model.model.layers.1.self_attn.q_proj.lora_A.weight":
+            np.zeros((4, 8), np.float32),
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight":
+            np.zeros((8, 4), np.float32),
+    }
+    save_file(state, str(tmp_path / "adapter_model.safetensors"))
+    with pytest.raises(ValueError, match="different"):
+        load_lora_adapter_dir(str(tmp_path))
+
+
 def test_load_lora_adapter_dir(tmp_path):
     """PEFT-format dir -> unmerged {path: (a, b, scale)} trees in our
     [L, in, r] / [L, r, out] layout."""

@@ -215,18 +215,34 @@ def stack_adapters(
     adapter"."""
     names = sorted(adapters)
     trees = {n: extract_adapters(adapters[n]) for n in names}
+    for n in names:
+        if not trees[n]:
+            raise ValueError(f"adapter {n!r} has no LoRA targets")
     paths = sorted({p for t in trees.values() for p in t})
     if not paths:
         raise ValueError("no LoRA targets found in any adapter")
     name_to_idx = {n: i + 1 for i, n in enumerate(names)}
+    wrapped_paths: set = set()
 
     def wrap(path, x):
         s = _path_str(path)
         if s not in paths:
             return x
+        wrapped_paths.add(s)
         in_dim, out_dim = x.shape[-2], x.shape[-1]
         L = x.shape[0] if x.ndim == 3 else 1
         entries = [trees[n].get(s) for n in names]
+        for n, e in zip(names, entries):
+            if e is None:
+                continue
+            got = e[0].shape[0] if e[0].ndim == 3 else 1
+            if got != L or e[0].shape[-2] != in_dim:
+                raise ValueError(
+                    f"adapter {n!r} at {s}: A is {tuple(e[0].shape)} but "
+                    f"the base weight is stacked over {L} layers with "
+                    f"in_dim {in_dim} — a partial-layer adapter "
+                    f"(layers_to_transform) is not supported"
+                )
         R = max(e[0].shape[-1] for e in entries if e is not None)
         dt = next(e[0].dtype for e in entries if e is not None)
         a_stack = [jnp.zeros((L, in_dim, R), dt)]
@@ -256,6 +272,14 @@ def stack_adapters(
         wrap, params,
         is_leaf=lambda x: isinstance(x, (QuantizedTensor, LoraWeight)),
     )
+    # An adapter none of whose target paths exist in this param tree
+    # would otherwise serve as an all-zero (base-model) adapter.
+    for n in names:
+        if not (set(trees[n]) & wrapped_paths):
+            raise ValueError(
+                f"adapter {n!r} targets no parameter of this model "
+                f"(paths: {sorted(trees[n])[:4]}...)"
+            )
     return wrapped, name_to_idx
 
 
@@ -349,6 +373,12 @@ def load_lora_adapter_dir(model_path: str) -> dict:
 
     out = {}
     for proj, mats in per_proj.items():
+        if set(mats.get("A", {})) != set(mats.get("B", {})):
+            raise ValueError(
+                f"{model_path}: {proj} lora_A/lora_B cover different "
+                f"layers ({sorted(mats.get('A', {}))} vs "
+                f"{sorted(mats.get('B', {}))})"
+            )
         layers = sorted(mats["A"])
         # torch [r, in] / [out, r] -> [L, in, r] / [L, r, out]
         a = jnp.asarray(

@@ -115,11 +115,17 @@ def _num_blocks(cfg: VisionConfig) -> int:
 FUSE_MLP_DEFAULT = False
 
 
-def _fused_eligible(params: dict, cfg: VisionConfig, attn_impl: str) -> bool:
+def _fused_eligible(
+    params: dict, cfg: VisionConfig, attn_impl: str,
+    fuse_mlp: bool = FUSE_MLP_DEFAULT,
+) -> bool:
     """Use the fused attention-block kernel (ops/vit_attention.py)?
     TPU-only, single-device (under a multi-chip mesh the Pallas call
-    would be replicated by GSPMD), plain unquantized weights, and shapes
-    whose fused blocks meet the Mosaic lane tiling."""
+    would be replicated by GSPMD), plain unquantized attention weights,
+    and shapes whose fused blocks meet the Mosaic lane tiling. The MLP
+    constraints (plain fc1/fc2, intermediate lane tiling) apply only
+    when the MLP kernel itself is on — with fuse_mlp off the MLP runs
+    through qmatmul and handles quantized/LoRA weights fine."""
     if attn_impl not in ("auto", "pallas"):
         return False
     if jax.default_backend() != "tpu":
@@ -130,19 +136,22 @@ def _fused_eligible(params: dict, cfg: VisionConfig, attn_impl: str) -> bool:
     if mesh is not None and mesh.size > 1:
         return False
     lp = params["layers"]
-    if any(
-        not isinstance(lp[k], jnp.ndarray)
-        for k in ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
-    ):
+    attn_keys = ("q_proj", "k_proj", "v_proj", "out_proj")
+    if any(not isinstance(lp[k], jnp.ndarray) for k in attn_keys):
         return False  # quantized / LoRA-wrapped vision weights
     from vcoder_tpu.ops.vit_attention import pick_head_block
 
     hb = pick_head_block(cfg.num_heads)
-    return (
-        cfg.hidden_size % 128 == 0
-        and (hb * 3 * cfg.head_dim) % 128 == 0
-        and cfg.intermediate_size % 128 == 0
-    )
+    if not (
+        cfg.hidden_size % 128 == 0 and (hb * 3 * cfg.head_dim) % 128 == 0
+    ):
+        return False
+    if fuse_mlp:
+        if any(not isinstance(lp[k], jnp.ndarray) for k in ("fc1", "fc2")):
+            return False
+        if cfg.intermediate_size % 128 != 0:
+            return False
+    return True
 
 
 def clip_encode(
@@ -243,7 +252,7 @@ def _run_blocks_fused(
     H, HD = cfg.num_heads, cfg.head_dim
     eps = cfg.layer_norm_eps
     hb = pick_head_block(H)
-    ib = pick_i_block(cfg.intermediate_size)
+    ib = pick_i_block(cfg.intermediate_size) if fuse_mlp else 0
     Tp = -(-T // 8) * 8
     x = jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
 
@@ -274,7 +283,7 @@ def _run_blocks_fused(
             residual = x
             h = layer_norm(x, l["ln2_scale"], l["ln2_bias"], eps)
             x = residual + (
-                quick_gelu(h @ l["fc1"] + l["fc1_bias"]) @ l["fc2"]
+                qm(quick_gelu(qm(h, l["fc1"]) + l["fc1_bias"]), l["fc2"])
                 + l["fc2_bias"]
             )
         return x, None

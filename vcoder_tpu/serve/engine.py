@@ -560,6 +560,7 @@ class ServingEngine:
         self._top_ps_dev = None
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.queue: List[Request] = []
+        self.failed: Dict[int, str] = {}
         self._next_id = 0
         self.rng = jax.random.PRNGKey(seed)
         self.eos_id = cfg.text.eos_token_id
@@ -622,6 +623,19 @@ class ServingEngine:
 
     def has_work(self) -> bool:
         return bool(self.queue) or any(self.active)
+
+    def _record_failure(self, req: Request) -> None:
+        """Remember an admission failure so a serving front-end can turn
+        the bare (rid, eos, done) event into an error payload. Bounded:
+        front-ends pop entries; direct run() callers never would."""
+        self.failed[req.request_id] = req.error or "admission failed"
+        while len(self.failed) > 1024:
+            self.failed.pop(next(iter(self.failed)))
+
+    def pop_error(self, request_id: int) -> Optional[str]:
+        """Fetch-and-clear the failure reason for a request id (None if
+        the request ended normally)."""
+        return self.failed.pop(request_id, None)
 
     def cancel(self, request_id: int) -> bool:
         """End a request early (client stop-string hit or disconnect):
@@ -1009,6 +1023,7 @@ class ServingEngine:
                 # Oversized prompt: fail only this request, keep serving.
                 req.done = True
                 req.error = str(e)
+                self._record_failure(req)
                 events.append((req.request_id, self.eos_id, True))
                 continue
             except DeferAdmission:

@@ -48,16 +48,20 @@ logger = build_logger("engine_worker", "engine_worker.log")
 
 class TokenStream:
     """Per-request bridge from the engine loop thread to an HTTP handler
-    thread: a queue of (token, done) events."""
+    thread: a queue of (token, done, error) events. ``cancelled`` is set
+    by the handler (under the worker's condition lock) so a cancel that
+    races admission — the loop thread has not assigned ``request_id``
+    yet — still takes effect at admission time."""
 
     def __init__(self):
         self.request_id: Optional[int] = None
-        self.q: "queue.Queue[Tuple[int, bool]]" = queue.Queue()
+        self.cancelled = False
+        self.q: "queue.Queue[Tuple[int, bool, Optional[str]]]" = queue.Queue()
 
     def __iter__(self):
         while True:
-            tok, done = self.q.get()
-            yield tok, done
+            tok, done, err = self.q.get()
+            yield tok, done, err
             if done:
                 return
 
@@ -126,11 +130,12 @@ class EngineWorker:
             self._cond.notify()
         return handle
 
-    def cancel(self, request_id: Optional[int]) -> None:
-        if request_id is None:
-            return
+    def cancel(self, handle: TokenStream) -> None:
         with self._cond:
-            self._cancels.append(request_id)
+            handle.cancelled = True
+            if handle.request_id is not None:
+                self._cancels.append(handle.request_id)
+            # else: the loop thread sees `cancelled` when it admits.
             self._cond.notify()
 
     def stats(self) -> dict:
@@ -160,6 +165,9 @@ class EngineWorker:
             subs, self._submissions = self._submissions, []
             cancels, self._cancels = self._cancels, []
         for prep, handle in subs:
+            with self._cond:
+                if handle.cancelled:
+                    continue
             rid = self.engine.add_request(
                 prep.input_ids,
                 images=prep.images,
@@ -170,7 +178,12 @@ class EngineWorker:
                 top_p=prep.top_p,
                 lora=prep.lora,
             )
-            handle.request_id = rid
+            with self._cond:
+                handle.request_id = rid
+                if handle.cancelled:
+                    # Client dropped before admission: never decode it.
+                    self.engine.cancel(rid)
+                    continue
             self._streams[rid] = handle
         for rid in cancels:
             self.engine.cancel(rid)
@@ -196,16 +209,28 @@ class EngineWorker:
                 events = self.engine.step()
             except Exception:
                 logger.exception("engine step failed")
-                # Fail every in-flight stream rather than hanging clients.
+                # Fail every in-flight stream rather than hanging
+                # clients, AND drain the engine's queue/slots — leaving
+                # the doomed requests in place keeps has_work() true and
+                # turns this loop into a hot spin on the failing step.
                 for handle in self._streams.values():
-                    handle.q.put((self.eos_id, True))
+                    handle.q.put((self.eos_id, True, "engine step failed"))
                 self._streams.clear()
+                try:
+                    for req in list(self.engine.queue):
+                        self.engine.cancel(req.request_id)
+                    for req in list(self.engine.slots):
+                        if req is not None:
+                            self.engine.cancel(req.request_id)
+                except Exception:
+                    logger.exception("engine drain after failure")
                 continue
             for rid, tok, done in events:
                 handle = self._streams.get(rid)
                 if handle is None:
                     continue
-                handle.q.put((tok, done))
+                err = self.engine.pop_error(rid) if done else None
+                handle.q.put((tok, done, err))
                 if done:
                     del self._streams[rid]
 
@@ -264,9 +289,9 @@ class EngineWorkerHandler(BaseHTTPRequestHandler):
             ).encode()
             return
         if prep.lora is not None and prep.lora not in worker.engine.lora_ids:
-            # Validate here so the client gets an error payload; the
-            # engine-side ValueError backstop fails silently (one EOS
-            # event, nothing generated).
+            # Validate here so the client fails before admission; any
+            # engine-side admission failure also reaches the client via
+            # the done-event's error field below.
             logger.warning("unknown LoRA adapter: %s", prep.lora)
             yield json.dumps(
                 {"text": server_error_msg, "error_code": 1}
@@ -277,7 +302,16 @@ class EngineWorkerHandler(BaseHTTPRequestHandler):
         handle = worker.submit(prep)
         generated: List[int] = []
         try:
-            for tok, done in handle:
+            for tok, done, err in handle:
+                if err is not None:
+                    # Admission/step failure (oversized prompt, pool too
+                    # small, device error): an error payload, never a
+                    # silently-empty completion.
+                    logger.warning("request failed: %s", err)
+                    yield json.dumps(
+                        {"text": server_error_msg, "error_code": 1}
+                    ).encode()
+                    return
                 if tok == worker.eos_id:
                     # EOS never surfaces as text (generation.generate_stream
                     # breaks before yielding it).
@@ -289,7 +323,7 @@ class EngineWorkerHandler(BaseHTTPRequestHandler):
                 if prep.stop_str and text.endswith(prep.stop_str):
                     text = text[: -len(prep.stop_str)]
                     done = True
-                    worker.cancel(handle.request_id)
+                    worker.cancel(handle)
                 yield json.dumps(
                     {
                         "text": prep.ori_prompt + text,
@@ -299,8 +333,9 @@ class EngineWorkerHandler(BaseHTTPRequestHandler):
                 if done:
                     return
         except GeneratorExit:
-            # Client went away mid-stream: free the slot.
-            worker.cancel(handle.request_id)
+            # Client went away mid-stream (possibly before admission
+            # assigned a request id): free the slot either way.
+            worker.cancel(handle)
             raise
 
     def do_POST(self):

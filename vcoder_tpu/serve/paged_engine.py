@@ -784,6 +784,7 @@ class PagedServingEngine(ServingEngine):
                 # Oversized prompt / pool too small: fail this request.
                 req.done = True
                 req.error = str(e)
+                self._record_failure(req)
                 events.append((req.request_id, self.eos_id, True))
                 continue
             except DeferAdmission:
