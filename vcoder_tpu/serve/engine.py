@@ -113,6 +113,20 @@ class Request:
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     error: Optional[str] = None
+    # Tokens from `generated` folded back into `input_ids` by a
+    # preemption recompute (paged engine): they count against
+    # max_new_tokens but occupy context as part of prompt_len.
+    folded: int = 0
+
+    def context_used(self) -> int:
+        """KV positions this request occupies: prompt + generated,
+        without double-counting recompute-folded tokens."""
+        return self.prompt_len + len(self.generated) - self.folded
+
+    def new_ids(self) -> List[int]:
+        """Generated ids not yet folded into the prompt — what, together
+        with input_ids, reconstructs the full token history."""
+        return self.generated[self.folded:]
 
 
 @partial(
@@ -701,8 +715,7 @@ class ServingEngine:
                 done = (
                     tok == self.eos_id
                     or len(req.generated) >= req.max_new_tokens
-                    or req.prompt_len + len(req.generated)
-                    >= self.max_len - 1
+                    or req.context_used() >= self.max_len - 1
                 )
                 events.append((req.request_id, tok, done))
                 if done:
@@ -740,7 +753,7 @@ class ServingEngine:
 
         draft = draft_from_ids(
             [
-                (req.input_ids + req.generated) if req is not None else None
+                (req.input_ids + req.new_ids()) if req is not None else None
                 for req in self.slots
             ],
             self.spec_k - 1,
@@ -753,8 +766,7 @@ class ServingEngine:
                 1,
                 min(
                     req.max_new_tokens - len(req.generated),
-                    (self.max_len - 1)
-                    - (req.prompt_len + len(req.generated)),
+                    (self.max_len - 1) - req.context_used(),
                 ),
             )
         return draft, budget
@@ -775,8 +787,7 @@ class ServingEngine:
                 done = (
                     tok == self.eos_id
                     or len(req.generated) >= req.max_new_tokens
-                    or req.prompt_len + len(req.generated)
-                    >= self.max_len - 1
+                    or req.context_used() >= self.max_len - 1
                 )
                 events.append((req.request_id, tok, done))
                 if done:
@@ -807,7 +818,7 @@ class ServingEngine:
         self._done_dev = self._done_dev.at[slot].set(bool(done))
         self._budget_max = self._budget_max.at[slot].set(
             min(
-                req.max_new_tokens,
+                req.max_new_tokens - req.folded,
                 (self.max_len - 1) - req.prompt_len,
             )
         )
@@ -860,8 +871,7 @@ class ServingEngine:
                     done = (
                         tok == self.eos_id
                         or len(req.generated) >= req.max_new_tokens
-                        or req.prompt_len + len(req.generated)
-                        >= self.max_len - 1
+                        or req.context_used() >= self.max_len - 1
                     )
                     events.append((req.request_id, tok, done))
                     if done:
@@ -1038,7 +1048,10 @@ class ServingEngine:
             self.top_ps[slot] = req.top_p
             self._flags_dirty = True
             self.tokens = self.tokens.at[slot].set(first_tok)
-            done = first_tok == self.eos_id or req.max_new_tokens <= 1
+            done = (
+                first_tok == self.eos_id
+                or len(req.generated) >= req.max_new_tokens
+            )
             self._on_admitted(slot, req, first_tok, done)
             events.append((req.request_id, first_tok, done))
             if done:

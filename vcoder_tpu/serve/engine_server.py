@@ -148,6 +148,8 @@ class EngineWorker:
         }
         if hasattr(eng, "prefix_stats"):
             out["prefix_cache"] = eng.prefix_stats()
+        if hasattr(eng, "preemptions"):
+            out["preemptions"] = eng.preemptions
         if eng.lora_ids:
             out["lora_adapters"] = sorted(eng.lora_ids)
         return out

@@ -653,6 +653,9 @@ class PagedServingEngine(ServingEngine):
             else 0
         )
         self._pending: Optional[_RegionPrefill] = None
+        # Requests requeued for recompute after losing their pages
+        # (observability; tests assert the path actually fired).
+        self.preemptions = 0
 
 
     def _device_table(self):
@@ -877,7 +880,10 @@ class PagedServingEngine(ServingEngine):
         self.top_ps[slot] = req.top_p
         self._flags_dirty = True
         self.tokens = self.tokens.at[slot].set(first_tok)
-        done = first_tok == self.eos_id or req.max_new_tokens <= 1
+        done = (
+            first_tok == self.eos_id
+            or len(req.generated) >= req.max_new_tokens
+        )
         self._on_admitted(slot, req, first_tok, done)
         if done:
             req.done = True
@@ -1145,10 +1151,18 @@ class PagedServingEngine(ServingEngine):
                 try:
                     pid = self._alloc(1, self._shard_of(slot))[0]
                 except PoolExhausted:
-                    ended = self._end_request(
-                        slot, "preempted: page pool exhausted"
-                    )
-                    events.append((ended.request_id, self.eos_id, True))
+                    if sum(self.active) > 1:
+                        # Other rows are running and will free pages:
+                        # requeue this one for recompute instead of
+                        # killing it (its output so far is preserved).
+                        self._preempt_requeue(slot)
+                    else:
+                        # Nothing else could ever free pages — the pool
+                        # is simply too small for this request.
+                        ended = self._end_request(
+                            slot, "preempted: page pool exhausted"
+                        )
+                        events.append((ended.request_id, self.eos_id, True))
                     break
                 idx = len(self.row_pages[slot])
                 self.row_pages[slot].append(pid)
@@ -1247,6 +1261,25 @@ class PagedServingEngine(ServingEngine):
             outs_host, emit_host = jax.device_get((outs, emit))
         self.lengths += emit_host.astype(np.int32)
         return self._emit_window_events(outs_host, emit_host)
+
+    def _preempt_requeue(self, slot: int) -> None:
+        """vLLM-style preemption by recompute: vacate the slot, return
+        its pages, fold the tokens generated so far into the prompt, and
+        requeue at the FRONT. On re-admission the (longer) prompt
+        re-prefills — cheaply, when the prefix cache is on and the
+        original prompt's pages are still cached — and generation
+        continues exactly where it stopped; the client's stream never
+        sees the preemption. Sampling rows resample their continuation
+        (already-emitted tokens are baked into the prompt)."""
+        req = self.slots[slot]
+        req.input_ids = list(req.input_ids) + [
+            int(t) for t in req.new_ids()
+        ]
+        req.folded = len(req.generated)
+        req.slot = -1
+        self._release_slot(slot)  # frees the row's pages too
+        self.queue.insert(0, req)
+        self.preemptions += 1
 
     def _end_request(self, slot: int, reason: str) -> Request:
         req = self.slots[slot]
