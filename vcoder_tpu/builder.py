@@ -109,12 +109,19 @@ class VCoderForCausalLM:
             stopping_criteria=stopping_criteria,
             lookahead=lookahead,
             # Forward only kwargs generate() knows; unknown HF-generate
-            # kwargs (use_cache, num_beams, top_k, ...) are accepted and
-            # ignored like the HF API does.
+            # kwargs (use_cache, top_k, ...) are accepted and ignored
+            # like the HF API does.
             **{
                 k: v
                 for k, v in kw.items()
-                if k in ("pad_to", "attn_impl", "is_depth_zero", "is_seg_zero")
+                if k in (
+                    "pad_to",
+                    "attn_impl",
+                    "is_depth_zero",
+                    "is_seg_zero",
+                    "num_beams",
+                    "length_penalty",
+                )
             },
         )
 

@@ -181,6 +181,7 @@ def eval_model(args, task: str) -> str:
             tokenizer=tokenizer,
             pad_to=pad_to,
             lookahead=getattr(args, "lookahead", 0),
+            num_beams=getattr(args, "num_beams", 1),
         )
         with open(answers_file, "a") as f:
             for key, ques, text in zip(keys, quests, result.texts):

@@ -127,6 +127,7 @@ def eval_model(args):
                 do_sample=args.temperature > 0,
                 tokenizer=tokenizer,
                 pad_to=pad_to,
+                num_beams=getattr(args, "num_beams", 1),
             )
             outputs = result.texts[0].strip()
             if stop_str and outputs.endswith(stop_str):

@@ -104,6 +104,7 @@ def eval_model(args):
             tokenizer=tokenizer,
             pad_to=pad_to,
             lookahead=getattr(args, "lookahead", 0),
+            num_beams=getattr(args, "num_beams", 1),
         )
         for line, text in zip(lines, result.texts):
             outputs = text.strip()

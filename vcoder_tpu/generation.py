@@ -193,6 +193,222 @@ def _generate_jit(
     jax.jit,
     static_argnames=(
         "cfg",
+        "max_new_tokens",
+        "num_beams",
+        "length_penalty",
+        "eos_id",
+        "use_vcoder_emb",
+        "attn_impl",
+        "has_images",
+        "has_segs",
+        "has_depths",
+    ),
+)
+def _beam_generate_jit(
+    params,
+    cfg: VCoderConfig,
+    plan_arrays,
+    images,
+    segs,
+    depths,
+    *,
+    max_new_tokens: int,
+    num_beams: int,
+    length_penalty: float,
+    eos_id: int,
+    use_vcoder_emb: bool,
+    attn_impl: str,
+    has_images: bool,
+    has_segs: bool,
+    has_depths: bool,
+):
+    """Beam search decode matching HF ``generate(num_beams=W)`` semantics
+    (reference: vcoder_llava/eval/model_seg_loader.py:127-149 exposes
+    ``--num_beams`` through HF's BeamSearchScorer; defaults
+    length_penalty=1.0, early_stopping=False, do_sample=False).
+
+    One fused graph: prefill once at batch B, replicate the KV cache to
+    B*W beam rows, then a ``lax.while_loop`` where each step (1) decodes
+    one token per beam, (2) ranks the top 2W (parent, token) candidates
+    per batch item — 2W so up-to-W EOS candidates can retire to the
+    finished set and still leave W live continuations (HF's rule: only
+    EOS candidates ranked < W are eligible), (3) folds retired hypotheses
+    into a top-W finished set via a sorted merge (scores normalized by
+    generated_length**length_penalty at retirement, HF's post-#20901
+    convention), and (4) gathers cache rows by parent beam. A
+    batch item is done when its worst finished score can't be beaten by
+    the best live candidate (early_stopping=False heuristic). Returns the
+    best sequence per batch item, EOS-filled past its end.
+
+    The per-step cache gather is the same full-cache reorder HF's
+    ``_reorder_cache`` pays; a shared-prefix two-segment cache (prefix at
+    B rows, only the generated suffix at B*W) would cut it ~5x — noted in
+    docs/PERFORMANCE.md, not built: every reference eval script runs
+    ``--num_beams 1``, so this path is completeness, not a hot loop.
+    """
+    B, T = plan_arrays["safe_ids"].shape
+    W, M = num_beams, max_new_tokens
+    cache = KVCache.create(
+        cfg.text,
+        B,
+        T + M,
+        dtype=params["lm"]["embed_tokens"].dtype,
+    )
+    logits, cache = model_mod.prefill(
+        params,
+        cfg,
+        plan_arrays,
+        images if has_images else None,
+        segs if has_segs else None,
+        depths if has_depths else None,
+        cache=cache,
+        use_vcoder_emb=use_vcoder_emb,
+        attn_impl=attn_impl,
+    )
+    # Beam rows live consecutively per batch item: row b*W + w.
+    cache = KVCache(
+        k=jnp.repeat(cache.k, W, axis=1),
+        v=jnp.repeat(cache.v, W, axis=1),
+        kv_mask=jnp.repeat(cache.kv_mask, W, axis=0),
+        length=jnp.repeat(cache.length, W, axis=0),
+    )
+    V = logits.shape[-1]
+    seq_lens = plan_arrays["seq_lens"]  # [B]
+    barange = jnp.arange(B)
+    warange = jnp.arange(W)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def select(s, logprobs, scores, out_buf, fin_scores, fin_out, done):
+        """One HF BeamSearchScorer.process step at generated index ``s``.
+
+        logprobs [B, W, V]; everything else per the loop carry. Returns
+        the updated (scores, tokens, parent, out_buf, fin_scores,
+        fin_out, done); done batches are frozen (identity parent so the
+        cache gather is a no-op for them)."""
+        total = scores[:, :, None] + logprobs  # [B, W, V]
+        top_sc, top_ix = jax.lax.top_k(total.reshape(B, W * V), 2 * W)
+        parent = top_ix // V  # [B, 2W]
+        tok = top_ix % V
+        is_eos = tok == eos_id
+        # Retirement normalization: GENERATED length including the EOS,
+        # (cur_len + 1 - decoder_prompt_len)**lp in HF's refactored beam
+        # search (transformers PR #20901 semantics) — the prompt length
+        # does not enter.
+        gen_len = jnp.float32(s + 1)
+        rank_ok = jnp.arange(2 * W)[None, :] < W
+        cand_fin = jnp.where(
+            is_eos & rank_ok & ~done[:, None],
+            top_sc / gen_len**length_penalty,
+            neg_inf,
+        )  # [B, 2W]
+        # Candidate buffers: the parent's sequence so far (positions >= s
+        # are still EOS-filled — exactly the finished representation).
+        cand_buf = out_buf[barange[:, None], parent]  # [B, 2W, M]
+        merged = jnp.concatenate([fin_scores, cand_fin], axis=1)
+        merged_buf = jnp.concatenate([fin_out, cand_buf], axis=1)
+        new_fin_scores, sel_ix = jax.lax.top_k(merged, W)
+        new_fin_out = merged_buf[barange[:, None], sel_ix]
+        # Live beams: the first W non-EOS candidates in rank order.
+        live_sc = jnp.where(is_eos, neg_inf, top_sc)
+        new_scores, live_ix = jax.lax.top_k(live_sc, W)  # [B, W]
+        new_parent = jnp.take_along_axis(parent, live_ix, axis=1)
+        new_tok = jnp.take_along_axis(tok, live_ix, axis=1)
+        new_out = out_buf[barange[:, None], new_parent]
+        new_out = jax.lax.dynamic_update_slice_in_dim(
+            new_out, new_tok[:, :, None], s, axis=2
+        )
+        # Done when W hypotheses are banked and even the best LIVE beam,
+        # optimistically normalized at the current generated length,
+        # can't displace the worst of them (HF's early_stopping=False
+        # heuristic, computed after selection).
+        best_possible = new_scores[:, 0] / gen_len**length_penalty
+        new_done = done | (new_fin_scores[:, W - 1] >= best_possible)
+        keep = done[:, None]
+        return (
+            jnp.where(keep, scores, new_scores),
+            jnp.where(keep, jnp.zeros_like(new_tok), new_tok),
+            jnp.where(keep, warange[None, :], new_parent),
+            jnp.where(keep[:, :, None], out_buf, new_out),
+            jnp.where(keep, fin_scores, new_fin_scores),
+            jnp.where(keep[:, :, None], fin_out, new_fin_out),
+            new_done,
+        )
+
+    lp0 = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    scores0 = jnp.broadcast_to(
+        jnp.where(warange == 0, 0.0, neg_inf)[None, :], (B, W)
+    ).astype(jnp.float32)
+    out_buf = jnp.full((B, W, M), eos_id, jnp.int32)
+    fin_scores = jnp.full((B, W), neg_inf, jnp.float32)
+    fin_out = jnp.full((B, W, M), eos_id, jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+    scores, tokens, parent, out_buf, fin_scores, fin_out, done = select(
+        0,
+        jnp.broadcast_to(lp0[:, None, :], (B, W, V)),
+        scores0,
+        out_buf,
+        fin_scores,
+        fin_out,
+        done0,
+    )
+
+    def cond(state):
+        s = state[0]
+        return (s < M) & ~jnp.all(state[8])
+
+    def body(state):
+        (s, tokens, parent, cache, scores, out_buf, fin_scores, fin_out,
+         done) = state
+        # Reorder cache rows so row (b, w) holds tokens[b, w]'s history.
+        flat = (barange[:, None] * W + parent).reshape(-1)
+        cache = KVCache(
+            k=cache.k[:, flat],
+            v=cache.v[:, flat],
+            kv_mask=cache.kv_mask[flat],
+            length=cache.length[flat],
+        )
+        positions = jnp.repeat(seq_lens, W) + (s - 1)
+        logits, cache = model_mod.decode_step(
+            params,
+            cfg,
+            tokens.reshape(-1),
+            positions,
+            cache,
+            attn_impl=attn_impl,
+        )
+        lps = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        scores, tokens, parent, out_buf, fin_scores, fin_out, done = select(
+            s, lps.reshape(B, W, V), scores, out_buf, fin_scores, fin_out,
+            done,
+        )
+        return (
+            s + 1, tokens, parent, cache, scores, out_buf, fin_scores,
+            fin_out, done,
+        )
+
+    state = (1, tokens, parent, cache, scores, out_buf, fin_scores,
+             fin_out, done)
+    (_, _, _, _, scores, out_buf, fin_scores, fin_out, done) = (
+        jax.lax.while_loop(cond, body, state)
+    )
+    # Finalize: batches not done bank their live beams, normalized at the
+    # full generated length (HF banks them through the max-length
+    # stopping criteria at the last step), then the best hypothesis wins.
+    live_norm = jnp.where(
+        done[:, None],
+        neg_inf,
+        scores / jnp.float32(M) ** length_penalty,
+    )
+    all_scores = jnp.concatenate([fin_scores, live_norm], axis=1)
+    all_out = jnp.concatenate([fin_out, out_buf], axis=1)
+    best = jnp.argmax(all_scores, axis=1)
+    return all_out[barange, best]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg",
         "cache_len",
         "use_vcoder_emb",
         "attn_impl",
@@ -638,6 +854,8 @@ def generate(
     attn_impl: str = "auto",
     pad_to: Optional[int] = None,
     lookahead: int = 0,
+    num_beams: int = 1,
+    length_penalty: float = 1.0,
 ) -> GenerationResult:
     """High-level generate mirroring ``model.generate(input_ids, images=,
     segs=, depths=, ...)`` of the reference (llava_llama.py forward kwargs).
@@ -647,7 +865,49 @@ def generate(
     ``lookahead >= 2`` enables prompt-lookup speculative decoding for
     greedy (temperature 0) requests without stop criteria — identical
     output tokens from fewer decoder dispatches (vcoder_tpu.speculative).
+
+    ``num_beams > 1`` runs HF-semantics beam search (deterministic, like
+    HF's do_sample=False beams: temperature/top_p are ignored, as the
+    reference's ``--num_beams`` flag does through HF generate). Stop
+    keywords are stripped from the decoded text post-hoc rather than
+    halting beams early.
     """
+    if num_beams > 1:
+        plan = build_splice_plan(
+            input_ids,
+            num_patches=cfg.vision.num_patches,
+            has_image=images is not None,
+            has_seg=segs is not None,
+            has_depth=depths is not None,
+            ds_mode=cfg.model_type == "vcoder_ds_llava",
+            it_mode=cfg.model_type == "vcoder_it_llava",
+            is_depth_zero=is_depth_zero,
+            is_seg_zero=is_seg_zero,
+            pad_to=pad_to,
+        )
+        validate_features(plan, images, segs, depths)
+        dummy = jnp.zeros((0,), jnp.float32)
+        seqs = _beam_generate_jit(
+            params,
+            cfg,
+            model_mod.plan_to_arrays(plan),
+            images if images is not None else dummy,
+            segs if segs is not None else dummy,
+            depths if depths is not None else dummy,
+            max_new_tokens=max_new_tokens,
+            num_beams=num_beams,
+            length_penalty=float(length_penalty),
+            eos_id=cfg.text.eos_token_id,
+            use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
+            attn_impl=attn_impl,
+            has_images=images is not None,
+            has_segs=segs is not None,
+            has_depths=depths is not None,
+        )
+        return _finalize_result(
+            np.asarray(seqs), max_new_tokens, cfg, tokenizer,
+            stopping_criteria,
+        )
     if (
         lookahead >= 2
         and temperature <= 0.0
