@@ -80,7 +80,10 @@ def _hf_beams(hf, ids, max_new, num_beams, eos_id, length_penalty=1.0):
     return gen.astype(np.int32)
 
 
-def _our_beams(params, cfg, ids, max_new, num_beams, length_penalty=1.0):
+def _our_beams(
+    params, cfg, ids, max_new, num_beams, length_penalty=1.0,
+    temperature=0.0, top_p=1.0, seed=0,
+):
     from vcoder_tpu.generation import generate
 
     res = generate(
@@ -90,6 +93,9 @@ def _our_beams(params, cfg, ids, max_new, num_beams, length_penalty=1.0):
         max_new_tokens=max_new,
         num_beams=num_beams,
         length_penalty=length_penalty,
+        temperature=temperature,
+        top_p=top_p,
+        seed=seed,
         attn_impl="xla",
     )
     return res.sequences.astype(np.int32)
@@ -151,6 +157,36 @@ def test_length_penalty_matches_hf(tiny_pair):
         got = _our_beams(params, cfg2, ids, 12, 3, length_penalty=lp)
         ref = _hf_beams(hf, ids, 12, 3, eos, length_penalty=lp)
         np.testing.assert_array_equal(got, ref, err_msg=f"lp={lp}")
+
+
+def test_beam_sample(tiny_pair):
+    """temperature>0 with beams = HF's beam-sample mode: seeded and
+    reproducible, seed-sensitive, and collapsing to deterministic beam
+    search as temperature -> 0 (the Gumbel noise becomes negligible
+    against 1/T-scaled scores, and uniform 1/T scaling is
+    ranking-invariant through normalization and the done heuristic)."""
+    _, params, cfg = tiny_pair
+    rng = np.random.default_rng(17)
+    ids = rng.integers(3, cfg.text.vocab_size, size=(2, 6))
+
+    s0 = _our_beams(params, cfg, ids, 10, 3, temperature=1.0, seed=0)
+    s0b = _our_beams(params, cfg, ids, 10, 3, temperature=1.0, seed=0)
+    s1 = _our_beams(params, cfg, ids, 10, 3, temperature=1.0, seed=1)
+    np.testing.assert_array_equal(s0, s0b)
+    assert not np.array_equal(s0, s1)
+
+    det = _our_beams(params, cfg, ids, 10, 3)
+    cold = _our_beams(params, cfg, ids, 10, 3, temperature=0.01, seed=0)
+    np.testing.assert_array_equal(cold, det)
+
+    # Nucleus-filtered beam-sample runs and stays reproducible.
+    n0 = _our_beams(
+        params, cfg, ids, 10, 3, temperature=0.8, top_p=0.9, seed=2
+    )
+    n0b = _our_beams(
+        params, cfg, ids, 10, 3, temperature=0.8, top_p=0.9, seed=2
+    )
+    np.testing.assert_array_equal(n0, n0b)
 
 
 def test_multimodal_ragged_beams():

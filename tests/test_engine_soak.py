@@ -23,7 +23,6 @@ import pytest
 
 from vcoder_tpu.config import VCoderConfig
 from vcoder_tpu.models import vcoder as model_mod
-from vcoder_tpu.parallel.sharding import _path_str  # noqa: F401 (parity w/ multilora helpers)
 from vcoder_tpu.serve.paged_engine import PagedServingEngine
 
 TARGETS = ["lm/layers/q_proj", "lm/layers/v_proj"]

@@ -92,6 +92,44 @@ def test_preemption_speculative(setup):
     assert out == expected
 
 
+def test_sole_decoder_starved_by_pending_prefill_requeues(setup):
+    """A lone decoding row starved while a chunked prefill holds region
+    pages must REQUEUE (the pending request will free pages), not die:
+    sum(active)==1 does not mean nothing can free pages when
+    self._pending exists."""
+    cfg, params = setup
+    a_prompt = _prompt(0, n=15)  # 3 pages once decoding
+    # 16 pages of region, chunk-prefilled over 16 steps — A starves
+    # squarely inside that window (verified: preempt fires with
+    # _pending held and exactly one active row).
+    b_prompt = _prompt(1, n=128)
+
+    roomy = _engine(cfg, params, chunked_prefill=8)
+    ra = roomy.add_request(a_prompt, max_new_tokens=20)
+    rb = roomy.add_request(b_prompt, max_new_tokens=4)
+    expected = roomy.run()
+
+    eng = _engine(cfg, params, total_pages=21, chunked_prefill=8)
+    outputs: dict = {}
+    rid_a = eng.add_request(a_prompt, max_new_tokens=20)
+    # Let A prefill + decode its first token before B arrives.
+    for _ in range(2):
+        for rid, tok, _d in eng.step():
+            outputs.setdefault(rid, []).append(int(tok))
+    rid_b = eng.add_request(b_prompt, max_new_tokens=4)
+    steps = 0
+    while eng.has_work():
+        for rid, tok, _d in eng.step():
+            outputs.setdefault(rid, []).append(int(tok))
+        steps += 1
+        assert steps < 500, "failed to converge"
+    assert eng.preemptions >= 1, "A never starved mid-pending; retune"
+    assert eng.pop_error(rid_a) is None
+    assert eng.pop_error(rid_b) is None
+    assert outputs[rid_a] == expected[ra]
+    assert outputs[rid_b] == expected[rb]
+
+
 def test_sole_request_too_big_still_fails(setup):
     """With nothing else running (and nothing queued that could free
     pages), exhaustion means the pool genuinely cannot hold the request:

@@ -202,6 +202,8 @@ def _generate_jit(
         "has_images",
         "has_segs",
         "has_depths",
+        "temperature",
+        "top_p",
     ),
 )
 def _beam_generate_jit(
@@ -211,6 +213,7 @@ def _beam_generate_jit(
     images,
     segs,
     depths,
+    rng,
     *,
     max_new_tokens: int,
     num_beams: int,
@@ -221,11 +224,30 @@ def _beam_generate_jit(
     has_images: bool,
     has_segs: bool,
     has_depths: bool,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
 ):
     """Beam search decode matching HF ``generate(num_beams=W)`` semantics
     (reference: vcoder_llava/eval/model_seg_loader.py:127-149 exposes
     ``--num_beams`` through HF's BeamSearchScorer; defaults
     length_penalty=1.0, early_stopping=False, do_sample=False).
+
+    Semantics follow the REFACTORED transformers beam search (as
+    installed, >=4.49; finished scores normalize by the generated length
+    per PR #20901) and are token-matched against it in tests. The
+    reference pins transformers 4.31, whose scorer normalized by
+    prompt+generated length — a deliberate divergence that cannot affect
+    any published number (every reference eval script runs
+    ``--num_beams 1``).
+
+    ``temperature > 0`` is HF's beam-sample mode: log-probs are scaled
+    by 1/T (and nucleus-filtered when top_p < 1) exactly as HF's logits
+    warpers do, and the 2W candidates are drawn WITHOUT replacement from
+    the joint (beam, token) distribution — implemented as Gumbel top-k,
+    which is distributionally identical to HF's `torch.multinomial`
+    (different RNG, so sampled runs don't token-match HF). Accumulated
+    beam scores keep the true (warped) log-probs, noise only steers
+    selection, as in HF.
 
     One fused graph: prefill once at batch B, replicate the KV cache to
     B*W beam rows, then a ``lax.while_loop`` where each step (1) decodes
@@ -277,6 +299,18 @@ def _beam_generate_jit(
     barange = jnp.arange(B)
     warange = jnp.arange(W)
     neg_inf = jnp.float32(-jnp.inf)
+    do_sample = temperature > 0.0
+
+    def warp(lps):
+        """HF's logits warpers on [N, V] log-probs: temperature scale,
+        then nucleus filter (order matches TemperatureLogitsWarper →
+        TopPLogitsWarper on the log-softmax output)."""
+        if not do_sample:
+            return lps
+        lps = lps / jnp.float32(temperature)
+        if top_p < 1.0:
+            lps = nucleus_filter(lps, jnp.float32(top_p))
+        return lps
 
     def select(s, logprobs, scores, out_buf, fin_scores, fin_out, done):
         """One HF BeamSearchScorer.process step at generated index ``s``.
@@ -286,7 +320,18 @@ def _beam_generate_jit(
         fin_out, done); done batches are frozen (identity parent so the
         cache gather is a no-op for them)."""
         total = scores[:, :, None] + logprobs  # [B, W, V]
-        top_sc, top_ix = jax.lax.top_k(total.reshape(B, W * V), 2 * W)
+        flat = total.reshape(B, W * V)
+        if do_sample:
+            # Sample 2W candidates without replacement from the joint
+            # (beam, token) distribution: Gumbel top-k. True scores are
+            # gathered back; noise only steers the selection.
+            g = jax.random.gumbel(
+                jax.random.fold_in(rng, s), flat.shape, jnp.float32
+            )
+            _, top_ix = jax.lax.top_k(flat + g, 2 * W)
+            top_sc = jnp.take_along_axis(flat, top_ix, axis=1)
+        else:
+            top_sc, top_ix = jax.lax.top_k(flat, 2 * W)
         parent = top_ix // V  # [B, 2W]
         tok = top_ix % V
         is_eos = tok == eos_id
@@ -334,7 +379,7 @@ def _beam_generate_jit(
             new_done,
         )
 
-    lp0 = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    lp0 = warp(jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1))
     scores0 = jnp.broadcast_to(
         jnp.where(warange == 0, 0.0, neg_inf)[None, :], (B, W)
     ).astype(jnp.float32)
@@ -376,7 +421,7 @@ def _beam_generate_jit(
             cache,
             attn_impl=attn_impl,
         )
-        lps = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        lps = warp(jax.nn.log_softmax(logits.astype(jnp.float32), -1))
         scores, tokens, parent, out_buf, fin_scores, fin_out, done = select(
             s, lps.reshape(B, W, V), scores, out_buf, fin_scores, fin_out,
             done,
@@ -866,50 +911,16 @@ def generate(
     greedy (temperature 0) requests without stop criteria — identical
     output tokens from fewer decoder dispatches (vcoder_tpu.speculative).
 
-    ``num_beams > 1`` runs HF-semantics beam search (deterministic, like
-    HF's do_sample=False beams: temperature/top_p are ignored, as the
-    reference's ``--num_beams`` flag does through HF generate). Stop
-    keywords are stripped from the decoded text post-hoc rather than
-    halting beams early.
+    ``num_beams > 1`` runs HF-semantics beam search: deterministic at
+    temperature 0 (token-matched against transformers in tests), HF's
+    beam-sample mode at temperature > 0 (Gumbel top-k candidate draws,
+    temperature/top_p warping — matching in distribution, not tokens).
+    Stop keywords are stripped from the decoded text post-hoc rather
+    than halting beams early.
     """
-    if num_beams > 1:
-        plan = build_splice_plan(
-            input_ids,
-            num_patches=cfg.vision.num_patches,
-            has_image=images is not None,
-            has_seg=segs is not None,
-            has_depth=depths is not None,
-            ds_mode=cfg.model_type == "vcoder_ds_llava",
-            it_mode=cfg.model_type == "vcoder_it_llava",
-            is_depth_zero=is_depth_zero,
-            is_seg_zero=is_seg_zero,
-            pad_to=pad_to,
-        )
-        validate_features(plan, images, segs, depths)
-        dummy = jnp.zeros((0,), jnp.float32)
-        seqs = _beam_generate_jit(
-            params,
-            cfg,
-            model_mod.plan_to_arrays(plan),
-            images if images is not None else dummy,
-            segs if segs is not None else dummy,
-            depths if depths is not None else dummy,
-            max_new_tokens=max_new_tokens,
-            num_beams=num_beams,
-            length_penalty=float(length_penalty),
-            eos_id=cfg.text.eos_token_id,
-            use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
-            attn_impl=attn_impl,
-            has_images=images is not None,
-            has_segs=segs is not None,
-            has_depths=depths is not None,
-        )
-        return _finalize_result(
-            np.asarray(seqs), max_new_tokens, cfg, tokenizer,
-            stopping_criteria,
-        )
     if (
-        lookahead >= 2
+        num_beams <= 1
+        and lookahead >= 2
         and temperature <= 0.0
         and stopping_criteria is None
     ):
@@ -951,6 +962,31 @@ def generate(
     plan_arrays = model_mod.plan_to_arrays(plan)
 
     dummy = jnp.zeros((0,), jnp.float32)
+    if num_beams > 1:
+        seqs = _beam_generate_jit(
+            params,
+            cfg,
+            plan_arrays,
+            images if images is not None else dummy,
+            segs if segs is not None else dummy,
+            depths if depths is not None else dummy,
+            jax.random.PRNGKey(seed),
+            max_new_tokens=max_new_tokens,
+            num_beams=num_beams,
+            length_penalty=float(length_penalty),
+            eos_id=cfg.text.eos_token_id,
+            use_vcoder_emb=plan.use_vcoder_emb and cfg.use_vcoder_lm_emb,
+            attn_impl=attn_impl,
+            has_images=images is not None,
+            has_segs=segs is not None,
+            has_depths=depths is not None,
+            temperature=float(temperature),
+            top_p=float(top_p),
+        )
+        return _finalize_result(
+            np.asarray(seqs), max_new_tokens, cfg, tokenizer,
+            stopping_criteria,
+        )
     use_windowed = bool(
         stopping_criteria is not None
         and getattr(stopping_criteria, "keywords", None)

@@ -1151,10 +1151,11 @@ class PagedServingEngine(ServingEngine):
                 try:
                     pid = self._alloc(1, self._shard_of(slot))[0]
                 except PoolExhausted:
-                    if sum(self.active) > 1:
-                        # Other rows are running and will free pages:
-                        # requeue this one for recompute instead of
-                        # killing it (its output so far is preserved).
+                    if sum(self.active) > 1 or self._pending is not None:
+                        # Other rows (or a mid-chunked-prefill admission
+                        # holding region pages) will free pages: requeue
+                        # this one for recompute instead of killing it
+                        # (its output so far is preserved).
                         self._preempt_requeue(slot)
                     else:
                         # Nothing else could ever free pages — the pool
