@@ -275,3 +275,60 @@ def test_trainer_end_to_end_with_resume(tmp_path, fake_tokenizer):
         np.asarray(trainer2.params["seg_projector"]["w"][0]).shape,
         np.asarray(trainer.params["seg_projector"]["w"][0]).shape,
     )
+
+
+def test_resume_equivalence(tmp_path, fake_tokenizer):
+    """Crash-recovery guarantee: interrupt-at-2 + resume must produce
+    BITWISE the same params and optimizer state as an uninterrupted
+    4-step run — full state (params + opt_state + step) round-trips
+    through Orbax and the data stream fast-forwards past consumed
+    batches (the reference inherits this from HF Trainer +
+    DeepSpeed checkpoints; train/train.py:1079-1082)."""
+    cfg = VCoderConfig.tiny("vcoder_ds_llava")
+    ds = _tiny_dataset(tmp_path / "data", fake_tokenizer, cfg)
+
+    def args(sub):
+        return TrainArgs(
+            output_dir=str(tmp_path / sub),
+            stage="vcoder_ds",
+            learning_rate=1e-3,
+            per_device_train_batch_size=2,
+            num_train_epochs=2,
+            save_steps=2,
+            attn_impl="xla",
+            remat=False,
+        )
+
+    # step_fn donates params/opt_state buffers — each run needs its own
+    # freshly initialized (identical, seed-0) tree.
+    def init():
+        return model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+
+    straight = Trainer(cfg, init(), ds, args("straight"))
+    straight.train(max_steps=4)
+
+    # Interrupted run: 2 steps (checkpoint-2 lands via save_steps),
+    # then a FRESH trainer with different init resumes and finishes.
+    first = Trainer(cfg, init(), ds, args("resumed"))
+    first.train(max_steps=2)
+    other = model_mod.init_vcoder_params(jax.random.PRNGKey(9), cfg)
+    second = Trainer(cfg, other, ds, args("resumed"))
+    assert second.maybe_resume() and second.step == 2
+    second.train(max_steps=4)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(straight.params)
+    flat_b = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(second.params)
+    )
+    assert len(flat_a) == len(flat_b)
+    for k, va in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(va), np.asarray(flat_b[jax.tree_util.keystr(k)]),
+            err_msg=f"param {jax.tree_util.keystr(k)} diverged on resume",
+        )
+    for va, vb in zip(
+        jax.tree_util.tree_leaves(straight.opt_state),
+        jax.tree_util.tree_leaves(second.opt_state),
+    ):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
