@@ -224,6 +224,45 @@ def carry_paged_attention(
     )
     return out[:, 0], k_pages, v_pages
 
+def _online_softmax_page_step(
+    q, k, v, j, carry, *, length, window, page_size, scale
+):
+    """Shared online-softmax accumulation for ONE page of the
+    multi-query (decode/verify) kernels: window-causal mask, running-max
+    rescale, PV accumulate. Plain Python inlined at trace time by both
+    the bf16 and q8 kernel bodies, so the mask/rescale math can never
+    drift between them. q [KH, C, D]; k/v [KH, page, D]."""
+    m, lsum, acc = carry
+    KH, C, _ = q.shape
+    s = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [KH, C, page]
+    tok = j * page_size + jax.lax.broadcasted_iota(
+        jnp.int32, (KH, C, page_size), 2
+    )
+    # Query column c holds window token t = c % window at absolute
+    # position length - window + t: it may attend tok <= that.
+    t = jax.lax.broadcasted_iota(
+        jnp.int32, (KH, C, page_size), 1
+    ) % window
+    mask = tok <= (length - window) + t
+    s = jnp.where(mask, s, NEG_INF)
+    m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
+    alpha = jnp.exp(m - m_new)
+    p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+    lsum = alpha * lsum + jnp.sum(p, axis=2, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype),
+        v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [KH, C, D]
+    return m_new, lsum, acc * alpha + pv
+
+
 def _carry_kernel_multi(
     # scalar prefetch
     table_ref,  # [B, P_max] int32 LOCAL page ids
@@ -276,7 +315,6 @@ def _carry_kernel_multi(
     KH, C, D = q.shape
 
     def body(j, carry):
-        m, lsum, acc = carry
         slot = j % 2
         nxt = (j + 1) % 2
 
@@ -287,36 +325,11 @@ def _carry_kernel_multi(
 
         page_dma(slot, j, kbuf, ksem, kp_hbm).wait()
         page_dma(slot, j, vbuf, vsem, vp_hbm).wait()
-        k = kbuf[slot]
-        v = vbuf[slot]
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [KH, C, page]
-        tok = j * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (KH, C, page_size), 2
+        return _online_softmax_page_step(
+            q, kbuf[slot], vbuf[slot], j, carry,
+            length=length, window=window, page_size=page_size,
+            scale=scale,
         )
-        # Query column c holds window token t = c % window at absolute
-        # position length - window + t: it may attend tok <= that.
-        t = jax.lax.broadcasted_iota(
-            jnp.int32, (KH, C, page_size), 1
-        ) % window
-        mask = tok <= (length - window) + t
-        s = jnp.where(mask, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        lsum = alpha * lsum + jnp.sum(p, axis=2, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [KH, C, D]
-        acc = acc * alpha + pv
-        return m_new, lsum, acc
 
     m0 = jnp.full((KH, C, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((KH, C, 1), jnp.float32)
@@ -552,7 +565,6 @@ def _carry_kernel_multi_q8(
     dt = q.dtype
 
     def body(j, carry):
-        m, lsum, acc = carry
         slot = j % 2
         nxt = (j + 1) % 2
 
@@ -563,34 +575,14 @@ def _carry_kernel_multi_q8(
 
         for buf, sem, pool in streams:
             page_dma(slot, j, buf, sem, pool).wait()
+        # In-VMEM dequant right after the DMA, then the shared step.
         k = kbuf[slot].astype(dt) * ksbuf[slot][:, :, None].astype(dt)
         v = vbuf[slot].astype(dt) * vsbuf[slot][:, :, None].astype(dt)
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [KH, C, page]
-        tok = j * page_size + jax.lax.broadcasted_iota(
-            jnp.int32, (KH, C, page_size), 2
+        return _online_softmax_page_step(
+            q, k, v, j, carry,
+            length=length, window=window, page_size=page_size,
+            scale=scale,
         )
-        t = jax.lax.broadcasted_iota(
-            jnp.int32, (KH, C, page_size), 1
-        ) % window
-        mask = tok <= (length - window) + t
-        s = jnp.where(mask, s, NEG_INF)
-        m_new = jnp.maximum(m, jnp.max(s, axis=2, keepdims=True))
-        alpha = jnp.exp(m - m_new)
-        p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
-        lsum = alpha * lsum + jnp.sum(p, axis=2, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype),
-            v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        acc = acc * alpha + pv
-        return m_new, lsum, acc
 
     m0 = jnp.full((KH, C, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((KH, C, 1), jnp.float32)
@@ -924,40 +916,6 @@ def sharded_paged_attention(
     )(q, k_pages, v_pages, page_table, lengths)
 
 
-def sharded_append_token(
-    pages: jnp.ndarray,  # [n_pages, KH, page, D]
-    token_kv: jnp.ndarray,  # [B, KH, D]
-    page_ids: jnp.ndarray,  # [B] GLOBAL ids
-    offsets: jnp.ndarray,  # [B]
-    active: jnp.ndarray,  # [B] bool
-    mesh,
-) -> jnp.ndarray:
-    """shard_map'd decode-token append; same layout as the attention."""
-    from jax import shard_map
-    from jax.sharding import PartitionSpec as P
-
-    row = P(ROW_AXES)
-
-    def local(pages, token_kv, page_ids, offsets, active):
-        local_ids = page_ids - _row_offset(pages.shape[0])
-        local_ids = jnp.clip(local_ids, 0, pages.shape[0] - 1)
-        return append_token(pages, token_kv, local_ids, offsets, active)
-
-    return shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(ROW_AXES, "model", None, None),
-            P(ROW_AXES, "model", None),
-            row,
-            row,
-            row,
-        ),
-        out_specs=P(ROW_AXES, "model", None, None),
-        check_vma=False,
-    )(pages, token_kv, page_ids, offsets, active)
-
-
 def append_token_layer(
     pages_all: jnp.ndarray,  # [L, n_pages, KH, page, D] (loop carry)
     l: jnp.ndarray,  # scalar layer index
@@ -1099,24 +1057,3 @@ def write_prompt_pages(
         0, 2, 1, 3
     )  # [n, KH, page, D]
     return pages.at[page_ids].set(chunks.astype(pages.dtype))
-
-
-def append_token(
-    pages: jnp.ndarray,  # [n_pages, KH, page_size, D]
-    token_kv: jnp.ndarray,  # [B, KH, D]
-    page_ids: jnp.ndarray,  # [B] page holding each row's next slot
-    offsets: jnp.ndarray,  # [B] slot within that page
-    active: jnp.ndarray,  # [B] bool
-) -> jnp.ndarray:
-    """Scatter one decode token's KV per active row into its page."""
-    B = token_kv.shape[0]
-    # Inactive rows write to page 0 slot 0? No: direct them to a scratch
-    # page (index -1 wraps to the last page, reserved as scratch).
-    safe_pages = jnp.where(active, page_ids, pages.shape[0] - 1)
-    return pages.at[safe_pages, :, offsets, :].set(
-        jnp.where(
-            active[:, None, None],
-            token_kv.astype(pages.dtype),
-            pages[safe_pages, :, offsets, :],
-        )
-    )

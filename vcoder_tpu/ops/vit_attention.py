@@ -49,10 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _round8(n: int) -> int:
-    return -(-n // 8) * 8
-
-
 def _block_kernel(bias_ref, x_ref, wqkv_ref, bqkv_ref, wo_ref, y_ref,
                   acc_scr, *, hb: int, dh: int):
     g = pl.program_id(1)
@@ -299,7 +295,7 @@ def repack_stacked(layers: dict, n_heads: int, hb: int, dh: int):
 def pick_head_block(n_heads: int) -> int:
     """Largest head-group size <= 4 that divides n_heads (hb=4 measured
     best on v5e; VMEM fits comfortably)."""
-    for hb in (4, 2, 1):
+    for hb in (4, 2):
         if n_heads % hb == 0:
             return hb
     return 1
