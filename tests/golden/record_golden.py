@@ -76,12 +76,76 @@ def record_clip(store):
     store["clip.hidden_m2"] = out.hidden_states[-2].numpy()
 
 
+def record_beams(store):
+    """HF beam-search outputs on the tests/test_beam_search.py tiny
+    config (torch seed 3): anchors our beam semantics to the recorded
+    transformers behavior, independent of the installed version. EOS
+    ids 93/44 are tokens the beam output emits mid-sequence (probed once
+    from the parity fixture and frozen) so retirement actually fires."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    hf_cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(3)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    for k, v in hf.state_dict().items():
+        store[f"beam.state.{k}"] = v.numpy()
+
+    ids_plain = np.random.default_rng(7).integers(3, 128, size=(2, 7))
+    ids_eos = np.random.default_rng(11).integers(3, 128, size=(2, 6))
+    ids_lp = np.random.default_rng(13).integers(3, 128, size=(2, 6))
+    cases = {
+        "plain": (ids_plain, 10, 3, 2, 1.0),
+        "eos": (ids_eos, 12, 3, 93, 1.0),
+        "eos_lp0": (ids_eos, 12, 3, 93, 0.0),
+        "lp05": (ids_lp, 12, 3, 44, 0.5),
+        "lp2": (ids_lp, 12, 3, 44, 2.0),
+    }
+    for name, (ids, max_new, beams, eos, lp) in cases.items():
+        with torch.no_grad():
+            out = hf.generate(
+                torch.tensor(ids),
+                attention_mask=torch.ones(ids.shape, dtype=torch.long),
+                max_new_tokens=max_new,
+                num_beams=beams,
+                do_sample=False,
+                eos_token_id=eos,
+                pad_token_id=eos,
+                length_penalty=lp,
+                early_stopping=False,
+            )
+        gen = out[:, ids.shape[1]:].numpy()
+        if gen.shape[1] < max_new:
+            pad = np.full(
+                (gen.shape[0], max_new - gen.shape[1]), eos, gen.dtype
+            )
+            gen = np.concatenate([gen, pad], axis=1)
+        store[f"beam.{name}.ids"] = ids
+        store[f"beam.{name}.gen"] = gen.astype(np.int32)
+        store[f"beam.{name}.args"] = np.array(
+            [max_new, beams, eos], np.int64
+        )
+        store[f"beam.{name}.lp"] = np.float64(lp)
+
+
 def main():
     import transformers
 
     store = {}
     record_llama(store)
     record_clip(store)
+    record_beams(store)
     store["meta.versions"] = np.array(
         [transformers.__version__, torch.__version__]
     )

@@ -235,3 +235,84 @@ def test_multimodal_ragged_beams():
         attn_impl="xla",
     )
     assert not np.array_equal(a.sequences, other.sequences)
+
+
+def _golden():
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "golden", "hf_golden.npz"
+    )
+    return np.load(path, allow_pickle=False)
+
+
+def _beam_cases(g):
+    for name in ("plain", "eos", "eos_lp0", "lp05", "lp2"):
+        max_new, beams, eos = (int(x) for x in g[f"beam.{name}.args"])
+        yield (
+            name, g[f"beam.{name}.ids"], g[f"beam.{name}.gen"],
+            max_new, beams, eos, float(g[f"beam.{name}.lp"]),
+        )
+
+
+def test_golden_vectors_anchor_beams():
+    """Our beam search must match the COMMITTED HF beam outputs
+    (recorded by record_golden.py) — parity anchored independent of the
+    installed transformers version."""
+    from vcoder_tpu.checkpoint import import_llama
+
+    g = _golden()
+    txt = TextConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        max_position_embeddings=128,
+    )
+    state = {
+        k[len("beam.state."):]: g[k]
+        for k in g.files
+        if k.startswith("beam.state.")
+    }
+    params = {"lm": import_llama(state, txt)}
+    for name, ids, gen, max_new, beams, eos, lp in _beam_cases(g):
+        cfg = VCoderConfig(
+            model_type="llava",
+            text=dataclasses.replace(txt, eos_token_id=eos),
+        )
+        got = _our_beams(params, cfg, ids, max_new, beams, lp)
+        np.testing.assert_array_equal(got, gen, err_msg=f"case {name}")
+
+
+def test_live_transformers_matches_golden_beams():
+    """If installed transformers' beam search drifts from the recorded
+    outputs, fail HERE (environment signal), not in the parity tests."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    g = _golden()
+    hf_cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    hf.load_state_dict(
+        {
+            k[len("beam.state."):]: torch.tensor(g[k])
+            for k in g.files
+            if k.startswith("beam.state.")
+        }
+    )
+    for name, ids, gen, max_new, beams, eos, lp in _beam_cases(g):
+        got = _hf_beams(hf, ids, max_new, beams, eos, length_penalty=lp)
+        np.testing.assert_array_equal(got, gen, err_msg=f"case {name}")
