@@ -108,6 +108,25 @@ def test_quantize_int8_numerics():
     assert np.abs(y_q - y_ref).max() / np.abs(y_ref).max() < 0.05
 
 
+def test_qmatmul_stacked_layers():
+    """Layer-stacked QuantizedTensor [L, in, out] with x [L, T, in] must
+    apply each LAYER's scale — including the T == L trap where a wrongly
+    squeezed [L, out] scale would broadcast against the token axis and
+    silently corrupt activations."""
+    L, IN, OUT = 3, 16, 8
+    w = jax.random.normal(jax.random.PRNGKey(3), (L, IN, OUT))
+    qt = quantize(w, bits=8)
+    assert qt.scale.shape == (L, 1, OUT)
+    for T in (L, 5):
+        x = jax.random.normal(jax.random.PRNGKey(4), (L, T, IN))
+        y_ref = np.asarray(
+            jnp.einsum("lti,lio->lto", x, dequantize(qt, x.dtype))
+        )
+        y_q = np.asarray(qmatmul(x, qt))
+        assert y_q.shape == (L, T, OUT)
+        np.testing.assert_allclose(y_q, y_ref, rtol=2e-2, atol=2e-2)
+
+
 def test_quantized_model_forward_close():
     cfg = VCoderConfig.tiny("vcoder_llava")
     params = _tiny_params(cfg)

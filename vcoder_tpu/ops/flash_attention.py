@@ -62,6 +62,13 @@ def _pick_block(n: int, max_block: int) -> int:
             best_b, best_pad = b, pad
     if best_b is None:
         best_b = min(max_block, _round_up(n, 128))
+    if best_b % 128 != 0:
+        # A non-lane-aligned block reaches BlockSpec as-is and dies in
+        # Mosaic with a tiling error far from the bad argument.
+        raise ValueError(
+            f"flash-attention block sizes must be multiples of 128, "
+            f"got max_block={max_block}"
+        )
     return best_b
 
 
@@ -263,15 +270,29 @@ def _flash_fwd(q, k, v, q_positions, kv_mask, causal, bq, bk, interpret):
 
 def _recompute_p(q, k, lse, mask, q_pos, j, bk, scale, causal):
     """Rebuild the probability block from saved LSE. Shapes: q [bq, D],
-    k [bk, D], lse [bq, 1] f32, mask [1/bq, bk] bool."""
+    k [bk, D], lse [bq, 1] f32, mask [1/bq, bk] bool.
+
+    Scores must match the FORWARD's computation exactly: _flash_fwd
+    folds the softmax scale into q and rounds back to q.dtype BEFORE the
+    dot, so the recompute does the same — scaling after the dot would
+    push the bf16 rounding delta through exp() as a systematic
+    normalization bias in every gradient (p rows would not sum to 1
+    under the saved LSE).
+
+    ``mask=None`` is the clean-block fast path (every KV slot valid and,
+    for causal, the block strictly below the diagonal): skips the
+    iota/compare and both where passes, same as the forward's
+    _compute_clean — this kernel is VPU-bound, not MXU-bound."""
     bq = q.shape[0]
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     s = jax.lax.dot_general(
-        q,
+        qs,
         k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    s = s * scale
+    if mask is None:
+        return jnp.exp(s - lse)
     if causal:
         k_ids = j * bk + jax.lax.broadcasted_iota(
             jnp.int32, (bq, k.shape[0]), 1
@@ -294,17 +315,22 @@ def _bwd_dq_kernel(
         dq_scr[:] = jnp.zeros(dq_scr.shape, jnp.float32)
 
     q_pos = qpos_ref[0, 0, :]
+    kmask = kmask_ref[0, 0, :]
     should = jnp.max(q_pos) >= j * block_k if causal else True
+    all_valid = jnp.min(kmask) == 1
+    if causal:
+        clean = all_valid & ((j + 1) * block_k - 1 <= jnp.min(q_pos))
+    else:
+        clean = all_valid
 
-    @pl.when(should)
-    def _compute():
+    def _compute(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse = lse_ref[0, 0, :, :1]
         delta = delta_ref[0, 0, :, :1]
-        mask = kmask_ref[0, 0, :].astype(bool)[None, :]
+        mask = kmask.astype(bool)[None, :] if masked else None
         p = _recompute_p(q, k, lse, mask, q_pos, j, block_k, scale, causal)
         dp = jax.lax.dot_general(
             do, v,
@@ -317,6 +343,14 @@ def _bwd_dq_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    @pl.when(should & clean)
+    def _compute_clean():
+        _compute(masked=False)
+
+    @pl.when(should & jnp.logical_not(clean))
+    def _compute_masked():
+        _compute(masked=True)
 
     @pl.when(j == nk - 1)
     def _finalize():
@@ -338,17 +372,22 @@ def _bwd_dkv_kernel(
         dv_scr[:] = jnp.zeros(dv_scr.shape, jnp.float32)
 
     q_pos = qpos_ref[0, 0, :]
+    kmask = kmask_ref[0, 0, :]
     should = jnp.max(q_pos) >= j * block_k if causal else True
+    all_valid = jnp.min(kmask) == 1
+    if causal:
+        clean = all_valid & ((j + 1) * block_k - 1 <= jnp.min(q_pos))
+    else:
+        clean = all_valid
 
-    @pl.when(should)
-    def _compute():
+    def _compute(masked: bool):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
         lse = lse_ref[0, 0, :, :1]
         delta = delta_ref[0, 0, :, :1]
-        mask = kmask_ref[0, 0, :].astype(bool)[None, :]
+        mask = kmask.astype(bool)[None, :] if masked else None
         p = _recompute_p(q, k, lse, mask, q_pos, j, block_k, scale, causal)
         # dV += P^T dO
         dv_scr[:] += jax.lax.dot_general(
@@ -368,6 +407,14 @@ def _bwd_dkv_kernel(
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    @pl.when(should & clean)
+    def _compute_clean():
+        _compute(masked=False)
+
+    @pl.when(should & jnp.logical_not(clean))
+    def _compute_masked():
+        _compute(masked=True)
 
     @pl.when(i == ni - 1)
     def _finalize():

@@ -77,7 +77,10 @@ def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
     """``x @ w`` for plain, quantized, or LoRA-wrapped weights."""
     if isinstance(w, QuantizedTensor):
         y = x @ w.q.astype(x.dtype)
-        return y * jnp.squeeze(w.scale, axis=-2).astype(x.dtype)
+        # scale is [..., 1, out]: broadcast as-is against y [..., T, out].
+        # (Squeezing the 1-axis right-aligns a stacked [L, out] scale
+        # against the TOKEN axis — silent corruption when T == L.)
+        return y * w.scale.astype(x.dtype)
     if type(w).__name__ == "LoraWeight":  # avoid circular import
         from vcoder_tpu.lora import lora_qmatmul
 
