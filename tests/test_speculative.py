@@ -82,6 +82,20 @@ def test_ngram_draft_sentinels_never_match():
     np.testing.assert_array_equal(np.asarray(draft), [[4, -200]])
 
 
+def test_ngram_draft_full_buffer_matches_host_twin():
+    """With hist_len == H (exactly-full buffer) the continuation runs
+    off the end: the device draft must zero those positions like the
+    host twin, not repeat history[H-1] through index clipping."""
+    from vcoder_tpu.speculative import ngram_draft_np
+
+    hist = np.asarray([[1, 2, 3, 4, 4, 4]], np.int32)
+    lens = np.asarray([6])
+    dev = np.asarray(ngram_draft(jnp.asarray(hist), jnp.asarray(lens), 3))
+    host = ngram_draft_np(hist, lens, 3)
+    np.testing.assert_array_equal(dev, host)
+    np.testing.assert_array_equal(dev, [[4, 0, 0]])
+
+
 def test_build_history_pads_and_lens():
     hist, lens = build_history([[1, 2, 3], [4, 5]], 4, 3)
     assert hist.shape == (2, 3 + 4 + 3)

@@ -73,6 +73,15 @@ def init_llama_params(
 # ---------------------------------------------------------------------------
 
 
+# Largest multi-token window that takes the scale-folded int8-KV
+# attention route (k_scale forces XLA attention, correct at any T)
+# instead of materializing a dequantized bf16 cache copy for the flash
+# kernel. The copy is full-cache HBM traffic per layer per dispatch —
+# only true prefills (T in the hundreds, paid once per request) should
+# ever take it. Bounds the engines' speculative windows.
+QUANT_FOLD_T_MAX = 32
+
+
 def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     """HF LlamaRMSNorm: normalize in f32, scale in input dtype."""
     dtype = x.dtype
@@ -271,7 +280,7 @@ def llama_forward(
                 cks_all = _write_tokens(cks_all, l, ks)
                 cvs_all = _write_tokens(cvs_all, l, vs)
                 kv = (ck_all, cv_all, cks_all, cvs_all)
-                if T <= 16:
+                if T <= QUANT_FOLD_T_MAX:
                     # Decode / speculative verify: fold the scales into
                     # the attention math instead of materializing a
                     # dequantized bf16 cache copy — that copy is pure

@@ -357,19 +357,9 @@ def _spec_decode_all(
         outs, draft, is_sampling, ~active, budget, eos_id
     )
 
-    # Trim to the accepted length (prefix-contiguous contract: kv_mask is
-    # exactly pos < length; rejected slots are overwritten next step).
-    S = cache.k.shape[2]
-    new_len = positions0 + emit
-    pos_s = jnp.arange(S, dtype=jnp.int32)[None, :]
-    cache = KVCache(
-        k=cache.k,
-        v=cache.v,
-        kv_mask=pos_s < new_len[:, None],
-        length=new_len,
-        k_scale=cache.k_scale,
-        v_scale=cache.v_scale,
-    )
+    from vcoder_tpu.speculative import trim_cache
+
+    cache = trim_cache(cache, positions0 + emit)
     nxt = jnp.where(emit > 0, nxt, tokens)
     return outs, emit, nxt, cache
 
@@ -490,6 +480,14 @@ class ServingEngine:
         # The slot cache gets k tokens of slack so the admission/cap rules
         # stay identical to the plain engine.
         self.spec_k = speculative if speculative >= 2 else 0
+        if self.spec_k > model_mod.llama_mod.QUANT_FOLD_T_MAX:
+            # Beyond this the int8-KV verify would silently fall into the
+            # dequantize-the-whole-cache prefill branch (llama_forward);
+            # prompt-lookup drafts this long never pay off anyway.
+            raise ValueError(
+                f"speculative window {self.spec_k} exceeds the supported "
+                f"maximum {model_mod.llama_mod.QUANT_FOLD_T_MAX}"
+            )
         self.cache_len = max_len + max(
             self.spec_k, max(1, int(sync_every))
         )

@@ -94,14 +94,14 @@ def ngram_draft(
     best2 = _best_match(history, hist_len, 2)
     cont = jnp.where(best3 >= 0, best3 + 3, best2 + 2)  # [B]
     found = (best3 >= 0) | (best2 >= 0)
-    idx = jnp.clip(
-        cont[:, None] + jnp.arange(num_draft, dtype=jnp.int32)[None, :],
-        0,
-        H - 1,
-    )
+    raw = cont[:, None] + jnp.arange(num_draft, dtype=jnp.int32)[None, :]
+    idx = jnp.clip(raw, 0, H - 1)
     draft = jnp.take_along_axis(history, idx, axis=1)
-    # Clamp junk: positions at/after hist_len or unmatched rows.
-    ok = found[:, None] & (idx < hist_len[:, None])
+    # Clamp junk: positions at/after hist_len or unmatched rows. Test
+    # the UNCLIPPED index — with a full buffer (hist_len == H) the
+    # clipped idx stays < hist_len and would repeat history[H-1] where
+    # the host twin (ngram_draft_np) correctly emits zeros.
+    ok = found[:, None] & (raw < hist_len[:, None])
     return jnp.where(ok, draft, 0).astype(jnp.int32)
 
 
@@ -206,6 +206,25 @@ def accept_window(
     return emit, nxt
 
 
+def trim_cache(cache: KVCache, new_len: jnp.ndarray) -> KVCache:
+    """Trim rows to the accepted length after a verify dispatch: rejected
+    slots stay as garbage but are masked out (prefix-contiguous contract
+    — kv_mask is exactly pos < length) and overwritten by the next
+    dispatch. Like :func:`accept_window`, this is THE trim rule for
+    every speculative jit (this module's step and the engines' verify) —
+    change it HERE so the paths can never diverge."""
+    S = cache.k.shape[2]
+    pos_s = jnp.arange(S, dtype=jnp.int32)[None, :]
+    return KVCache(
+        k=cache.k,
+        v=cache.v,
+        kv_mask=pos_s < new_len[:, None],
+        length=new_len,
+        k_scale=cache.k_scale,
+        v_scale=cache.v_scale,
+    )
+
+
 # ---------------------------------------------------------------------------
 # One speculative step: draft -> verify -> accept -> state update
 # ---------------------------------------------------------------------------
@@ -277,20 +296,7 @@ def _spec_step_jit(
     history = history.at[rows[:, None], hidx].set(pred, mode="drop")
     hist_len = jnp.minimum(hist_len + emit, H)
 
-    # Trim the cache to the accepted length: rejected slots stay as
-    # garbage but are masked out and overwritten by the next dispatch
-    # (prefix-contiguous contract — kv_mask is exactly pos < length).
-    S = cache.k.shape[2]
-    new_len = positions0 + emit
-    pos_s = jnp.arange(S, dtype=jnp.int32)[None, :]
-    cache = KVCache(
-        k=cache.k,
-        v=cache.v,
-        kv_mask=pos_s < new_len[:, None],
-        length=new_len,
-        k_scale=cache.k_scale,
-        v_scale=cache.v_scale,
-    )
+    cache = trim_cache(cache, positions0 + emit)
 
     cursor = cursor + emit
     done = (
@@ -399,7 +405,10 @@ def generate_speculative(
             t0 = int(np.asarray(first_tok)[b])
             if t0 != eos:
                 if on_tokens(b, [t0]) is False:
+                    # Abort means NO further callbacks — stop the fanout
+                    # to the remaining rows, not just this one.
                     aborted = True
+                    break
                 streamed[b] = 1
 
     iters = 0
@@ -431,6 +440,10 @@ def generate_speculative(
             cur_h = np.asarray(cursor)
             buf_h = np.asarray(out_buf)
             for b in range(B):
+                if aborted:
+                    # No callbacks after a False return — the consumer
+                    # may have torn down its per-request state.
+                    break
                 n = int(cur_h[b])
                 while streamed[b] < n and buf_h[b, streamed[b]] != eos:
                     if on_tokens(b, [int(buf_h[b, streamed[b]])]) is False:
