@@ -279,3 +279,125 @@ def test_train_forward_loss_finite():
         use_vcoder_emb=True, attn_impl="xla", remat=False,
     )
     assert np.isfinite(float(loss)) and float(loss) > 0
+
+
+def test_seg_only_prompt_encodes_features():
+    """images=None with segs present must encode and splice real seg
+    features — different seg pixels must steer generation differently.
+    (A gate on `images is not None` alone silently spliced pad-token
+    embeddings into all feature positions.)
+
+    Uses the DS arch: its passthrough rule is no-image AND no-seg
+    (vcoder_ds_llava_arch.py:181), so a seg-only prompt DOES splice.
+    The plain vcoder arch passthroughs seg-only prompts to text
+    (vcoder_llava_arch.py:187) — that reference quirk stays."""
+    cfg, params = _tiny("vcoder_ds_llava")
+    rows = [[1, SEG, 9, 10, 11]]
+    a = generate(
+        params, cfg, rows, segs=_pixels(cfg, 1, 0), max_new_tokens=8,
+        attn_impl="xla",
+    )
+    b = generate(
+        params, cfg, rows, segs=_pixels(cfg, 1, 1), max_new_tokens=8,
+        attn_impl="xla",
+    )
+    assert not np.array_equal(a.sequences, b.sequences)
+
+
+def test_top_p_zero_degenerates_to_greedy():
+    """top_p=0 (reachable from the gradio slider / wire params) must keep
+    the top token (HF min_tokens_to_keep=1), not mask the whole
+    vocabulary and emit token id 0 forever."""
+    cfg, params = _tiny("llava")
+    rows = [[1, 5, 6, 7]]
+    g = generate(params, cfg, rows, max_new_tokens=8, attn_impl="xla")
+    s = generate(
+        params, cfg, rows, max_new_tokens=8, temperature=0.7, top_p=0.0,
+        seed=3, attn_impl="xla",
+    )
+    np.testing.assert_array_equal(s.sequences, g.sequences)
+
+
+def test_fused_path_eos_fills_after_early_finish():
+    """When every row finishes before the budget, the fused decode loop
+    exits early; the remaining buffer must be EOS (the documented 'pad
+    after EOS' contract), not zero-fill."""
+    import dataclasses as _dc
+
+    cfg, params = _tiny("llava")
+    rows = [[1, 5, 6, 7], [2, 8, 9, 10]]
+    probe = generate(params, cfg, rows, max_new_tokens=10, attn_impl="xla")
+    eos = int(probe.sequences[0, 2])
+    cfg2 = _dc.replace(
+        cfg, text=_dc.replace(cfg.text, eos_token_id=eos)
+    )
+    out = generate(params, cfg2, rows, max_new_tokens=10, attn_impl="xla")
+    for b in range(2):
+        row = out.sequences[b].tolist()
+        assert eos in row
+        i = row.index(eos)
+        assert all(t == eos for t in row[i:]), row
+
+
+def test_stop_criteria_without_tokenizer_still_stops():
+    """The criteria carries its own tokenizer; generate(tokenizer=None)
+    must still honor it (raw-ids callers used to silently get overlong
+    sequences)."""
+    from vcoder_tpu.mm_tokens import KeywordsStoppingCriteria
+    from vcoder_tpu.simple_tokenizer import SimpleTokenizer
+
+    cfg, params = _tiny("llava")
+    ids = [[5, 6, 8, 9]]
+    baseline = generate(
+        params, cfg, ids, max_new_tokens=24, attn_impl="xla"
+    )
+    base_toks = baseline.sequences[0, : baseline.num_generated[0]].tolist()
+    vocab = {"<pad>": 0, "<s>": 1, "</s>": 2, "<unk>": 3}
+    vocab.update({f"w{i}": i for i in range(4, cfg.text.vocab_size)})
+    tok = SimpleTokenizer(vocab=vocab)
+    target = base_toks[4]
+    criteria = KeywordsStoppingCriteria(
+        [f"w{target}"], tok, input_len=len(ids[0])
+    )
+    result = generate(
+        params, cfg, ids, max_new_tokens=24, attn_impl="xla",
+        stopping_criteria=criteria,  # note: no tokenizer=
+    )
+    assert int(result.num_generated[0]) < len(base_toks)
+
+
+def test_stop_criteria_internal_error_propagates():
+    """A compatible criteria that raises INSIDE its __call__ must
+    propagate, not be silently treated as 'unsupported signature' (which
+    disabled stop strings for the whole generation)."""
+    cfg, params = _tiny("llava")
+
+    class Boom:
+        keywords = ["x"]
+
+        def __call__(self, output_ids):
+            raise TypeError("boom")
+
+    with pytest.raises(TypeError, match="boom"):
+        generate(
+            params, cfg, [[5, 6, 8, 9]], max_new_tokens=8,
+            attn_impl="xla", stopping_criteria=Boom(),
+        )
+
+
+def test_hf_style_criteria_skipped():
+    """An HF-signature criteria ((input_ids, scores)) is detected by
+    signature and skipped without error."""
+    cfg, params = _tiny("llava")
+
+    class HFStyle:
+        keywords = ["x"]
+
+        def __call__(self, input_ids, scores):
+            raise AssertionError("must not be called host-side")
+
+    out = generate(
+        params, cfg, [[5, 6, 8, 9]], max_new_tokens=6,
+        attn_impl="xla", stopping_criteria=HFStyle(),
+    )
+    assert out.sequences.shape == (1, 6)

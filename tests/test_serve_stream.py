@@ -154,3 +154,35 @@ def test_http_worker_server(setup, tmp_path):
         assert payloads[-1]["text"].startswith(prompt)
     finally:
         httpd.shutdown()
+
+
+def test_stream_stop_string_mid_chunk(setup):
+    """Speculative streaming delivers several tokens per chunk, so the
+    stop string routinely lands MID-chunk (accepted tokens after it).
+    No yielded text may ever contain the stop string (reference
+    semantics: `keyword in outputs`, mm_utils.py:128-151)."""
+    cfg, params, px, tok = setup
+    # Repetitive prompt so the prompt-lookup drafter fires and chunks
+    # carry multiple accepted tokens.
+    ids = [1, 5, IMAGE_TOKEN_INDEX, SEG_TOKEN_INDEX, 7, 8, 7, 8, 7, 8]
+    base = generate(
+        params, cfg, [ids], px, px, max_new_tokens=16, temperature=0.0,
+        attn_impl="xla", tokenizer=tok,
+    )
+    n = int(base.num_generated[0])
+    assert n >= 6, "tiny model must generate enough"
+    # Stop at the text of a mid-stream generated token.
+    target = int(base.sequences[0, 3])
+    stop = tok.decode([target], skip_special_tokens=True).strip()
+    assert stop, "need a decodable stop token"
+    for lookahead in (0, 4):
+        chunks = list(
+            generate_stream(
+                params, cfg, [ids], px, px, tokenizer=tok,
+                max_new_tokens=16, temperature=0.0, attn_impl="xla",
+                stop_str=stop, lookahead=lookahead,
+            )
+        )
+        assert chunks, f"no stream output (lookahead={lookahead})"
+        for c in chunks:
+            assert stop not in c, (lookahead, stop, chunks)

@@ -49,6 +49,10 @@ def nucleus_filter(
     sorted_probs = jax.nn.softmax(sorted_logits, axis=-1)
     cumprobs = jnp.cumsum(sorted_probs, axis=-1)
     keep = cumprobs - sorted_probs < top_p
+    # HF's min_tokens_to_keep=1: top_p <= 0 (reachable from the gradio
+    # slider / wire params) must degenerate to greedy, not mask the
+    # whole vocabulary (which would emit token id 0 forever).
+    keep = keep.at[:, 0].set(True)
     threshold = jnp.min(
         jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
     )
@@ -160,7 +164,9 @@ def _generate_jit(
         logits, rng0, temperature=temperature, top_p=top_p
     )
 
-    out_buf = jnp.zeros((B, max_new_tokens), jnp.int32)
+    # EOS-fill like every other decode path ("pad after EOS" contract):
+    # an early all-done exit must not leave token id 0 past the end.
+    out_buf = jnp.full((B, max_new_tokens), eos_id, jnp.int32)
     out_buf = out_buf.at[:, 0].set(first_tok)
     done = first_tok == eos_id
 
@@ -669,10 +675,13 @@ def generate_stream(
             break
         generated.append(t)
         text = tokenizer.decode(generated, skip_special_tokens=True)
-        if stop_str and text.endswith(stop_str):
-            text = text[: -len(stop_str)]
-            yield text
-            break
+        if stop_str:
+            # find, not endswith: one decoded step can add the stop
+            # string PLUS trailing characters in a single token.
+            cut = text.find(stop_str)
+            if cut >= 0:
+                yield text[:cut]
+                break
         yield text
         if step == max_new_tokens - 1:
             break
@@ -751,10 +760,15 @@ def _generate_stream_speculative(
                 break
             generated.extend(toks)
             text = tokenizer.decode(generated, skip_special_tokens=True)
-            if stop_str and text.endswith(stop_str):
-                abort.set()
-                yield text[: -len(stop_str)]
-                break
+            if stop_str:
+                # find, not endswith: speculative chunks deliver several
+                # tokens at once, so the stop string routinely lands
+                # MID-chunk with accepted tokens after it.
+                cut = text.find(stop_str)
+                if cut >= 0:
+                    abort.set()
+                    yield text[:cut]
+                    break
             yield text
     finally:
         abort.set()
@@ -762,12 +776,29 @@ def _generate_stream_speculative(
 
 
 def _criteria_fires(stopping_criteria, prompt_row, gen_ids) -> bool:
-    """Evaluate a KeywordsStoppingCriteria on prompt + generated ids."""
+    """Evaluate a KeywordsStoppingCriteria on prompt + generated ids.
+
+    HF-style criteria signatures ((input_ids, scores, **kw)) aren't
+    supported host-side and are skipped — detected by SIGNATURE, not by
+    catching TypeError around the call, which would also swallow errors
+    raised INSIDE a compatible criteria and silently disable its stop
+    strings for the whole generation."""
+    import inspect
+
     try:
-        return bool(stopping_criteria(list(prompt_row) + list(gen_ids)))
-    except TypeError:
-        # HF-style criteria signature; not supported host-side — skip.
-        return False
+        sig = inspect.signature(stopping_criteria)
+        required = [
+            p
+            for p in sig.parameters.values()
+            if p.default is inspect.Parameter.empty
+            and p.kind
+            in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        if len(required) > 1:
+            return False  # HF-style (input_ids, scores)
+    except (TypeError, ValueError):
+        pass  # uninspectable callable: try it
+    return bool(stopping_criteria(list(prompt_row) + list(gen_ids)))
 
 
 def _generate_windowed(
@@ -987,10 +1018,12 @@ def generate(
             np.asarray(seqs), max_new_tokens, cfg, tokenizer,
             stopping_criteria,
         )
+    # The criteria carries its own tokenizer (mm_tokens.py), so callers
+    # wanting raw ids (tokenizer=None) still get early stopping — gating
+    # on OUR tokenizer made their sequences silently overlong.
     use_windowed = bool(
         stopping_criteria is not None
         and getattr(stopping_criteria, "keywords", None)
-        and tokenizer is not None
     )
     if use_windowed:
         seqs, steps = _generate_windowed(

@@ -250,7 +250,10 @@ def prefill(
     Returns (last_logits [B, V], updated cache).
     """
     vis_table = None
-    if images is not None:
+    if images is not None or segs is not None or depths is not None:
+        # Gate on ANY modality: a seg/depth-only prompt (images=None)
+        # has a valid splice plan and must encode, or its 576-feature
+        # positions silently splice pad-token embeddings.
         vis_table = encode_vision(
             params, cfg, images, segs, depths, attn_impl=attn_impl
         )
@@ -336,7 +339,10 @@ def train_forward(
     from vcoder_tpu.constants import IGNORE_INDEX
 
     vis_table = None
-    if images is not None:
+    if images is not None or segs is not None or depths is not None:
+        # Gate on ANY modality: a seg/depth-only prompt (images=None)
+        # has a valid splice plan and must encode, or its 576-feature
+        # positions silently splice pad-token embeddings.
         vis_table = encode_vision(
             params, cfg, images, segs, depths, attn_impl=attn_impl
         )
