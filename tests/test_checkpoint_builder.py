@@ -176,3 +176,43 @@ def test_generate_via_builder_model(tmp_path, fake_tokenizer):
         pad_to=None,
     )
     assert out.sequences.shape == (1, 4)
+
+
+def test_import_bare_linear_projector():
+    """A 'linear' projector checkpoint stores '{prefix}.weight' (no
+    Sequential index); the import gate must accept that form, not
+    silently drop trained seg/depth projectors."""
+    import dataclasses as _dc
+
+    from vcoder_tpu.checkpoint import export_vcoder, import_vcoder
+
+    cfg = VCoderConfig.tiny("vcoder_ds_llava")
+    cfg = _dc.replace(
+        cfg,
+        seg_mm_projector_type="linear",
+        depth_mm_projector_type="linear",
+    )
+    params = _tiny_params(cfg)
+    # Force depth-1 projector trees (what a linear checkpoint holds).
+    d_in = params["seg_projector"]["w"][0].shape[0]
+    d_out = params["lm"]["embed_tokens"].shape[1]
+    for name in ("seg_projector", "depth_projector"):
+        params[name] = {
+            "w": [jnp.ones((d_in, d_out)) * 0.01],
+            "b": [jnp.zeros((d_out,))],
+        }
+    state = export_vcoder(params, cfg)
+    # A bare-Linear HF checkpoint has no '.0.' Sequential index.
+    state = {
+        k.replace("seg_mm_projector.0.", "seg_mm_projector.").replace(
+            "depth_mm_projector.0.", "depth_mm_projector."
+        ): v
+        for k, v in state.items()
+    }
+    loaded = import_vcoder(state, cfg)
+    assert "seg_projector" in loaded and "depth_projector" in loaded
+    np.testing.assert_allclose(
+        np.asarray(loaded["seg_projector"]["w"][0]),
+        np.asarray(params["seg_projector"]["w"][0]),
+        rtol=1e-6,
+    )

@@ -4,6 +4,7 @@ adapters, int8-base compatibility."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vcoder_tpu.config import VCoderConfig
 from vcoder_tpu.constants import IMAGE_TOKEN_INDEX, SEG_TOKEN_INDEX
@@ -135,3 +136,61 @@ def test_lora_training_updates_only_adapters():
     assert np.abs(
         np.asarray(lparams["lm"]["layers"]["q_proj"].b) - b_before
     ).max() > 0
+
+
+def test_adapter_scale_rslora():
+    """PEFT use_rslora scales by alpha/sqrt(r); rank/alpha patterns are
+    rejected loudly instead of silently mis-scaling."""
+    from vcoder_tpu.lora import adapter_scale
+
+    assert adapter_scale({"r": 8, "lora_alpha": 16}) == 2.0
+    assert adapter_scale(
+        {"r": 16, "lora_alpha": 32, "use_rslora": True}
+    ) == 32 / 4.0
+    with pytest.raises(ValueError, match="rank_pattern"):
+        adapter_scale({"r": 8, "lora_alpha": 16, "rank_pattern": {"q": 4}})
+
+
+def test_stack_adapters_rejects_out_dim_mismatch():
+    """A B-matrix trained for a different out_dim must fail with a
+    precise error, not a generic stack-shape TypeError."""
+    import jax
+
+    from vcoder_tpu.lora import stack_adapters
+
+    base = {"lm": {"layers": {"q_proj": jnp.ones((2, 8, 8))}}}
+    bad = {
+        "lm/layers/q_proj": (
+            jnp.ones((2, 8, 4)),
+            jnp.ones((2, 4, 16)),  # out_dim 16 != base 8
+            1.0,
+        )
+    }
+    with pytest.raises(ValueError, match="out_dim"):
+        stack_adapters(base, {"x": bad}, max_batch=2)
+
+
+def test_stack_adapters_rejects_2d_base():
+    """multilora factors gather per layer slice; a 2-D (non-stacked)
+    target must be rejected up front, not crash at trace time."""
+    from vcoder_tpu.lora import stack_adapters
+
+    base = {"lm": {"lm_head": jnp.ones((8, 8))}}
+    tree = {"lm/lm_head": (jnp.ones((8, 4)), jnp.ones((4, 8)), 1.0)}
+    with pytest.raises(ValueError, match="layer-stacked"):
+        stack_adapters(base, {"x": tree}, max_batch=2)
+
+
+def test_add_lora_idempotent():
+    """add_lora over an already-wrapped tree must not double-wrap (the
+    guard needs LoraWeight as a tree leaf to ever fire)."""
+    import jax
+
+    from vcoder_tpu.lora import LoraWeight, add_lora
+
+    params = {"lm": {"layers": {"q_proj": jnp.ones((2, 8, 8))}}}
+    once = add_lora(params, jax.random.PRNGKey(0), rank=4)
+    twice = add_lora(once, jax.random.PRNGKey(1), rank=4)
+    w = twice["lm"]["layers"]["q_proj"]
+    assert isinstance(w, LoraWeight)
+    assert not isinstance(w.base, LoraWeight)

@@ -88,6 +88,10 @@ class VCoderForCausalLM:
     ) -> gen_mod.GenerationResult:
         if do_sample is False:
             temperature = 0.0
+        elif do_sample and temperature <= 0.0:
+            # HF semantics: do_sample=True with no temperature samples
+            # at T=1.0; temperature 0 here would silently run greedy.
+            temperature = 1.0
         if images is not None:
             images = jnp.asarray(images)
         if segs is not None:

@@ -182,15 +182,21 @@ def import_vcoder(state: StateDict, cfg: VCoderConfig) -> dict:
     if vt_prefix is not None:
         params["vision_tower"] = import_clip(state, cfg.vision, vt_prefix)
 
-    if cfg.use_mm2_proj and "model.mm2_projector.0.weight" in state:
+    def _has_proj(prefix: str) -> bool:
+        # Sequential ({prefix}.0.weight) OR bare-Linear ({prefix}.weight):
+        # import_projector reads both forms, so the gate must too — a
+        # 'linear' projector checkpoint must not silently drop weights.
+        return f"{prefix}.0.weight" in state or f"{prefix}.weight" in state
+
+    if cfg.use_mm2_proj and _has_proj("model.mm2_projector"):
         params["mm2_projector"] = import_projector(
             state, "model.mm2_projector", cfg.mm_projector_type
         )
-    if cfg.use_seg and "model.seg_mm_projector.0.weight" in state:
+    if cfg.use_seg and _has_proj("model.seg_mm_projector"):
         params["seg_projector"] = import_projector(
             state, "model.seg_mm_projector", cfg.seg_mm_projector_type
         )
-    if cfg.use_depth and "model.depth_mm_projector.0.weight" in state:
+    if cfg.use_depth and _has_proj("model.depth_mm_projector"):
         params["depth_projector"] = import_projector(
             state, "model.depth_mm_projector", cfg.depth_mm_projector_type
         )
@@ -299,8 +305,12 @@ def auto_upgrade(model_dir: str, assume_yes: bool = False) -> None:
 def _unstack(
     out: StateDict, fmt: str, stacked: Array, transpose: bool
 ) -> None:
-    for i in range(stacked.shape[0]):
-        m = np.asarray(stacked[i])
+    # ONE host fetch for the whole stack, then numpy slicing: per-layer
+    # np.asarray(stacked[i]) would issue L blocking device->host
+    # transfers per tensor (~670 tunnel round trips for a 7B export).
+    host = np.asarray(stacked)
+    for i in range(host.shape[0]):
+        m = host[i]
         out[fmt.format(i=i)] = _t(m) if transpose else m
 
 
@@ -476,9 +486,9 @@ def load_lora_checkpoint(
     acfg_path = os.path.join(model_path, "adapter_config.json")
     if os.path.exists(acfg_path):
         adapter_cfg = json.load(open(acfg_path))
-    scale = float(adapter_cfg.get("lora_alpha", 16)) / float(
-        adapter_cfg.get("r", 8)
-    )
+    from vcoder_tpu.lora import adapter_scale
+
+    scale = adapter_scale(adapter_cfg)
     adapter_file = None
     for cand in ("adapter_model.safetensors", "adapter_model.bin"):
         p = os.path.join(model_path, cand)

@@ -15,6 +15,8 @@ analog of PEFT ``merge_and_unload``.
 from __future__ import annotations
 
 import dataclasses
+import logging
+import math
 import re
 from typing import Any, Optional, Sequence
 
@@ -55,6 +57,21 @@ class LoraWeight:
 jax.tree_util.register_dataclass(
     LoraWeight, data_fields=["base", "a", "b"], meta_fields=["scale"]
 )
+
+
+def adapter_scale(acfg: dict) -> float:
+    """PEFT adapter scaling: alpha/r, or alpha/sqrt(r) under rsLoRA.
+    Per-module rank_pattern/alpha_pattern overrides change the scale per
+    target — fail loudly rather than silently mis-scale the adapter."""
+    if acfg.get("rank_pattern") or acfg.get("alpha_pattern"):
+        raise ValueError(
+            "adapters with rank_pattern/alpha_pattern are not supported"
+        )
+    r = float(acfg.get("r", 8))
+    alpha = float(acfg.get("lora_alpha", 16))
+    if acfg.get("use_rslora"):
+        return alpha / math.sqrt(r)
+    return alpha / r
 
 
 def add_lora(
@@ -99,7 +116,12 @@ def add_lora(
         return LoraWeight(base=x, a=a, b=b, scale=float(alpha) / rank)
 
     return jax.tree_util.tree_map_with_path(
-        leaf, params, is_leaf=lambda x: isinstance(x, QuantizedTensor)
+        leaf,
+        params,
+        # LoraWeight must be a leaf here or tree_map recurses into its
+        # a/b/base sub-arrays and the already-wrapped guard in `leaf`
+        # can never fire (double-wrapping protection).
+        is_leaf=lambda x: isinstance(x, (QuantizedTensor, LoraWeight)),
     )
 
 
@@ -230,7 +252,14 @@ def stack_adapters(
             return x
         wrapped_paths.add(s)
         in_dim, out_dim = x.shape[-2], x.shape[-1]
-        L = x.shape[0] if x.ndim == 3 else 1
+        if x.ndim != 3:
+            # multilora_qmatmul gathers per-layer-sliced factors; a 2-D
+            # base would crash at trace time with an opaque rank error.
+            raise ValueError(
+                f"multi-LoRA target {s} must be layer-stacked "
+                f"[L, in, out]; got shape {tuple(x.shape)}"
+            )
+        L = x.shape[0]
         entries = [trees[n].get(s) for n in names]
         for n, e in zip(names, entries):
             if e is None:
@@ -242,6 +271,12 @@ def stack_adapters(
                     f"the base weight is stacked over {L} layers with "
                     f"in_dim {in_dim} — a partial-layer adapter "
                     f"(layers_to_transform) is not supported"
+                )
+            if e[1].shape[-1] != out_dim:
+                raise ValueError(
+                    f"adapter {n!r} at {s}: B is {tuple(e[1].shape)} but "
+                    f"the base weight's out_dim is {out_dim} (adapter "
+                    f"trained on a different architecture?)"
                 )
         R = max(e[0].shape[-1] for e in entries if e is not None)
         dt = next(e[0].dtype for e in entries if e is not None)
@@ -340,7 +375,7 @@ def load_lora_adapter_dir(model_path: str) -> dict:
     acfg_path = os.path.join(model_path, "adapter_config.json")
     if os.path.exists(acfg_path):
         acfg = _json.load(open(acfg_path))
-    scale = float(acfg.get("lora_alpha", 16)) / float(acfg.get("r", 8))
+    scale = adapter_scale(acfg)
 
     adapter_file = None
     for cand in ("adapter_model.safetensors", "adapter_model.bin"):
@@ -364,12 +399,24 @@ def load_lora_adapter_dir(model_path: str) -> dict:
     pat = re.compile(
         r"layers\.(\d+)\.(?:self_attn|mlp)\.(\w+_proj)\.lora_([AB])\.weight$"
     )
+    skipped = []
     for key, v in state.items():
         m = pat.search(key)
         if m is None:
+            if "lora_" in key or "modules_to_save" in key:
+                skipped.append(key)
             continue
         li, proj, ab = int(m.group(1)), m.group(2), m.group(3)
         per_proj.setdefault(proj, {}).setdefault(ab, {})[li] = np.asarray(v)
+    if skipped:
+        # Serving a half-applied adapter silently degrades outputs —
+        # make the gap loud (embed_tokens/lm_head/vision targets and
+        # modules_to_save aren't stackable per-layer factors).
+        logging.getLogger("vcoder_tpu").warning(
+            "load_lora_adapter_dir(%s): %d adapter tensors target "
+            "unsupported modules and were skipped (e.g. %s)",
+            model_path, len(skipped), skipped[0],
+        )
 
     out = {}
     for proj, mats in per_proj.items():
