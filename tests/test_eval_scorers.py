@@ -338,3 +338,78 @@ def test_mme_converter_scorer_roundtrip(tmp_path):
     assert parse_pred("Yes, there is") == "yes"
     assert parse_pred("Nothing") == "other"  # 'no' prefix of a word: no match
     assert parse_pred(" NO.") == "no"
+
+
+def test_singularization_roundtrip_over_scoring_vocab():
+    """For every singular noun in the scoring vocabulary (synonyms.txt),
+    singular_noun(plural(w)) must return w — naive suffix rules mangled
+    real COCO classes ('ties'->'ty', 'houses'->'hous', 'gloves'->'glof')
+    and the scorer then treated a correct prediction as a different
+    noun."""
+    import os
+
+    from vcoder_tpu.eval import nlp
+
+    path = os.path.join(
+        os.path.dirname(nlp.__file__), "synonyms.txt"
+    )
+    words = set()
+    for line in open(path):
+        for w in line.split(","):
+            w = w.strip().lower()
+            if w and " " not in w:
+                words.add(w)
+    failures = []
+    for w in sorted(words):
+        if nlp.singular_noun(w):
+            continue  # entry is already plural ('people', 'children')
+        p = nlp.plural(w)
+        back = nlp.singular_noun(p)
+        # Accept an equivalent singular whose plural is the same form
+        # (the vocab's 'knive' typo legitimately maps back to 'knife',
+        # exactly as inflect does).
+        if back != w and (not back or nlp.plural(back) != p):
+            failures.append((w, p, back))
+    assert not failures, failures
+
+
+def test_singularization_known_cases():
+    from vcoder_tpu.eval.nlp import singular_noun
+
+    cases = {
+        "ties": "tie", "houses": "house", "horses": "horse",
+        "vases": "vase", "gloves": "glove", "shoes": "shoe",
+        "toes": "toe", "buses": "bus", "boxes": "box",
+        "benches": "bench", "glasses": "glass", "potatoes": "potato",
+        "knives": "knife", "wolves": "wolf", "cities": "city",
+        "purses": "purse", "waves": "wave",
+    }
+    got = {k: singular_noun(k) for k in cases}
+    assert got == cases
+
+
+def test_multiword_number_chunks_match_reference_quirk():
+    """'twenty three bottles' stays ONE chunk (spacy span semantics);
+    the consumer then reads count=20, noun='three bottles' exactly like
+    the reference's split(' ')[0] parse (eval_seg_accuracy.py:128) —
+    parity includes the quirk."""
+    from vcoder_tpu.eval.extraction import get_num_nouns
+    from vcoder_tpu.eval.nlp import extract_num_noun_chunks
+
+    assert extract_num_noun_chunks("twenty three bottles") == [
+        "twenty three bottles"
+    ]
+    assert get_num_nouns("twenty three bottles") == {"three bottles": 20}
+    # Single-token numbers unaffected.
+    assert get_num_nouns("two people and three buses") == {
+        "people": 2, "buses": 3,
+    }
+
+
+def test_obtain_seg_texts_tolerates_blank_lines(tmp_path):
+    from vcoder_tpu.eval.extraction import obtain_seg_texts
+
+    f = tmp_path / "gt.txt"
+    f.write_text("<IMG>a.jpg<IMG>two people, a car\n\n\n")
+    labels = obtain_seg_texts(str(f))
+    assert labels == {"a.jpg": "two people, a car"}

@@ -103,7 +103,9 @@ def main():
     scores = calculate_depth_score(args.gt_path, args.pred_path)
     print(
         "Average depth score is: {}".format(
-            round(sum(scores) / len(scores), 1) if scores else float("nan")
+            # round(..., 2) matches the reference printout exactly
+            # (eval_depth_accuracy.py:119) for blind parity diffs.
+            round(sum(scores) / len(scores), 2) if scores else float("nan")
         )
     )
 

@@ -72,6 +72,8 @@ def obtain_seg_texts(file_path: str, dedup: bool = True) -> Dict[str, str]:
         lines = f.readlines()
     labels: Dict[str, str] = {}
     for line in lines:
+        if "<IMG>" not in line:
+            continue  # blank/trailing lines must not IndexError
         key = line.split("<IMG>")[1].strip("\n")
         label = line.split("<IMG>")[2].strip("\n")
         if dedup:

@@ -58,8 +58,6 @@ def word_to_num(text: str) -> int:
         v = _WORD_NUM[w]
         if w == "hundred":
             current = max(current, 1) * 100
-        elif v >= 20:
-            current += v
         else:
             current += v
     total += current
@@ -110,6 +108,31 @@ _NOT_PLURAL = {
 }
 _ES_ENDINGS = ("s", "x", "z", "ch", "sh")
 _F_TO_VES_KEEP = {"giraffe", "roof", "chef", "chief", "cliff", "belief"}
+# Singularization exception tables (inflect gets these right; naive
+# suffix rules mangle them — 'ties'->'ty' then the scorer's len>=3
+# filter DROPS the noun entirely, so a correct prediction scores 0).
+_IES_STRIP_S = {  # stem ends in -ie: strip only the trailing 's'
+    "ties", "pies", "lies", "dies", "movies", "cookies", "brownies",
+    "smoothies", "selfies", "calories", "zombies", "genies", "goalies",
+    "hoodies", "beanies", "birdies", "kiddies", "aunties",
+    "collies", "doggies", "magpies", "sorties", "prairies",
+}
+_VES_TO_FE = {"knives": "knife", "wives": "wife", "lives": "life"}
+_VES_TO_F = {
+    "wolves": "wolf", "leaves": "leaf", "shelves": "shelf",
+    "scarves": "scarf", "loaves": "loaf", "calves": "calf",
+    "halves": "half", "thieves": "thief", "hooves": "hoof",
+    "elves": "elf", "wharves": "wharf",
+}
+_OES_STRIP_ES = {
+    "potatoes", "tomatoes", "heroes", "echoes", "torpedoes",
+    "mosquitoes", "vetoes", "dominoes",
+}
+_SES_STRIP_ES = {
+    "buses", "busses", "gases", "gasses", "walruses", "octopuses",
+    "cactuses", "campuses", "viruses", "bonuses", "atlases", "irises",
+    "lenses", "geniuses", "censuses",
+}
 
 
 def plural(word: str) -> str:
@@ -148,20 +171,32 @@ def singular_noun(word: str):
     if w in _IRREGULAR_PLURAL or w in _NOT_PLURAL:
         return False
     if w.endswith("ies") and len(w) > 3:
+        if w in _IES_STRIP_S:
+            return w[:-1]  # tie/pie/movie/cookie keep their -ie stem
         return w[:-3] + "y"
     if w.endswith("ves"):
-        stem = w[:-3]
-        if stem + "fe" in _IRREGULAR_PLURAL or stem in ("kni", "wi", "li"):
-            return stem + "fe"
-        return stem + "f"
+        # Suffix match so compounds resolve too (pocketknives -> knife).
+        for tbl in (_VES_TO_FE, _VES_TO_F):
+            for k, v in tbl.items():
+                if w.endswith(k):
+                    return w[: -len(k)] + v
+        # gloves/stoves/waves/olives/sleeves: the stem keeps its -ve.
+        return w[:-1]
     if w.endswith(("ches", "shes", "xes", "zes", "sses")):
         return w[:-2]
     if w.endswith("oes") and len(w) > 3:
-        return w[:-2]
+        # shoes->shoe, toes->toe, canoes->canoe; the -o nouns that take
+        # -es (potatoes, tomatoes, ...) are enumerated.
+        return w[:-2] if w in _OES_STRIP_ES else w[:-1]
     if w.endswith("ss") or not w.endswith("s"):
         return False
-    if w.endswith("es") and w[:-2].endswith(("s", "x", "z", "ch", "sh")):
+    if w in _SES_STRIP_ES:
         return w[:-2]
+    if w.endswith("es") and w[:-2].endswith(("x", "z", "ch", "sh")):
+        return w[:-2]
+    # houses->house, horses->horse, vases->vase, purses->purse: a bare
+    # 's' strip — NOT 'es' (that made 'hous'/'hors'/'vas', which the
+    # scorer's len>=3 filter then scored as different nouns).
     return w[:-1]
 
 
@@ -210,10 +245,11 @@ def tag_nouns(text: str) -> List[str]:
 
 def extract_num_noun_chunks(text: str) -> List[str]:
     """Chunks of 'NUM noun...' text, standing in for spacy noun_chunks
-    filtered to those containing a NUM token.
+    filtered to those containing a NUM token ('a'/'an' chunks are DET,
+    not NUM, and are excluded — pinned by tests/test_eval_scorers.py).
 
     'two wine glasses, a car and three buses' ->
-    ['two wine glasses', 'a car', 'three buses']
+    ['two wine glasses', 'three buses']
     """
     toks = tokenize(text)
     chunks: List[str] = []
@@ -223,6 +259,19 @@ def extract_num_noun_chunks(text: str) -> List[str]:
         if w not in ("a", "an") and is_number_word(w):
             j = i + 1
             words = [toks[i]]
+            # Multi-word numbers stay inside ONE chunk like a spacy
+            # noun_chunk span ('twenty three bottles'); the consumer
+            # (extraction.get_num_nouns) then reads split(' ')[0] as the
+            # count exactly like the reference (eval_seg_accuracy.py:128)
+            # — reference parity, including its single-token-count quirk.
+            while (
+                j < len(toks)
+                and toks[j].lower() not in ("a", "an", "and", "or")
+                and is_number_word(toks[j].lower())
+            ):
+                words.append(toks[j])
+                j += 1
+            num_end = len(words)
             while j < len(toks):
                 nxt = toks[j].lower()
                 if (
@@ -233,7 +282,7 @@ def extract_num_noun_chunks(text: str) -> List[str]:
                     break
                 words.append(toks[j])
                 j += 1
-            if len(words) > 1:
+            if len(words) > num_end:
                 chunks.append(" ".join(words))
             i = j
         else:

@@ -6,8 +6,9 @@ Mirrors the reference scorer's parsing and scoring math exactly
 * GT txt files use ``<IMG>key<IMG>label`` lines with 'wall'/'window' dedup.
 * Prediction txt files use the ``Image:`` / ``<<QUESTION>>:`` /
   ``<<ANSWER>>:`` record layout the eval loaders write.
-* Per image: count-similarity min/max per matched noun; CS = mean accuracy,
-  HS = mean hallucination over pred-only nouns.
+* Per image: count-similarity min/max per matched noun; CS = mean
+  accuracy, HS = mean over pred-only nouns (1.0 each) AND matched
+  nouns' 1 - min/max count mismatch (reference :241-246).
 
 Usage: python -m vcoder_tpu.eval.seg_accuracy --gt_path ... --pred_path ...
 """
@@ -137,15 +138,21 @@ def main():
         args.gt_path, args.pred_path,
         tasks=tuple(t.strip() for t in args.tasks.split(",") if t.strip()),
     )
+    def _avg(xs):
+        # Guard empty lists (all-empty predictions) like the depth
+        # scorer's nan fallback; non-empty output matches the reference
+        # byte-for-byte (eval_seg_accuracy.py:269-270).
+        return round((sum(xs) / len(xs)) * 100, 1) if xs else float("nan")
+
     for k, v in acc.items():
         print(
             "Average accuracy for {} segmentation is: {}".format(
-                k, round((sum(v) / len(v)) * 100, 1)
+                k, _avg(v)
             )
         )
         print(
             "Average hallucination for {} segmentation is: {}".format(
-                k, round((sum(hall[k]) / len(hall[k])) * 100, 1)
+                k, _avg(hall[k])
             )
         )
 
