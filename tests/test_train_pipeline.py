@@ -6,6 +6,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -332,3 +333,96 @@ def test_resume_equivalence(tmp_path, fake_tokenizer):
         jax.tree_util.tree_leaves(second.opt_state),
     ):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+def test_depth_stream_is_panoptic_only(tmp_path):
+    """The depth-object stream mirrors get_object_data_depth_split
+    (vcoder_ds_train.py:461-497): PANOPTIC answers only (no task mix)
+    and the 50000-entry post-shuffle cap applies to with_depth only."""
+    _make_cost_tree(str(tmp_path / "d"))
+    d = build_seg_cost_entries(
+        str(tmp_path / "d"), seed=0, with_depth=True
+    )
+    assert d, "empty stream"
+    assert all(
+        e["seg_folder"].endswith("panoptic_inference") for e in d
+    )
+    # The seg-only stream still mixes tasks (uncapped).
+    s = build_seg_cost_entries(str(tmp_path / "d"), seed=0)
+    folders = {e["seg_folder"].rsplit("/", 1)[-1] for e in s}
+    assert len(folders) > 1, folders
+
+
+def test_it_stage_trains_mm_projector():
+    """The IT recipe leaves mm_projector trainable (vcoder_it.py:713-722
+    sets neither tune_ nor freeze_mm_mlp_adapter); it_lora passes
+    --mm_projector_lr. Both stages must include it."""
+    from vcoder_tpu.train.step import trainable_mask
+
+    params = {
+        "mm_projector": {"w": [jnp.ones((2, 2))]},
+        "seg_projector": {"w": [jnp.ones((2, 2))]},
+        "lm": {"layers": {"q_proj": jnp.ones((1, 2, 2))}},
+    }
+    for stage in ("it", "it_lora"):
+        mask = trainable_mask(params, stage)
+        assert mask["mm_projector"]["w"][0], stage
+
+
+def test_depth_offset_applies_to_every_round(fake_tokenizer):
+    """-3 is a CONVERSATION-level offset (has_depth flag), applied to
+    every round even when only round 1 carries the <depth> sentinel
+    (vcoder_ds_train.py:214-217)."""
+    two_round = [[
+        {
+            "from": "human",
+            "value": "<depth>\n<seg>\n<image>\nWhat objects are there?",
+        },
+        {"from": "gpt", "value": "a car"},
+        {"from": "human", "value": "How many people are there?"},
+        {"from": "gpt", "value": "two people"},
+    ]]
+    out = preprocess_v1(two_round, fake_tokenizer, mode="depth_seg")
+    seg_variant = [[
+        {
+            "from": "human",
+            "value": "<seg>\n<image>\nWhat objects are there?",
+        },
+        {"from": "gpt", "value": "a car"},
+        {"from": "human", "value": "How many people are there?"},
+        {"from": "gpt", "value": "two people"},
+    ]]
+    out_seg = preprocess_v1(seg_variant, fake_tokenizer, mode="seg")
+    vis_depth = sum(1 for l in out["labels"][0] if l != IGNORE_INDEX)
+    vis_seg = sum(1 for l in out_seg["labels"][0] if l != IGNORE_INDEX)
+    # One extra visible token PER ROUND (2 rounds).
+    assert vis_depth == vis_seg + 2
+
+
+def test_preprocess_version_dispatch(fake_tokenizer):
+    """preprocess(version=) must select the named conversation template
+    (llava_v1 has a different system prompt than vicuna_v1)."""
+    from vcoder_tpu.train.preprocess import preprocess as pp
+
+    src = [[
+        {"from": "human", "value": "What objects are there?"},
+        {"from": "gpt", "value": "a car"},
+    ]]
+    a = pp(src, fake_tokenizer, version="v1")["input_ids"][0]
+    b = pp(src, fake_tokenizer, version="llava_v1")["input_ids"][0]
+    assert a != b  # different system prompts tokenize differently
+    with pytest.raises(ValueError, match="unknown conversation"):
+        pp(src, fake_tokenizer, version="nope")
+
+
+def test_modality_lengths_double_negation():
+    """Sign flips once per missing modality — the reference's exact
+    (quirky) rule: text-only samples flip twice back to POSITIVE
+    (vcoder_train.py:393-400)."""
+    ds = VCoderDataset.__new__(VCoderDataset)
+    ds.entries = [
+        {"conversations": [{"value": "a b c"}], "image": "i", "seg": "s"},
+        {"conversations": [{"value": "a b c"}], "image": "i"},
+        {"conversations": [{"value": "a b c"}]},
+    ]
+    assert ds.modality_lengths == [3, -3, 3]

@@ -84,8 +84,11 @@ def build_seg_cost_entries(
     with_depth: bool = False,
 ) -> List[dict]:
     """reference: LazySegSupervisedDataset.__init__
-    (vcoder_train.py:310-380) and get_object_data_split /
-    get_object_data_depth_split (vcoder_ds_train.py:461-556)."""
+    (vcoder_train.py:310-380) and get_object_data_split
+    (vcoder_ds_train.py:500-556). ``with_depth=True`` follows
+    get_object_data_depth_split (:461-497) exactly: PANOPTIC-only
+    answers and a 50000-entry post-shuffle cap — the seg-only stream
+    mixes tasks uncapped."""
     rng = np.random.RandomState(seed)
     pyrng = _random_mod.Random(seed)
     entries = []
@@ -101,9 +104,20 @@ def build_seg_cost_entries(
                 "Instance, semantic, and panoptic labels should have the"
                 " same keys."
             )
-            task, question, answer = _pick_task_question(
-                rng, pyrng, labels, key
-            )
+            if with_depth:
+                # Depth-object stream: panoptic only (reference
+                # get_object_data_depth_split draws no task prob).
+                task = "panoptic"
+                answer = labels["panoptic"][key]
+                question = (
+                    GENERIC_QUESTION
+                    if rng.uniform(0, 1.0) > 0.90
+                    else pyrng.choice(PANOPTIC_QUESTIONS)
+                )
+            else:
+                task, question, answer = _pick_task_question(
+                    rng, pyrng, labels, key
+                )
             suffix = "\n<image>\n<seg>" + ("\n<depth>" if with_depth else "")
             entry = {
                 "conversations": _qa(question + suffix, answer),
@@ -118,6 +132,8 @@ def build_seg_cost_entries(
                 )
             entries.append(entry)
     pyrng.shuffle(entries)
+    if with_depth:
+        entries = entries[:50000]  # reference cap (vcoder_ds_train.py:497)
     return entries
 
 
@@ -188,6 +204,11 @@ def obtain_seg_data_splits(
             if l["seg"] in labels:
                 conversations = l["conversations"]
                 even_indices = list(range(2, len(conversations) + 1, 2))
+                if not even_indices:
+                    # Single-turn entry: nowhere to insert; keep as-is
+                    # instead of crashing the whole dataset build.
+                    final.append(l)
+                    continue
                 idx = pyrng.choice(even_indices)
                 question_prob = rng.uniform(0, 1.0)
                 question = (
@@ -249,6 +270,9 @@ def obtain_seg_depth_data_splits(
         if rng.uniform(0, 1.0) > 0.7 and l["seg"] in labels:
             conversations = l["conversations"]
             even_indices = list(range(2, len(conversations) + 1, 2))
+            if not even_indices:
+                final.append(l)
+                continue
             idx = pyrng.choice(even_indices)
             l["conversations"] = (
                 conversations[:idx]
@@ -303,7 +327,12 @@ def get_extra_count_data_split(
     (reference: vcoder_ds_train.py:590-628)."""
     rng = np.random.RandomState(seed)
     pyrng = _random_mod.Random(seed)
-    _random_mod.seed(seed)  # generate_qa_pairs uses module-level RNGs
+    # generate_qa_pairs draws from the module-level RNGs: seed them for
+    # determinism but RESTORE the global streams afterwards — builders
+    # must not clobber global RNG state as a side effect.
+    py_state = _random_mod.getstate()
+    np_state = np.random.get_state()
+    _random_mod.seed(seed)
     np.random.seed(seed)
     bucket = "train"
     labels = obtain_seg_texts(
@@ -339,6 +368,8 @@ def get_extra_count_data_split(
                         ),
                     }
                 )
+    _random_mod.setstate(py_state)
+    np.random.set_state(np_state)
     pyrng.shuffle(entries)
     return entries
 
@@ -388,31 +419,19 @@ class VCoderDataset:
         return len(self.entries)
 
     @property
-    def lengths(self) -> List[int]:
-        out = []
-        for sample in self.entries:
-            img_tokens = 128 if "image" in sample else 0
-            seg_tokens = 128 if "seg" in sample else 0
-            out.append(
-                sum(
-                    len(c["value"].split())
-                    for c in sample["conversations"]
-                )
-                + img_tokens
-                + seg_tokens
-            )
-        return out
-
-    @property
     def modality_lengths(self) -> List[int]:
-        """Positive for multimodal samples, negative for text-only
-        (reference: vcoder_train.py:390-398)."""
+        """Sign flips once per MISSING modality (image, then seg) —
+        the reference's exact double-negation, where a text-only sample
+        flips twice back to positive (vcoder_train.py:393-400). Quirk
+        preserved for sampler parity."""
         out = []
         for sample in self.entries:
             cur_len = sum(
                 len(c["value"].split()) for c in sample["conversations"]
             )
             if "image" not in sample:
+                cur_len = -cur_len
+            if "seg" not in sample:
                 cur_len = -cur_len
             out.append(cur_len if cur_len != 0 else 1)
         return out

@@ -113,8 +113,10 @@ def preprocess_v1(
     targets = [list(ids) for ids in input_ids]
 
     sep = conv.sep + conv.roles[1] + ": "
-    # The reference's depth variant subtracts 3 instead of 2 when the round
-    # contains a depth sentinel (vcoder_ds_train.py:215-217).
+    # The reference's depth variant subtracts 3 instead of 2 for EVERY
+    # round of a depth conversation (conversation-level has_depth flag,
+    # vcoder_ds_train.py:214-217) — not just rounds containing the
+    # sentinel. The deliberate -3 fudge itself stays (CLAUDE.md).
     for conversation, target in zip(conversations, targets):
         total_len = len(target)
         rounds = conversation.split(conv.sep2)
@@ -127,7 +129,7 @@ def preprocess_v1(
             if len(parts) != 2:
                 break
             parts[0] += sep
-            offset = 3 if (mode == "depth_seg" and "<depth>" in rou) else 2
+            offset = 3 if mode == "depth_seg" else 2
             round_len = len(_mm_tokenize(rou, tokenizer, mode))
             instruction_len = (
                 len(_mm_tokenize(parts[0], tokenizer, mode)) - offset
@@ -195,6 +197,18 @@ def preprocess(
         mode = "image"
     else:
         mode = "text"
+    from vcoder_tpu.conversation import conv_templates
+
+    if version not in conv_templates:
+        raise ValueError(f"unknown conversation version {version!r}")
+    # Dispatch on the configured template like the reference's
+    # default_conversation: llava_v1 has a different system prompt than
+    # vicuna_v1 — ignoring `version` would silently train on the wrong
+    # prompt.
     return preprocess_v1(
-        sources, tokenizer, mode=mode, model_max_length=model_max_length
+        sources,
+        tokenizer,
+        mode=mode,
+        conv=conv_templates[version],
+        model_max_length=model_max_length,
     )

@@ -40,12 +40,17 @@ STAGE_TRAINABLE = {
         r"^depth_projector/",
         r"^vcoder_lm_emb$",
     ],
-    "it": [r"^seg_projector/", r"^lm/"],
+    # The IT recipe leaves mm_projector at requires_grad=True (neither
+    # tune_ nor freeze_mm_mlp_adapter set; vcoder_it.py:713-722) — it
+    # trains alongside the LLM and seg projector.
+    "it": [r"^seg_projector/", r"^lm/", r"^mm_projector/"],
     "full": [r"^lm/", r"^mm_projector/"],
     # LoRA stages train only the adapter a/b leaves (+ projectors for
     # it_lora, reference: scripts/v1_5/vcoder_it_lora.sh).
     "lora": [r"^lm/.*/(a|b)$", r"^mm_projector/"],
-    "it_lora": [r"^lm/.*/(a|b)$", r"^seg_projector/"],
+    # it_lora sets --mm_projector_lr (vcoder_it_lora.sh): the image
+    # projector trains fully even under LoRA.
+    "it_lora": [r"^lm/.*/(a|b)$", r"^seg_projector/", r"^mm_projector/"],
     "all": [r".*"],
 }
 
@@ -195,7 +200,18 @@ def make_train_step(
                 out = pinned(params, opt_state, batch)
                 mode.append("pinned")
                 return out
-            except Exception:
+            except Exception as e:
+                # Log before latching eager: a transient failure here
+                # silently costs an extra opt-state transfer EVERY step,
+                # and a real first-step bug would otherwise vanish into
+                # the fallback.
+                import logging
+
+                logging.getLogger("vcoder_tpu").warning(
+                    "host-pinned jit outputs unavailable (%s: %s); "
+                    "falling back to eager opt-state offload",
+                    type(e).__name__, e,
+                )
                 mode.append("eager")
         if mode[0] == "pinned":
             return pinned(params, opt_state, batch)
