@@ -6,6 +6,7 @@ vcoder_llava_arch.py:185-296, vcoder_ds_llava_arch.py:126-314).
 """
 
 import numpy as np
+import pytest
 
 from vcoder_tpu.constants import (
     DEPTH_TOKEN_INDEX as DEP,
@@ -278,3 +279,41 @@ def test_multi_occurrence_encode_vision_layout():
             atol=1e-5,
             rtol=1e-5,
         )
+
+
+def test_image_sentinel_without_features_not_spliced():
+    """has_image=False with an <image> sentinel in the row: the table
+    has ZERO image blocks, so splicing would alias another modality's
+    offset-0 block. The sentinel must fall through as an attended pad
+    text position instead (the stand-in for the reference's raw embed
+    of the negative id when images are absent)."""
+    plan = build_splice_plan(
+        [[1, IMG, 5, SEG, 6]],
+        num_patches=4,
+        has_image=False,
+        has_seg=True,
+    )
+    assert plan.n_image == 0 and plan.n_seg == 1
+    L = int(plan.seq_lens[0])
+    # Exactly the seg block's 4 positions are vision; the <image>
+    # position is text (pad) and attended.
+    assert int((~plan.is_text[0, :L]).sum()) == 4
+    assert plan.vis_idx[0, ~plan.is_text[0]].max() < 4  # seg block only
+    assert bool(plan.attn_mask[0, 1])
+    assert plan.safe_ids[0, 1] == 0  # pad-mapped sentinel
+
+
+def test_validate_features_rejects_unplanned_stacks():
+    """Features provided for a modality the plan has no blocks for
+    (depths on a non-DS prompt) must fail loudly, not silently drop."""
+    import numpy as np
+
+    from vcoder_tpu.multimodal import validate_features
+
+    plan = build_splice_plan(
+        [[1, IMG, 5]], num_patches=4, has_image=True
+    )
+    px = np.zeros((1, 8, 8, 3), np.float32)
+    validate_features(plan, px)  # planned: fine
+    with pytest.raises(ValueError, match="no <depth> blocks"):
+        validate_features(plan, px, depths=px)

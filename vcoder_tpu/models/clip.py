@@ -173,11 +173,10 @@ def clip_encode(
     """
     B = images.shape[0]
     D = cfg.hidden_size
-    H, HD = cfg.num_heads, cfg.head_dim
     eps = cfg.layer_norm_eps
 
     patches = patchify(images, cfg.patch_size)
-    x = patches @ params["patch_embedding"]  # [B, N, D]
+    x = qm(patches, params["patch_embedding"])  # [B, N, D]
     cls = jnp.broadcast_to(params["class_embedding"], (B, 1, D)).astype(x.dtype)
     x = jnp.concatenate([cls, x], axis=1)  # [B, N+1, D]
     x = x + params["position_embedding"][None, :, :]

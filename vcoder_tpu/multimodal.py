@@ -130,6 +130,13 @@ def build_splice_plan(
       labels: optional per-row label ids aligned with input_ids.
       pad_to: expanded sequence length; default rounds the max row up to
         ``pad_multiple`` (TPU lane alignment).
+
+    Multi-occurrence prompts must group sentinels modality-major
+    (all <image> before all <seg> before all <depth>, which is what the
+    splice tokenizers emit): the loops consume modalities in that order,
+    so an interleaved [img, seg, img, seg] layout swallows the first
+    <seg> as text — bit-for-bit what the reference's loops do
+    (vcoder_llava_arch.py:215-246).
     """
     batch = len(input_ids)
     if is_depth_zero is None:
@@ -170,6 +177,7 @@ def build_splice_plan(
                 row_labels,
                 num_patches=num_patches,
                 base=base,
+                has_image=has_image,
                 has_seg=has_seg,
                 ds_mode=ds_mode,
                 it_mode=it_mode,
@@ -205,10 +213,15 @@ def build_splice_plan(
         k = np.asarray(kinds, dtype=bool)
         v = np.asarray(values, dtype=np.int32)
         is_text[b, :L] = k
-        # Sentinels never survive _splice_row; any raw negative id (possible
-        # only via the reference's pure-text hack path) is mapped to pad_id.
-        text_vals = np.where(k & (v >= 0), v, pad_id)
-        safe_ids[b, :L] = np.where(k, text_vals, pad_id)
+        # Sentinels CAN survive _splice_row as text positions: the
+        # pure-text passthrough path, seg_zero/depth_zero rows (the
+        # reference leaves the token in and raw-embeds the negative id,
+        # vcoder_it_llava_arch.py:230-231), and interleaved multi-pair
+        # prompts whose later-modality sentinels the earlier loop
+        # swallows (the reference's modality-major loops do the same).
+        # Map them to pad_id: one attended junk position, like the
+        # reference's wrapped embedding lookup.
+        safe_ids[b, :L] = np.where(k & (v >= 0), v, pad_id)
         vis_idx[b, :L] = np.where(~k, v, 0)
         if lab is not None:
             lab[b, :L] = np.asarray(row_lab, dtype=np.int32)
@@ -252,6 +265,16 @@ def validate_features(plan: SplicePlan, images, segs=None, depths=None):
                 "[B, N, H, W, C] with N matching the max sentinel "
                 "occurrence count"
             )
+        if have and not need:
+            # Provided but unplanned (e.g. depths on a non-DS model, or
+            # segs with no <seg> sentinel): silently dropping the input
+            # hides a caller bug — the reference's API can't even
+            # express it (no depth argument on non-DS archs).
+            raise ValueError(
+                f"{name} features were provided but the plan has no "
+                f"<{name}> blocks (wrong model_type, or the prompt has "
+                "no sentinel for this modality)"
+            )
 
 
 def _splice_row(
@@ -260,6 +283,7 @@ def _splice_row(
     *,
     num_patches: int,
     base: dict,
+    has_image: bool,
     has_seg: bool,
     ds_mode: bool,
     depth_zero: bool,
@@ -324,7 +348,12 @@ def _splice_row(
     cur_lab = labels
 
     # --- image loop (llava_arch.py:141-162 / ds:217-231) ---
-    while IMAGE_TOKEN_INDEX in cur:
+    # Gated on has_image: with no image features the table has ZERO
+    # image blocks, so splicing would alias whatever modality owns
+    # offset 0. A leftover <image> sentinel falls through to the tail
+    # as an attended pad position — the stand-in for the reference's
+    # raw embed of the negative id when images are absent.
+    while has_image and IMAGE_TOKEN_INDEX in cur:
         i = cur.index(IMAGE_TOKEN_INDEX)
         emit_text(cur[:i], cur_lab[:i] if cur_lab is not None else None)
         emit_features("image")

@@ -181,14 +181,18 @@ def sharded_flash_attention(
     splits across data+fsdp, heads across model — attention is embarrass-
     ingly parallel over both, so no collectives are needed inside.
 
-    Returns None when shapes don't divide the mesh (caller falls back)."""
-    import jax
+    Returns None when shapes don't divide the mesh — or when the mesh
+    doesn't carry the (data, fsdp, model) axes at all (a user-built mesh
+    with other axis names falls back to GSPMD auto-partitioning instead
+    of a KeyError)."""
     from jax.sharding import PartitionSpec as P
 
     from vcoder_tpu.ops.flash_attention import flash_attention
 
     b, t, h, d = q.shape
     s, kh = k.shape[1], k.shape[2]
+    if any(ax not in mesh.shape for ax in ("data", "fsdp", "model")):
+        return None
     n_batch = mesh.shape["data"] * mesh.shape["fsdp"]
     n_model = mesh.shape["model"]
     if b % n_batch or h % n_model or kh % n_model:

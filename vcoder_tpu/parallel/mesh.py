@@ -27,7 +27,18 @@ from jax.sharding import Mesh
 
 AXES = ("data", "fsdp", "model")
 
-_ACTIVE_MESH: list = []
+# Thread-local: concurrent engine/train threads must not see (or pop)
+# each other's active mesh.
+import threading as _threading
+
+_TLS = _threading.local()
+
+
+def _mesh_stack() -> list:
+    stack = getattr(_TLS, "mesh_stack", None)
+    if stack is None:
+        stack = _TLS.mesh_stack = []
+    return stack
 
 
 def make_mesh(
@@ -92,13 +103,15 @@ def use_mesh(mesh: Mesh):
     over the mesh instead of relying on GSPMD auto-partitioning (Pallas
     calls are opaque to the SPMD partitioner).
     """
-    _ACTIVE_MESH.append(mesh)
+    stack = _mesh_stack()
+    stack.append(mesh)
     try:
         with mesh:
             yield mesh
     finally:
-        _ACTIVE_MESH.pop()
+        stack.pop()
 
 
 def current_mesh() -> Optional[Mesh]:
-    return _ACTIVE_MESH[-1] if _ACTIVE_MESH else None
+    stack = _mesh_stack()
+    return stack[-1] if stack else None

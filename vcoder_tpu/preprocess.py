@@ -154,9 +154,9 @@ def load_images_preprocessed(
         # Per-file PIL fallback: a file the native decoder rejects but
         # PIL can read (exotic JPEG variants) stays readable; a truly
         # corrupt file raises from Image.open, matching the PIL path.
-        for jid in failed:
+        if failed:
             from PIL import Image
-
+        for jid in failed:
             img = Image.open(paths[jid]).convert("RGB")
             sq = expand2square(_to_numpy_rgb(img))
             u8[jid] = np.asarray(
