@@ -141,3 +141,6 @@ def test_sole_request_too_big_still_fails(setup):
     assert rid in res
     assert eng.preemptions == 0
     assert not eng.has_work()
+    # The reason must surface to front-ends — a silent truncation would
+    # look like a clean (short) completion to the client.
+    assert "pool exhausted" in (eng.pop_error(rid) or "")

@@ -96,7 +96,9 @@ def test_chat_worker_protocol(setup, tmp_path):
             {"prompt": "no sentinel", "images": [b64], "temperature": 0.0}
         )
     )
-    assert json.loads(bad[-1].decode())["error_code"] == 1
+    assert json.loads(bad[-1].decode().rstrip("\0"))["error_code"] == 1
+    # Every chunk is NUL-delimited (uniform wire framing).
+    assert all(c.endswith(b"\0") for c in chunks + bad)
 
 
 def test_http_worker_server(setup, tmp_path):

@@ -246,9 +246,11 @@ class Chat:
             generated_text = ori_prompt + text
             if stop_str and generated_text.endswith(stop_str):
                 generated_text = generated_text[: -len(stop_str)]
+            # Uniform NUL-delimited framing (the budget_error path and
+            # the reference wire format both delimit every chunk).
             yield json.dumps(
                 {"text": generated_text, "error_code": 0}
-            ).encode()
+            ).encode() + b"\0"
 
     def generate_stream_gate(self, params: dict) -> Iterator[bytes]:
         try:
@@ -258,9 +260,9 @@ class Chat:
             print("Caught ValueError:", e)
             yield json.dumps(
                 {"text": server_error_msg, "error_code": 1}
-            ).encode()
+            ).encode() + b"\0"
         except Exception as e:
             print("Caught Unknown Error", e)
             yield json.dumps(
                 {"text": server_error_msg, "error_code": 1}
-            ).encode()
+            ).encode() + b"\0"

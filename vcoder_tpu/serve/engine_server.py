@@ -203,6 +203,13 @@ class EngineWorker:
                 ):
                     self._cond.wait()
                 if self._stopping:
+                    # Fail any in-flight streams before exiting — their
+                    # handler threads block forever on q.get() otherwise.
+                    for handle in self._streams.values():
+                        handle.q.put(
+                            (self.eos_id, True, "server shutting down")
+                        )
+                    self._streams.clear()
                     return
             self._drain_inbox()
             if not self.engine.has_work():
@@ -224,6 +231,12 @@ class EngineWorker:
                     for req in list(self.engine.slots):
                         if req is not None:
                             self.engine.cancel(req.request_id)
+                    # A paged engine's mid-chunked-prefill admission also
+                    # keeps has_work() true — cancel it too or the loop
+                    # hot-spins re-running the failing chunk.
+                    pending = getattr(self.engine, "_pending", None)
+                    if pending is not None:
+                        self.engine.cancel(pending.req.request_id)
                 except Exception:
                     logger.exception("engine drain after failure")
                 continue

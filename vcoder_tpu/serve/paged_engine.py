@@ -1286,6 +1286,10 @@ class PagedServingEngine(ServingEngine):
         req = self.slots[slot]
         req.done = True
         req.error = reason
+        # Surface the reason to front-ends (pop_error) — without this
+        # the client sees a clean EOS and a silently truncated
+        # completion instead of an error payload.
+        self._record_failure(req)
         self._release_slot(slot)
         return req
 
