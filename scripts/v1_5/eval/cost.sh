@@ -14,14 +14,19 @@ for IDX in $(seq 0 $((CHUNKS-1))); do
       --image-folder $DATA/coco/val2017 \
       --use_seg \
       --seg-image-folder "$DATA/coco_segm_text/val/\$TASK_inference" \
-      --output-file $OUT/chunk${IDX} \
+      --output-file $OUT/output \
       --num-chunks $CHUNKS --chunk-idx $IDX \
-      --temperature 0 &
+      --temperature 0 --conv-mode vicuna_v1 &
 done
 wait
 
+# Concatenate the per-chunk files (reference naming contract:
+# output_{task}_{CHUNKS}_{IDX}.txt).
 for TASK in semantic instance panoptic; do
-  cat $OUT/chunk*_${TASK}.txt > $OUT/output_${TASK}.txt
+  > $OUT/output_${TASK}.txt
+  for IDX in $(seq 0 $((CHUNKS-1))); do
+    cat $OUT/output_${TASK}_${CHUNKS}_${IDX}.txt >> $OUT/output_${TASK}.txt
+  done
 done
 
 python -m vcoder_tpu.eval.seg_accuracy \

@@ -9,7 +9,8 @@ python -m vcoder_tpu.eval.cost_loader \
     --image-folder $DATA/coco/val2017 \
     --use_seg --seg-image-folder "$DATA/coco_segm_text/val/panoptic_inference" \
     --use_depth --depth-image-folder "$DATA/coco_segm_text/depth/val/depth" \
-    --output-file $OUT/output --tasks depth --temperature 0
+    --output-file $OUT/output --tasks depth --temperature 0 --conv-mode vicuna_v1
+mv $OUT/output_depth_1_0.txt $OUT/output_depth.txt
 python -m vcoder_tpu.eval.depth_accuracy \
     --gt_path $DATA/coco_segm_text/depth/val/panoptic_order.txt \
     --pred_path $OUT/output_depth.txt

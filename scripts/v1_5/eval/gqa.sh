@@ -9,7 +9,7 @@ python -m vcoder_tpu.eval.vqa_loader \
     --question-file $D/$SPLIT.jsonl \
     --image-folder $D/data/images \
     --answers-file $D/answers/$SPLIT/$NAME.jsonl \
-    --single-pred-prompt --temperature 0
+    --temperature 0 --conv-mode vicuna_v1
 python -m vcoder_tpu.eval.converters gqa \
     --src $D/answers/$SPLIT/$NAME.jsonl \
     --dst $D/data/testdev_balanced_predictions.json

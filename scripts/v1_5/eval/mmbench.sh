@@ -7,7 +7,7 @@ python -m vcoder_tpu.eval.mmbench_loader \
     --model-path $CKPT \
     --question-file $D/$SPLIT.tsv \
     --answers-file $D/answers/$SPLIT/$(basename $CKPT).jsonl \
-    --single-pred-prompt --temperature 0
+    --single-pred-prompt --temperature 0 --conv-mode vicuna_v1
 python -m vcoder_tpu.eval.converters mmbench \
     --annotation-file $D/$SPLIT.tsv \
     --result-dir $D/answers/$SPLIT \

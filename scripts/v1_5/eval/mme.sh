@@ -9,7 +9,7 @@ python -m vcoder_tpu.eval.vqa_loader \
     --question-file $D/llava_mme.jsonl \
     --image-folder $D/MME_Benchmark_release_version \
     --answers-file $D/answers/$NAME.jsonl \
-    --single-pred-prompt --temperature 0
+    --temperature 0 --conv-mode vicuna_v1
 python -m vcoder_tpu.eval.converters mme \
     --question-file $D/llava_mme.jsonl \
     --result-file $D/answers/$NAME.jsonl \

@@ -7,7 +7,7 @@ python -m vcoder_tpu.eval.vqa_loader \
     --question-file $D/llava_pope_test.jsonl \
     --image-folder $D/val2014 \
     --answers-file $D/answers/$(basename $CKPT).jsonl \
-    --temperature 0
+    --temperature 0 --conv-mode vicuna_v1
 python -m vcoder_tpu.eval.pope \
     --annotation-dir $D/coco \
     --question-file $D/llava_pope_test.jsonl \

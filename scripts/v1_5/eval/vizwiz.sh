@@ -8,7 +8,7 @@ python -m vcoder_tpu.eval.vqa_loader \
     --question-file $D/llava_test.jsonl \
     --image-folder $D/test \
     --answers-file $D/answers/$NAME.jsonl \
-    --single-pred-prompt --temperature 0
+    --temperature 0 --conv-mode vicuna_v1
 python -m vcoder_tpu.eval.converters vizwiz \
     --annotation-file $D/llava_test.jsonl \
     --result-file $D/answers/$NAME.jsonl \

@@ -9,5 +9,5 @@ python -m vcoder_tpu.eval.vqa_loader \
     --question-file $D/$SPLIT.jsonl \
     --image-folder $D/test2015 \
     --answers-file $D/answers/$SPLIT/$NAME/merge.jsonl \
-    --single-pred-prompt --temperature 0
+    --temperature 0 --conv-mode vicuna_v1
 python -m vcoder_tpu.eval.converters vqav2 --dir $D --ckpt $NAME --split $SPLIT

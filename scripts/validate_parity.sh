@@ -85,8 +85,14 @@ python -m vcoder_tpu.eval.cost_loader \
     "${FLAGS[@]}" \
     --output-file "$OUT/output" \
     --max-samples "$N" \
-    --temperature 0 \
+    --temperature 0 --conv-mode vicuna_v1 \
     --tasks "${TASKS:-semantic,instance,panoptic}"
+
+# Single-chunk run: rename the reference-contract chunk files
+# (output_{task}_1_0.txt) to the names the scorer globs.
+for TASK in ${TASKS//,/ } semantic instance panoptic; do
+  [ -f "$OUT/output_${TASK}_1_0.txt" ] &&     mv "$OUT/output_${TASK}_1_0.txt" "$OUT/output_${TASK}.txt"
+done
 
 echo "== [3/4] CS/HS scoring =="
 python -m vcoder_tpu.eval.seg_accuracy \
@@ -106,7 +112,8 @@ case "$MODEL_NAME" in
         --use-depth --depth-image-folder "$DEPTH_DIR/depth" \
         --output-file "$OUT/output" \
         --max-samples "$N" \
-        --temperature 0 --tasks depth
+        --temperature 0 --conv-mode vicuna_v1 --tasks depth
+    mv "$OUT/output_depth_1_0.txt" "$OUT/output_depth.txt"
     python -m vcoder_tpu.eval.depth_accuracy \
         --gt_path "$DEPTH_DIR/panoptic_order.txt" \
         --pred_path "$OUT/output_depth.txt" | tee -a "$OUT/scores.txt"

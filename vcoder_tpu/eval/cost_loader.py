@@ -88,6 +88,14 @@ def eval_model(args, task: str) -> str:
 
     use_seg = args.use_seg and "vcoder" in model_name.lower()
     use_depth = args.use_depth and "ds" in model_name.lower()
+    if use_depth and not use_seg:
+        # Depth features ride the seg branch (the reference makes this
+        # state unrepresentable: model_depth_loader.py:54 raises for
+        # seg-without-depth); silently ignoring --use-depth would write
+        # a valid-looking but depth-blind answers file.
+        raise SystemExit(
+            "--use-depth requires --use-seg (and a vcoder model)"
+        )
 
     images = sorted(glob.glob(os.path.join(args.image_folder, "*.jpg")))
     images = get_chunk(images, args.num_chunks, args.chunk_idx)
@@ -100,14 +108,20 @@ def eval_model(args, task: str) -> str:
         seg_folder = args.seg_image_folder.replace("$TASK", task)
     depth_folder = args.depth_image_folder if use_depth else None
 
-    questions = QUESTIONS["depth"] if task == "depth" else QUESTIONS[task]
+    questions = QUESTIONS[task]
     conv_t = conv_templates[args.conv_mode]
     stop_str = (
         conv_t.sep if conv_t.sep_style != SeparatorStyle.TWO else conv_t.sep2
     )
 
     rng = random.Random(args.seed + args.chunk_idx)
-    answers_file = f"{args.output_file}_{task}.txt"
+    # Reference filename contract (model_seg_loader.py:109): every chunk
+    # process shares ONE --output-file and appends its own
+    # _{task}_{num_chunks}_{chunk_idx}.txt — without the suffix two
+    # chunks truncate/interleave each other's records.
+    answers_file = (
+        f"{args.output_file}_{task}_{args.num_chunks}_{args.chunk_idx}.txt"
+    )
     os.makedirs(os.path.dirname(answers_file) or ".", exist_ok=True)
     open(answers_file, "w").close()
 

@@ -149,7 +149,7 @@ def main():
     )
     parser.add_argument(
         "--single-pred-prompt", action="store_true",
-        help="append the single-word-answer instruction (MME/MMBench style)",
+        help="append the single-word-answer instruction (the reference passes this ONLY for MMBench; MME questions already carry their own instruction)",
     )
     eval_model(parser.parse_args())
 
