@@ -13,5 +13,6 @@ python -m vcoder_tpu.eval.vqa_loader \
 python -m vcoder_tpu.eval.converters mme \
     --question-file $D/llava_mme.jsonl \
     --result-file $D/answers/$NAME.jsonl \
+    --benchmark-dir $D/MME_Benchmark_release_version \
     --output-dir $D/eval_tool/answers/$NAME
 python -m vcoder_tpu.eval.mme_eval --results_dir $D/eval_tool/answers/$NAME

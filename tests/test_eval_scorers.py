@@ -334,10 +334,13 @@ def test_mme_converter_scorer_roundtrip(tmp_path):
     assert cr["score"] == 200.0
     assert abs(res["perception"] - 125.0) < 1e-9
     assert res["cognition"] == 200.0
-    # prediction normalization quirks
+    # Prediction normalization: the eval_tool's EXACT rule (substring
+    # of the first 4 chars) — published numbers depend on its quirks.
     assert parse_pred("Yes, there is") == "yes"
-    assert parse_pred("Nothing") == "other"  # 'no' prefix of a word: no match
+    assert parse_pred("Nothing") == "no"  # eval_tool: 'no' in 'noth'
     assert parse_pred(" NO.") == "no"
+    assert parse_pred("maybe") == "other"
+    assert parse_pred("unclear") == "other"
 
 
 def test_singularization_roundtrip_over_scoring_vocab():
@@ -413,3 +416,36 @@ def test_obtain_seg_texts_tolerates_blank_lines(tmp_path):
     f.write_text("<IMG>a.jpg<IMG>two people, a car\n\n\n")
     labels = obtain_seg_texts(str(f))
     assert labels == {"a.jpg": "two people, a car"}
+
+
+def test_convert_mme_reads_benchmark_gt(tmp_path):
+    """The stock llava_mme.jsonl has NO answer field; GT must come from
+    the official benchmark layout — and silently-empty GT (which zeroes
+    the whole benchmark) must be impossible."""
+    import json
+
+    from vcoder_tpu.eval.converters import convert_mme
+
+    q = tmp_path / "q.jsonl"
+    q.write_text(json.dumps({
+        "question_id": 1, "image": "color/0001.jpg",
+        "text": "Is the sky blue? Please answer yes or no.",
+        "category": "color",
+    }) + "\n")
+    r = tmp_path / "r.jsonl"
+    r.write_text(json.dumps({"question_id": 1, "text": "Yes"}) + "\n")
+
+    bench = tmp_path / "bench" / "color" / "questions_answers_YN"
+    bench.mkdir(parents=True)
+    (bench / "0001.txt").write_text(
+        "Is the sky blue? Please answer yes or no.\tYes\n"
+    )
+    out = tmp_path / "out"
+    convert_mme(str(q), str(r), str(out), benchmark_dir=str(tmp_path / "bench"))
+    line = (out / "color.txt").read_text().strip()
+    img, question, gt, pred = line.split("\t")
+    assert gt == "Yes" and pred == "Yes"
+
+    # No GT anywhere -> loud failure, not a zeroed benchmark.
+    with pytest.raises(ValueError, match="no ground truth"):
+        convert_mme(str(q), str(r), str(tmp_path / "out2"))

@@ -132,20 +132,48 @@ def convert_mmbench(
     out = os.path.join(upload_dir, f"{experiment}.xlsx")
     try:
         cur_df.to_excel(out, index=False, engine="openpyxl")
-    except Exception:
-        # openpyxl absent: fall back to TSV with the same content.
+    except ImportError:
+        # openpyxl absent: fall back to TSV with the same content. Any
+        # OTHER write failure must propagate — the submission server
+        # only accepts xlsx, so a silent TSV fallback just defers the
+        # error to upload time.
         out = os.path.join(upload_dir, f"{experiment}.tsv")
         cur_df.to_csv(out, sep="\t", index=False)
     print("wrote", out)
 
 
+def _mme_gt_lookup(benchmark_dir, category, image, question):
+    """Ground truth from the official MME release layout: per-image txt
+    ('question\\tanswer' lines) under <category>/questions_answers_YN/ or
+    beside the images."""
+    stem = os.path.splitext(os.path.basename(image))[0]
+    for cand in (
+        os.path.join(
+            benchmark_dir, category, "questions_answers_YN", stem + ".txt"
+        ),
+        os.path.join(benchmark_dir, category, stem + ".txt"),
+    ):
+        if os.path.exists(cand):
+            for line in open(cand):
+                parts = line.rstrip("\n").split("\t")
+                if len(parts) >= 2 and parts[0].strip() == question.strip():
+                    return parts[1].strip()
+    return None
+
+
 def convert_mme(
-    question_file: str, result_file: str, output_dir: str
+    question_file: str,
+    result_file: str,
+    output_dir: str,
+    benchmark_dir: str | None = None,
 ) -> None:
     """Answers jsonl -> MME eval_tool per-category txt files
-    ('img\\tquestion\\tgt\\tpred' lines). Category and ground truth come
-    from the question file ('category' field, else the image path's
-    leading directory; 'answer'/'label' field for GT)."""
+    ('img\\tquestion\\tgt\\tpred' lines). Category comes from the
+    question file ('category' field, else the image path's leading
+    directory). Ground truth comes from the question file's
+    'answer'/'label' field when present, else from the official MME
+    release via --benchmark-dir (the stock llava_mme.jsonl carries NO
+    answers — writing empty GT would silently zero the benchmark)."""
     questions = {}
     for line in open(question_file):
         q = json.loads(line)
@@ -158,11 +186,21 @@ def convert_mme(
             q = questions.get(a["question_id"], {})
             image = q.get("image", str(a["question_id"]))
             category = q.get("category") or image.split("/")[0]
-            gt = q.get("answer", q.get("label", ""))
             pred = a["text"].replace("\n", " ").replace("\t", " ")
             question = q.get("text", a.get("prompt", "")).replace(
                 "\n", " "
             ).replace("\t", " ")
+            gt = q.get("answer", q.get("label", ""))
+            if not gt and benchmark_dir:
+                gt = _mme_gt_lookup(
+                    benchmark_dir, category, image, question
+                ) or ""
+            if not gt:
+                raise ValueError(
+                    f"no ground truth for question {a['question_id']!r}:"
+                    " the question file carries no answer field — pass"
+                    " --benchmark-dir <MME_Benchmark_release_version>"
+                )
             if category not in files:
                 files[category] = open(
                     os.path.join(output_dir, f"{category}.txt"), "w"
@@ -202,6 +240,7 @@ def main():
     p.add_argument("--question-file", required=True)
     p.add_argument("--result-file", required=True)
     p.add_argument("--output-dir", required=True)
+    p.add_argument("--benchmark-dir", default=None)
     args = parser.parse_args()
     if args.cmd == "gqa":
         convert_gqa(args.src, args.dst)
@@ -217,7 +256,10 @@ def main():
             args.experiment,
         )
     elif args.cmd == "mme":
-        convert_mme(args.question_file, args.result_file, args.output_dir)
+        convert_mme(
+            args.question_file, args.result_file, args.output_dir,
+            benchmark_dir=args.benchmark_dir,
+        )
 
 
 if __name__ == "__main__":

@@ -47,14 +47,19 @@ COGNITION = (
 
 
 def parse_pred(text: str) -> str:
-    """Normalize a free-form answer to yes/no/other (eval_tool semantics:
-    exact or prefix match on the lowercased text)."""
+    """Normalize a free-form answer to yes/no/other — the eval_tool's
+    EXACT rule (calculation.py parse_pred_ans): exact match, else
+    substring match of 'yes'/'no' within the first 4 characters. That
+    rule scores 'Nothing'/'Not sure' as 'no'; published MME numbers
+    depend on it, so the quirk is reproduced, not sanitized."""
     t = text.strip().lower()
     if t in ("yes", "no"):
         return t
-    for word in ("yes", "no"):
-        if t.startswith(word) and (len(t) == len(word) or not t[len(word)].isalnum()):
-            return word
+    prefix = t[:4]
+    if "yes" in prefix:
+        return "yes"
+    if "no" in prefix:
+        return "no"
     return "other"
 
 
@@ -92,6 +97,14 @@ def evaluate_dir(results_dir: str) -> dict:
             out["perception"] += s["score"]
         elif cat in COGNITION:
             out["cognition"] += s["score"]
+        else:
+            import logging
+
+            logging.getLogger("vcoder_tpu").warning(
+                "mme_eval: category %r is neither perception nor "
+                "cognition — excluded from both totals (check the "
+                "category casing in the question file)", cat,
+            )
     return out
 
 

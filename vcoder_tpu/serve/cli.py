@@ -85,22 +85,27 @@ def main(args):
     conv = conv_templates[args.conv_mode].copy()
     roles = conv.roles
 
+    # Honor --image-aspect-ratio like the reference routes it through
+    # process_images (reference serve/cli.py:49); the processors default
+    # to the checkpoint config's mode otherwise.
+    ar = {"image_aspect_ratio": args.image_aspect_ratio}
+
     image = load_image(args.image_file)
-    image_tensor = image_processor.preprocess(image)["pixel_values"]
+    image_tensor = image_processor.preprocess(image, **ar)["pixel_values"]
 
     seg_image = seg_image_tensor = None
     if args.seg_file is not None and seg_image_processor is not None:
         seg_image = load_image(args.seg_file)
-        seg_image_tensor = seg_image_processor.preprocess(seg_image)[
+        seg_image_tensor = seg_image_processor.preprocess(seg_image, **ar)[
             "pixel_values"
         ]
 
     depth_image = depth_image_tensor = None
     if args.depth_file is not None and depth_image_processor is not None:
         depth_image = load_image(args.depth_file)
-        depth_image_tensor = depth_image_processor.preprocess(depth_image)[
-            "pixel_values"
-        ]
+        depth_image_tensor = depth_image_processor.preprocess(
+            depth_image, **ar
+        )["pixel_values"]
 
     while True:
         try:

@@ -40,8 +40,21 @@ def _save_state(state: Dict[str, np.ndarray], model_dir: str) -> None:
     )
 
 
-def _copy_config(src: str, dst: str) -> None:
-    for name in ("config.json", "vcoder_tokenizer.json"):
+_TOKENIZER_FILES = (
+    "vcoder_tokenizer.json",
+    "tokenizer.model",
+    "tokenizer.json",
+    "tokenizer_config.json",
+    "special_tokens_map.json",
+)
+
+
+def _copy_config(src: str, dst: str, *, config: bool = True) -> None:
+    """Carry config + tokenizer files into a surgery output (the
+    reference tools call tokenizer.save_pretrained on every output —
+    without the HF tokenizer files the result can't serve)."""
+    names = _TOKENIZER_FILES + (("config.json",) if config else ())
+    for name in names:
         p = os.path.join(src, name)
         if os.path.exists(p):
             shutil.copy(p, os.path.join(dst, name))
@@ -65,9 +78,11 @@ def make_delta(base_dir: str, target_dir: str, delta_dir: str) -> None:
             assert name in EMBED_KEYS, (
                 f"{name} has unexpected shape change"
             )
-            d = param.copy()
-            d[: bparam.shape[0]] -= bparam
-            delta[name] = d
+            d = param.copy().astype(np.float32)
+            # Slice BOTH dims like the reference (make_delta.py:23-33):
+            # vocab rows and hidden width may both differ.
+            d[: bparam.shape[0], : bparam.shape[1]] -= bparam
+            delta[name] = d.astype(param.dtype)
     _save_state(delta, delta_dir)
     _copy_config(target_dir, delta_dir)
 
@@ -87,9 +102,9 @@ def apply_delta(base_dir: str, delta_dir: str, target_dir: str) -> None:
             assert name in EMBED_KEYS, (
                 f"{name} has unexpected shape change"
             )
-            t = dparam.copy()
-            t[: bparam.shape[0]] += bparam
-            target[name] = t
+            t = dparam.copy().astype(np.float32)
+            t[: bparam.shape[0], : bparam.shape[1]] += bparam
+            target[name] = t.astype(dparam.dtype)
     _save_state(target, target_dir)
     _copy_config(delta_dir, target_dir)
 
@@ -120,7 +135,6 @@ def merge_lora(
     from vcoder_tpu.checkpoint import load_hf_checkpoint, save_pretrained
 
     cfg, params = load_hf_checkpoint(base_dir, dtype=None)
-    scale = float(lora_alpha) / lora_rank
 
     flat: Dict[str, np.ndarray] = {}
     with safe_open(adapters_file, framework="np") as f:
@@ -145,20 +159,33 @@ def merge_lora(
         if parts[-1] == "a":
             b = flat[key[:-1] + "b"]
             w_path = parts[:-1]
-            w = np.asarray(node_at(w_path), np.float32)
+            orig = node_at(w_path)
+            dt = orig.dtype  # BEFORE the f32 upcast, or bf16 bases
+            # silently ship as f32 (2x checkpoint, HBM blowout at 7B)
+            w = np.asarray(orig, np.float32)
+            r = arr.shape[-1]
+            if r != lora_rank:
+                raise ValueError(
+                    f"adapter {key!r} has rank {r} but --lora-rank is "
+                    f"{lora_rank}: the alpha/rank scale would be wrong"
+                )
+            scale = float(lora_alpha) / r
             delta = scale * np.einsum(
                 "...ir,...ro->...io",
                 arr.astype(np.float32),
                 b.astype(np.float32),
             )
-            set_at(w_path, jnp.asarray((w + delta).astype(w.dtype)))
+            set_at(w_path, jnp.asarray((w + delta).astype(dt)))
         elif parts[-1] == "b":
             continue
         else:
             set_at(parts, jnp.asarray(arr))
 
     save_pretrained(target_dir, params, cfg)
-    _copy_config(base_dir, target_dir)
+    # Tokenizer files only: save_pretrained already wrote the (possibly
+    # normalized) config.json — clobbering it with the raw base copy
+    # would silently undo any config upgrades.
+    _copy_config(base_dir, target_dir, config=False)
 
 
 def main():
