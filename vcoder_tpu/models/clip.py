@@ -110,8 +110,11 @@ def _num_blocks(cfg: VisionConfig) -> int:
 
 
 # Fused LN2+MLP+residual kernel in the fused tower path: correctness is
-# interpret-proven (tests/test_vit_attention.py); flipped on once the
-# hardware A/B (scripts/bench_vision.py) shows it beats the XLA MLP.
+# interpret-proven (tests/test_vit_attention.py), but the hardware A/B
+# (scripts/bench_vision.py, one v5e chip) measured a wash — 346/356 vs
+# 354/355 img/s at B=16/32 — XLA's matmul epilogue fusion already covers
+# the LN+GELU+residual traffic the kernel was built to save, so the
+# simpler XLA MLP stays the default.
 FUSE_MLP_DEFAULT = False
 
 
