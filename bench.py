@@ -98,6 +98,26 @@ def jax_block(x):
     jax.device_get(x)
 
 
+def _reset_hbm():
+    """Hard HBM reset between model-scale sections. Seven sections of
+    multi-GB alloc/free churn fragment the device allocator enough that
+    the NEXT model's largest contiguous leaves (13B int8 stacked MLP =
+    2.8 GB; the train step's Adam state) fail with RESOURCE_EXHAUSTED
+    even though total free HBM suffices — measured right at
+    init_quantized_params. Each section builds its own params/caches and
+    never touches earlier device state, so dropping every cached
+    executable (their held constants included) and every live array is
+    safe and leaves a clean heap."""
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()
+    for a in jax.live_arrays():
+        a.delete()
+
+
 def _wait_for_healthy_tunnel(max_wait_s: float = 1500.0) -> None:
     """The tunneled TPU platform has multi-hour degraded windows (trivial
     ops taking 30-60 s). Benchmarks taken then are meaningless, so probe
@@ -506,6 +526,7 @@ def main():
     # TTFT + decode at 7B AND 13B; 13B bf16 is 26 GB and can only exist
     # quantized on one 16 GB chip — commit cea4bc3 feasibility) ---
     del qparams
+    _reset_hbm()  # 13B's 2.8 GB stacked-MLP leaves need a defragged HBM
     cfg13 = VCoderConfig.standard("vcoder_ds_llava", "13b")
     from vcoder_tpu.quant import init_quantized_params
 
@@ -636,6 +657,7 @@ def main():
     # with remat + Pallas flash fwd/bwd; reports step time and tokens/s.
     # Runs LAST: the backward's compile workspace + Adam state want a
     # clean HBM (13B init right after it OOMs on fragmentation). ---
+    _reset_hbm()
     from vcoder_tpu.train.step import (
         init_opt_state,
         make_optimizer,
