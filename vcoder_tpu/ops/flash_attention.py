@@ -41,6 +41,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 LANES = 8  # row-stat lane padding
 
+# Trace-time bench knob: force every block down the masked slow path so the
+# clean-block fast path can be A/B'd on hardware (scripts/bench_flash.py
+# flips it and jax.clear_caches() to retrace). Never set in production.
+FORCE_MASKED = False
+
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
@@ -125,6 +130,8 @@ def _fwd_kernel(
         clean = all_valid & ((j + 1) * block_k - 1 <= jnp.min(q_pos))
     else:
         clean = all_valid
+    if FORCE_MASKED:
+        clean = jnp.bool_(False)
 
     def _update(s, masked: bool):
         m_prev = m_scr[:, :1]
@@ -322,6 +329,8 @@ def _bwd_dq_kernel(
         clean = all_valid & ((j + 1) * block_k - 1 <= jnp.min(q_pos))
     else:
         clean = all_valid
+    if FORCE_MASKED:
+        clean = jnp.bool_(False)
 
     def _compute(masked: bool):
         q = q_ref[0, 0]
@@ -379,6 +388,8 @@ def _bwd_dkv_kernel(
         clean = all_valid & ((j + 1) * block_k - 1 <= jnp.min(q_pos))
     else:
         clean = all_valid
+    if FORCE_MASKED:
+        clean = jnp.bool_(False)
 
     def _compute(masked: bool):
         q = q_ref[0, 0]
