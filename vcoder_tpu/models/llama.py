@@ -316,6 +316,10 @@ def llama_forward(
                 impl=attn_impl,
                 k_scale=k_sc,
                 v_scale=v_sc,
+                # build_splice_plan emits arange positions over the
+                # right-padded batch, so pos[b, t] <= (S - T) + t holds
+                # and the flash route may use its triangular grid.
+                bounded_positions=True,
             )
         else:
             attn_out = multi_head_attention(
@@ -326,6 +330,7 @@ def llama_forward(
                 q_positions=position_ids,
                 kv_mask=attn_mask,
                 impl=attn_impl,
+                bounded_positions=True,  # arange right-padded contract
             )
         attn_out = qm(attn_out.reshape(B, T, H * HD), lp["o_proj"])
         x = residual + attn_out

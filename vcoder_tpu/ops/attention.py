@@ -121,9 +121,13 @@ def multi_head_attention(
     impl: str = "auto",
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
+    bounded_positions: bool = False,
 ) -> jnp.ndarray:
     """Dispatching attention. See :func:`xla_attention` for semantics.
-    ``k_scale``/``v_scale`` (int8-KV folding) force the XLA path."""
+    ``k_scale``/``v_scale`` (int8-KV folding) force the XLA path.
+    ``bounded_positions`` asserts q_positions[b, t] <= (S - T) + t (the
+    right-padded arange contract) so the causal flash route can use its
+    triangular pair grid; ignored by the XLA path."""
     if k_scale is not None or v_scale is not None:
         return xla_attention(
             q, k, v, causal=causal, q_positions=q_positions,
@@ -156,7 +160,7 @@ def multi_head_attention(
             # over data+fsdp, heads over model) or XLA would replicate it.
             out = sharded_flash_attention(
                 q, k, v, mesh, causal=causal, q_positions=q_positions,
-                kv_mask=kv_mask,
+                kv_mask=kv_mask, bounded_positions=bounded_positions,
             )
             if out is not None:
                 return out
@@ -164,7 +168,7 @@ def multi_head_attention(
         else:
             return flash_attention(
                 q, k, v, causal=causal, q_positions=q_positions,
-                kv_mask=kv_mask,
+                kv_mask=kv_mask, bounded_positions=bounded_positions,
             )
     if impl == "xla":
         return xla_attention(
@@ -175,7 +179,7 @@ def multi_head_attention(
 
 def sharded_flash_attention(
     q, k, v, mesh, *, causal, q_positions=None, kv_mask=None,
-    interpret: bool = False,
+    interpret: bool = False, bounded_positions: bool = False,
 ):
     """shard_map the flash kernel over a (data, fsdp, model) mesh: batch
     splits across data+fsdp, heads across model — attention is embarrass-
@@ -209,9 +213,11 @@ def sharded_flash_attention(
     bs = P(("data", "fsdp"), None)
 
     def local(q, k, v, qp, km):
+        # Sharding splits batch/heads only — T/S (and the positions
+        # bound) are untouched per shard.
         return flash_attention(
             q, k, v, causal=causal, q_positions=qp, kv_mask=km,
-            interpret=interpret,
+            interpret=interpret, bounded_positions=bounded_positions,
         )
 
     return jax.shard_map(

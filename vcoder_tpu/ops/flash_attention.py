@@ -35,6 +35,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -88,7 +89,10 @@ def _pick_block(n: int, max_block: int) -> int:
 M_FLOOR = -1e20
 
 
-def _fwd_kernel(
+def _fwd_step(
+    j,  # traced int32: KV-block index of this grid step
+    is_first,  # traced bool: first KV step for this q block (init)
+    is_last,  # traced bool: last KV step for this q block (finalize)
     qpos_ref,  # [1, 1, bq] int32
     kmask_ref,  # [1, 1, bk] int32
     q_ref,  # [1, 1, bq, D] (pre-scaled by D**-0.5)
@@ -103,12 +107,10 @@ def _fwd_kernel(
     causal: bool,
     block_k: int,
 ):
-    j = pl.program_id(3)
-    nk = pl.num_programs(3)
     bq = q_ref.shape[2]
     bk = k_ref.shape[2]
 
-    @pl.when(j == 0)
+    @pl.when(is_first)
     def _init():
         m_scr[:] = jnp.full(m_scr.shape, NEG_INF, jnp.float32)
         l_scr[:] = jnp.zeros(l_scr.shape, jnp.float32)
@@ -179,7 +181,7 @@ def _fwd_kernel(
         s = jnp.where(mask, s, NEG_INF)
         _update(s, masked=True)
 
-    @pl.when(j == nk - 1)
+    @pl.when(is_last)
     def _finalize():
         l = l_scr[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -193,8 +195,69 @@ def _fwd_kernel(
         )
 
 
-def _flash_fwd(q, k, v, q_positions, kv_mask, causal, bq, bk, interpret):
-    """q: [B, H, Tp, D]; k/v: [B, KH, Sp, D] (already padded/laid out)."""
+def _fwd_kernel(qpos_ref, kmask_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, causal: bool, block_k: int):
+    """Rectangular grid (B, H, nq, nk): the KV axis is the inner loop."""
+    j = pl.program_id(3)
+    nk = pl.num_programs(3)
+    _fwd_step(
+        j, j == 0, j == nk - 1, qpos_ref, kmask_ref, q_ref, k_ref, v_ref,
+        o_ref, lse_ref, m_scr, l_scr, acc_scr,
+        causal=causal, block_k=block_k,
+    )
+
+
+def _fwd_kernel_tri(pi_ref, pj_ref, plast_ref, qpos_ref, kmask_ref,
+                    q_ref, k_ref, v_ref, o_ref, lse_ref,
+                    m_scr, l_scr, acc_scr, *, block_k: int):
+    """Triangular pair grid (B, H, NP): only (q block, KV block) pairs at
+    or below the causal diagonal exist as grid steps. The rectangular
+    causal grid spends ~40% of its steps on above-diagonal blocks that
+    compute nothing but still pay the per-step DMA/pipeline overhead —
+    this kernel is VPU/overhead-bound, not MXU-bound, so those dead
+    steps are a measured ~25% of wall time (scripts/bench_flash.py).
+    pair_i/pair_j/pair_last are scalar-prefetch tables built at trace
+    time from the static diagonal; valid only under the repo's
+    prefix-contiguous right-padded contract (q_pos[b, t] <= (S-T) + t),
+    which the wrapper checks before routing here."""
+    p = pl.program_id(2)
+    j = pj_ref[p]
+    _fwd_step(
+        j, j == 0, plast_ref[p] == 1, qpos_ref, kmask_ref, q_ref, k_ref,
+        v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+        causal=True, block_k=block_k,
+    )
+
+
+def _diag_pairs(Tv, Sv, Tp, Sp, bq, bk):
+    """Static lower-triangle (q block, KV block) pair tables for a causal
+    attention where query row t sits at absolute position (Sv-Tv) + t
+    (the right-padded contract). Returns (pair_i, pair_j, pair_last)
+    int32 arrays, row-major so each q block's KV steps are contiguous
+    (the online-softmax scratch accumulates across them)."""
+    off = Sv - Tv
+    nq, nk = Tp // bq, Sp // bk
+    pi, pj, plast = [], [], []
+    for i in range(nq):
+        # Highest KV position any valid query in block i can see.
+        hi_pos = off + min((i + 1) * bq, Tv) - 1
+        hi = min(max(hi_pos // bk, 0), nk - 1)
+        for j in range(hi + 1):
+            pi.append(i)
+            pj.append(j)
+            plast.append(1 if j == hi else 0)
+    return (
+        np.asarray(pi, np.int32),
+        np.asarray(pj, np.int32),
+        np.asarray(plast, np.int32),
+    )
+
+
+def _flash_fwd(q, k, v, q_positions, kv_mask, causal, bq, bk, interpret,
+               diag=None):
+    """q: [B, H, Tp, D]; k/v: [B, KH, Sp, D] (already padded/laid out).
+    ``diag=(T, S)`` (unpadded) routes to the triangular pair grid — see
+    _fwd_kernel_tri; the caller guarantees q_pos[b, t] <= (S-T) + t."""
     B, H, Tp, D = q.shape
     KH, Sp = k.shape[1], k.shape[2]
     group = H // KH
@@ -213,6 +276,71 @@ def _flash_fwd(q, k, v, q_positions, kv_mask, causal, bq, bk, interpret):
         ),
         transcendentals=int(B * H * Tp * Sp * flops_mask),
     )
+    if causal and diag is not None:
+        pair_i, pair_j, pair_last = _diag_pairs(
+            diag[0], diag[1], Tp, Sp, bq, bk
+        )
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, H, len(pair_i)),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, bq), lambda b, h, p, pi, pj, pL: (b, 0, pi[p]),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, bk), lambda b, h, p, pi, pj, pL: (b, 0, pj[p]),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, bq, D),
+                    lambda b, h, p, pi, pj, pL: (b, h, pi[p], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, bk, D),
+                    lambda b, h, p, pi, pj, pL, g=group: (
+                        b, h // g, pj[p], 0
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, bk, D),
+                    lambda b, h, p, pi, pj, pL, g=group: (
+                        b, h // g, pj[p], 0
+                    ),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, bq, D),
+                    lambda b, h, p, pi, pj, pL: (b, h, pi[p], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, bq, LANES),
+                    lambda b, h, p, pi, pj, pL: (b, h, pi[p], 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, 128), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
+        )
+        out, lse = pl.pallas_call(
+            functools.partial(_fwd_kernel_tri, block_k=bk),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, Tp, D), q.dtype),
+                jax.ShapeDtypeStruct((B, H, Tp, LANES), jnp.float32),
+            ],
+            cost_estimate=cost,
+            interpret=interpret,
+        )(pair_i, pair_j, pair_last, q_positions, kv_mask, q, k, v)
+        return out, lse
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
@@ -556,23 +684,24 @@ def _flash_bwd(q, k, v, q_positions, kv_mask, out, lse, g,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _flash_core(q, k, v, q_positions, kv_mask, causal, bq, bk, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_core(q, k, v, q_positions, kv_mask, causal, bq, bk, interpret,
+                diag):
     out, _ = _flash_fwd(
-        q, k, v, q_positions, kv_mask, causal, bq, bk, interpret
+        q, k, v, q_positions, kv_mask, causal, bq, bk, interpret, diag
     )
     return out
 
 
 def _flash_core_fwd(q, k, v, q_positions, kv_mask, causal, bq, bk,
-                    interpret):
+                    interpret, diag):
     out, lse = _flash_fwd(
-        q, k, v, q_positions, kv_mask, causal, bq, bk, interpret
+        q, k, v, q_positions, kv_mask, causal, bq, bk, interpret, diag
     )
     return out, (q, k, v, q_positions, kv_mask, out, lse)
 
 
-def _flash_core_bwd(causal, bq, bk, interpret, res, g):
+def _flash_core_bwd(causal, bq, bk, interpret, diag, res, g):
     q, k, v, q_positions, kv_mask, out, lse = res
     dq, dk, dv = _flash_bwd(
         q, k, v, q_positions, kv_mask, out, lse, g,
@@ -591,7 +720,9 @@ _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "block_q", "block_k", "interpret"),
+    static_argnames=(
+        "causal", "block_q", "block_k", "interpret", "bounded_positions"
+    ),
 )
 def flash_attention(
     q: jnp.ndarray,  # [B, T, H, D]
@@ -604,12 +735,25 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    bounded_positions: bool = False,
 ) -> jnp.ndarray:
     """Flash attention; semantics identical to ops.attention.xla_attention.
-    Differentiable (Pallas backward) for both MHA and GQA (KH < H)."""
+    Differentiable (Pallas backward) for both MHA and GQA (KH < H).
+
+    ``bounded_positions=True`` asserts q_positions[b, t] <= (S - T) + t
+    for every valid query (the repo's prefix-contiguous right-padded
+    contract — multimodal.build_splice_plan emits arange positions), which
+    lets the causal forward run on the triangular pair grid (no dead
+    above-diagonal steps). Auto-enabled when q_positions is None (the
+    default positions ARE the bound).
+    """
     B, T, H, D = q.shape
     S, KH = k.shape[1], k.shape[2]
     assert H % KH == 0, (H, KH)
+
+    use_diag = causal and S >= T and (
+        bounded_positions or q_positions is None
+    )
 
     if q_positions is None:
         q_positions = jnp.broadcast_to(
@@ -640,7 +784,8 @@ def flash_attention(
     kv_mask = kv_mask.astype(jnp.int32)[:, None, :]
 
     out = _flash_core(
-        q, k, v, q_positions, kv_mask, causal, bq, bk, interpret
+        q, k, v, q_positions, kv_mask, causal, bq, bk, interpret,
+        (T, S) if use_diag else None,
     )
     out = out.transpose(0, 2, 1, 3)
     if Tp != T:
