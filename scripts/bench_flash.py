@@ -77,5 +77,48 @@ def main():
         jax.clear_caches()
 
 
+def main_diag():
+    """Triangular pair grid vs rectangular causal grid (forward only —
+    the backward always runs rectangular). Flips `FORCE_RECT` at trace
+    time; the diag grid has ~half the steps, so the win is the dead
+    above-diagonal steps' DMA/pipeline overhead."""
+    _wait_for_healthy_tunnel()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vcoder_tpu.ops import flash_attention as fa
+
+    for tag, B, T, H, KH, D in SHAPES + [
+        ("prefill B=4 T=640", 4, 640, 32, 32, 128),
+    ]:
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(kq, (B, T, H, D), jnp.bfloat16)
+        k = jax.random.normal(kk, (B, T, KH, D), jnp.bfloat16)
+        v = jax.random.normal(kv, (B, T, KH, D), jnp.bfloat16)
+        flops_fwd = 2 * B * H * T * T * D  # causal ~= half dense x2 mm
+
+        for rect in (False, True):
+            fa.FORCE_RECT = rect
+            jax.clear_caches()
+
+            @jax.jit
+            def fwd(q, k, v):
+                return fa.flash_attention(q, k, v, causal=True).mean()
+
+            name = "rectangular" if rect else "triangular"
+            s_f = _p50(fwd, q, k, v, iters=10)
+            print(
+                f"{tag:20s} {name:12s} fwd {s_f * 1e3:7.2f} ms"
+                f" ({flops_fwd / s_f / 1e12:5.1f} TF/s)",
+                flush=True,
+            )
+        fa.FORCE_RECT = False
+        jax.clear_caches()
+
+
 if __name__ == "__main__":
-    main()
+    if "--diag" in sys.argv:
+        main_diag()
+    else:
+        main()

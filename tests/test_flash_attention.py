@@ -180,3 +180,107 @@ def test_bfloat16_inputs():
         atol=0.06,
         rtol=0.05,
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangular pair grid (bounded_positions): the causal forward skips
+# above-diagonal (q block, KV block) pairs entirely. Auto-enabled when
+# q_positions is None; explicit positions need bounded_positions=True.
+# ---------------------------------------------------------------------------
+
+
+def _check_diag(q, k, v, *, q_positions=None, kv_mask=None, atol=2e-5):
+    """Diag route vs the XLA oracle AND vs the forced-rectangular grid."""
+    from vcoder_tpu.ops import flash_attention as fa
+
+    ref = xla_attention(
+        q, k, v, causal=True, q_positions=q_positions, kv_mask=kv_mask
+    )
+    out = flash_attention(
+        q, k, v, causal=True, q_positions=q_positions, kv_mask=kv_mask,
+        block_q=128, block_k=128, interpret=True, bounded_positions=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=atol, rtol=1e-4
+    )
+    fa.FORCE_RECT = True
+    jax.clear_caches()
+    try:
+        rect = flash_attention(
+            q, k, v, causal=True, q_positions=q_positions,
+            kv_mask=kv_mask, block_q=128, block_k=128, interpret=True,
+            bounded_positions=True,
+        )
+    finally:
+        fa.FORCE_RECT = False
+        jax.clear_caches()
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(rect), atol=1e-6, rtol=1e-6,
+        err_msg="diag grid disagrees with rectangular grid",
+    )
+
+
+def test_diag_explicit_bounded_positions_ragged():
+    # Right-padded ragged batch: pos[b, t] = t <= (S - T) + t holds.
+    B, T = 2, 300  # 300 pads to 384 with bq=128 — padded q rows too
+    q = _rand(50, (B, T, 2, 32))
+    k = _rand(51, (B, T, 2, 32))
+    v = _rand(52, (B, T, 2, 32))
+    lens = jnp.array([180, 300])
+    kv_mask = jnp.arange(T)[None, :] < lens[:, None]
+    q_positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    _check_diag(q, k, v, q_positions=q_positions, kv_mask=kv_mask)
+
+
+def test_diag_cache_prefill_t_lt_s():
+    # Chunked prefill against a larger cache: T < S, offset diagonal.
+    B, T, S = 2, 128, 384
+    q = _rand(53, (B, T, 4, 32))
+    k = _rand(54, (B, S, 4, 32))
+    v = _rand(55, (B, S, 4, 32))
+    # Queries continue positions S-T..S-1 (the tightest bound).
+    q_positions = jnp.broadcast_to(
+        jnp.arange(T)[None, :] + (S - T), (B, T)
+    )
+    _check_diag(q, k, v, q_positions=q_positions)
+
+
+def test_diag_gqa_unaligned():
+    q = _rand(56, (1, 200, 8, 32))
+    k = _rand(57, (1, 200, 2, 32))
+    v = _rand(58, (1, 200, 2, 32))
+    _check_diag(q, k, v)
+
+
+def test_diag_backward_matches_oracle():
+    # Forward on the pair grid, backward on the rectangular grid — the
+    # custom_vjp residuals must line up across the two grids.
+    B, T = 2, 256
+    q = _rand(59, (B, T, 2, 32))
+    k = _rand(60, (B, T, 2, 32))
+    v = _rand(61, (B, T, 2, 32))
+    lens = jnp.array([200, 256])
+    kv_mask = jnp.arange(T)[None, :] < lens[:, None]
+    q_positions = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+
+    def loss_flash(q, k, v):
+        o = flash_attention(
+            q, k, v, causal=True, q_positions=q_positions,
+            kv_mask=kv_mask, block_q=128, block_k=128, interpret=True,
+            bounded_positions=True,
+        )
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        o = xla_attention(
+            q, k, v, causal=True, q_positions=q_positions, kv_mask=kv_mask
+        )
+        return jnp.sum(jnp.sin(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=1e-3,
+            err_msg=f"d{name}",
+        )

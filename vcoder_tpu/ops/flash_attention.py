@@ -47,6 +47,12 @@ LANES = 8  # row-stat lane padding
 # flips it and jax.clear_caches() to retrace). Never set in production.
 FORCE_MASKED = False
 
+# Trace-time bench knob: force the causal forward onto the rectangular
+# (B, H, nq, nk) grid even when the triangular pair grid is eligible, so
+# the dead above-diagonal steps can be A/B'd on hardware. Never set in
+# production.
+FORCE_RECT = False
+
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
@@ -751,7 +757,7 @@ def flash_attention(
     S, KH = k.shape[1], k.shape[2]
     assert H % KH == 0, (H, KH)
 
-    use_diag = causal and S >= T and (
+    use_diag = causal and S >= T and not FORCE_RECT and (
         bounded_positions or q_positions is None
     )
 
