@@ -12,6 +12,10 @@ per train step. Run on the real chip:
 Flips `flash_attention.FORCE_MASKED` (a trace-time knob) between
 variants and `jax.clear_caches()` to retrace; timing methodology is
 bench.py's probe-corrected pipelined windows (tunnel RTT subtracted).
+
+`python scripts/bench_flash.py --diag` instead A/Bs the triangular
+causal forward grid against a forced-rectangular one (flips the
+`flash_attention.FORCE_RECT` trace-time knob) at the same shapes.
 """
 
 import sys

@@ -214,8 +214,11 @@ def _check_diag(q, k, v, *, q_positions=None, kv_mask=None, atol=2e-5):
     finally:
         fa.FORCE_RECT = False
         jax.clear_caches()
-    np.testing.assert_allclose(
-        np.asarray(out), np.asarray(rect), atol=1e-6, rtol=1e-6,
+    # The two grids run identical per-block arithmetic in the same order —
+    # the diag route only skips blocks whose contribution is exactly zero —
+    # so in interpret mode the outputs must match bit-for-bit.
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(rect),
         err_msg="diag grid disagrees with rectangular grid",
     )
 

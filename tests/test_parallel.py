@@ -204,11 +204,41 @@ def test_offloaded_full_finetune_matches_resident():
         np.asarray(params_res["lm"]["layers"]["q_proj"]),
         rtol=1e-6, atol=1e-7,
     )
+    # Shaped leaves (the Adam moments, the footprint) sit in pinned host
+    # memory; rank-0 step counters deliberately stay device-side
+    # (parallel/sharding.py host_shardings scalar note).
     kinds = {
         x.sharding.memory_kind for x in jax.tree.leaves(opt_off)
-        if hasattr(x, "sharding")
+        if hasattr(x, "sharding") and x.ndim > 0
     }
     assert kinds == {"pinned_host"}
+
+
+def test_pinned_jit_outputs_spmd_canary():
+    """Canary for the upstream XLA limitation that forces the offloaded
+    train step's eager fallback on multi-device meshes (train/step.py):
+    a jit with a host-pinned out_sharding whose value is replicated
+    across any mesh axis must FAIL to compile under SPMD — the
+    memory-kind annotation lowers to a side-effecting
+    annotate_device_placement custom-call the partitioner rejects.
+
+    If this test ever XPASSES after a jax/XLA upgrade, the pinned path
+    works again: re-enable the `mode == ["pinned"]` assertion in
+    __graft_entry__.dryrun_multichip and drop this canary."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = _mesh()
+    host = NamedSharding(mesh, P(("data", "fsdp")), memory_kind="pinned_host")
+    dev = NamedSharding(mesh, P(("data", "fsdp")), memory_kind="device")
+    # 4-way sharded over data x fsdp, replicated over model — the shape
+    # every FSDP opt-state moment has.
+    x = jax.device_put(jnp.arange(16.0), host)
+
+    def step(x):
+        return jax.device_put(x, dev) * 2.0
+
+    with pytest.raises(Exception, match="Side-effect"):
+        jax.block_until_ready(jax.jit(step, out_shardings=host)(x))
 
 
 def test_trainer_offload_requires_mesh(tmp_path):

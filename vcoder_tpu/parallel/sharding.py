@@ -173,27 +173,46 @@ def replicated(mesh: Mesh) -> NamedSharding:
 # 8 bytes/param = ~54 GB — the largest training-only footprint.
 
 
-def _with_memory_kind(x, mesh: Mesh, memory_kind: str) -> NamedSharding:
+def _with_memory_kind(x, mesh: Mesh, memory_kind) -> NamedSharding:
     spec = (
         x.sharding.spec
         if isinstance(getattr(x, "sharding", None), NamedSharding)
         else P()
     )
+    if memory_kind is None:
+        return NamedSharding(mesh, spec)
     return NamedSharding(mesh, spec, memory_kind=memory_kind)
 
 
 def host_shardings(tree: Any, mesh: Mesh) -> Any:
     """Pytree of pinned-host NamedShardings mirroring each leaf's current
-    spec (replicated for leaves without a NamedSharding)."""
+    spec (replicated for leaves without a NamedSharding).
+
+    Scalar (rank-0) leaves — optimizer step counts and the like — keep the
+    DEFAULT memory kind (no annotation): offloading them saves nothing,
+    and any explicit memory-kind on a jit ``out_shardings`` leaf lowers to
+    a side-effecting ``annotate_device_placement`` custom-call that the
+    SPMD partitioner RET_CHECKs on for a bare ``s32[]`` (scalars never
+    receive a sharding annotation, unlike shaped leaves). Leaving them
+    unannotated lets the whole offloaded train step compile under SPMD."""
     return jax.tree.map(
-        lambda x: _with_memory_kind(x, mesh, "pinned_host"), tree
+        lambda x: _with_memory_kind(
+            x, mesh,
+            "pinned_host" if getattr(x, "ndim", 0) else None,
+        ),
+        tree,
     )
 
 
 def device_shardings_like(host_sh: Any) -> Any:
-    """Device-memory twins of a host-sharding pytree."""
+    """Device-memory twins of a host-sharding pytree (leaves the default
+    memory kind untouched — see the scalar note in :func:`host_shardings`)."""
     return jax.tree.map(
-        lambda s: NamedSharding(s.mesh, s.spec, memory_kind="device"),
+        lambda s: (
+            NamedSharding(s.mesh, s.spec, memory_kind="device")
+            if s.memory_kind == "pinned_host"
+            else NamedSharding(s.mesh, s.spec)
+        ),
         host_sh,
     )
 

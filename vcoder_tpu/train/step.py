@@ -143,8 +143,24 @@ def make_train_step(
     zero3_offload analog (reference: scripts/zero3_offload.json): the
     opt state lives pinned in host memory, is streamed to device inside
     the step, and is returned host-pinned — via jit ``out_shardings``
-    where the backend supports host-pinned outputs (TPU), or an eager
-    post-step transfer where it doesn't (the CPU test mesh).
+    where the backend supports host-pinned outputs, or an eager
+    post-step transfer where it doesn't.
+
+    Upstream limitation (jax 0.9 / its XLA pin): host-pinned jit OUTPUTS
+    cannot compile under SPMD (num_partitions > 1). The memory-kind
+    annotation lowers to a side-effecting ``annotate_device_placement``
+    custom-call, and the SPMD partitioner (a) RET_CHECKs when the call
+    never receives a sharding (scalar chains), and (b) refuses any
+    annotated value that is replicated across ANY mesh axis
+    ("Side-effect ops cannot be replicated") — which FSDP/DP opt-state
+    moments always are (replicated over ``data``). So on a multi-device
+    mesh the pinned probe below always latches the eager fallback; the
+    canary test ``tests/test_parallel.py::test_pinned_jit_outputs_spmd_canary``
+    flags when an upstream upgrade makes pinned viable. Single-device
+    (no SPMD partitioning) pinned outputs work and are used. Fallback
+    cost: one un-overlapped opt-state D2H per step (the H2D upload stays
+    inside the jit where the latency-hiding scheduler overlaps it);
+    measured numbers in docs/PERFORMANCE.md.
     """
     use_seg = cfg.use_seg
     use_depth = cfg.use_depth
@@ -222,6 +238,7 @@ def make_train_step(
             metrics,
         )
 
+    offloaded_step.mode = mode  # exposed so callers can assert latching
     return offloaded_step
 
 
