@@ -7,19 +7,53 @@ against the BASELINE.json north-star of <250 ms p50 TTFT for VCoder-DS-7b
 (target is v5e-8; this measures a single chip, so vs_baseline >= 1 beats
 the target with 8x less hardware).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Secondary metrics (vision-encode images/sec/chip, decode tok/s) go to
-stderr.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}
+— flushed the moment TTFT is measured, BEFORE any secondary section runs.
+Secondary metrics (vision-encode images/sec/chip, decode tok/s, 13B,
+training) go to stderr.
+
+Fault tolerance (round-3 lesson: BENCH_r03 lost the round to a transient
+RESOURCE_EXHAUSTED in a secondary): every secondary section runs in its
+own try/except; a failed section logs to stderr and is reported as FAILED
+in the summary while the rest proceed. RESOURCE_EXHAUSTED triggers one
+bounded retry after a hard HBM reset (all shared state is rebuilt lazily
+via the section context). A dirty-at-startup device (leftover allocations
+from a dead process) is waited out before the first real allocation.
+
+`VCODER_BENCH_TINY=1` runs the same section machinery on tiny configs /
+shapes (CPU-friendly, interpret-mode kernels, no tunnel waits) — used by
+tests/test_bench_fault_injection.py to prove a mid-run OOM cannot lose
+the primary metric.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+import traceback
 from functools import partial
 
 import numpy as np
+
+TINY = os.environ.get("VCODER_BENCH_TINY", "") not in ("", "0")
+
+# Shape knobs (full-scale first, tiny second).
+T = 640 if not TINY else 48  # populated-cache length for decode sections
+S_EXTRA = 64 if not TINY else 16
+N_STEPS = 32 if not TINY else 2  # fused decode-window length
+ENC_BATCH = 16 if not TINY else 2
+PAGE = 64 if not TINY else 8
+PAGE_Q = 128 if not TINY else 16  # %128 required on hw (Mosaic scale DMA)
+B4 = 4
+BCB = 8 if not TINY else 4
+BP = 8 if not TINY else 4
+BQ = 32 if not TINY else 8
+B13 = 2
+B13Q = 4 if not TINY else 2
+SPEC_NEW = 96 if not TINY else 24
+B_TR = 2
 
 
 def _window(fn, args, iters):
@@ -45,6 +79,8 @@ def _p50(fn, *args, warmup=2, iters=5, windows=5):
     must return a SMALL array; the window fetches it via device_get —
     block_until_ready alone does not reliably fence on the tunneled axon
     TPU platform."""
+    if TINY:
+        iters, windows = 1, 1
     for _ in range(warmup):
         r = fn(*args)
     jax_block(r)
@@ -82,6 +118,8 @@ def _best_window(run, units: float, repeats: int = 3) -> float:
     is corrected by its adjacent trivial-fetch probe (see _window) and the
     best window is kept, so a transient tunnel hiccup costs a repeat, not
     the number."""
+    if TINY:
+        repeats = 1
     best = float("inf")
     for _ in range(repeats):
         off = _probe_or_wait()
@@ -98,8 +136,13 @@ def jax_block(x):
     jax.device_get(x)
 
 
+def _is_oom(e: BaseException) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return "RESOURCE_EXHAUSTED" in s or "Resource exhausted" in s.lower()
+
+
 def _reset_hbm():
-    """Hard HBM reset between model-scale sections. Seven sections of
+    """Hard HBM reset between model-scale sections. Multiple sections of
     multi-GB alloc/free churn fragment the device allocator enough that
     the NEXT model's largest contiguous leaves (13B int8 stacked MLP =
     2.8 GB; the train step's Adam state) fail with RESOURCE_EXHAUSTED
@@ -118,11 +161,35 @@ def _reset_hbm():
         a.delete()
 
 
+def _wait_for_clean_startup(max_wait_s: float = 420.0) -> None:
+    """A previous process' leftover allocations can leave the device with
+    ~0 free HBM for a while after it dies (the round-3 BENCH failure mode:
+    RESOURCE_EXHAUSTED inside the very first jnp.ones). Probe with a tiny
+    allocation and wait (bounded) until it succeeds before anything else
+    allocates."""
+    import jax.numpy as jnp
+
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            jax_block(jnp.ones((256, 256), jnp.bfloat16).sum())
+            return
+        except Exception as e:  # noqa: BLE001 - inspect and re-raise below
+            if not _is_oom(e) or time.monotonic() > deadline:
+                raise
+            print(
+                "bench: device dirty at startup (probe alloc "
+                f"RESOURCE_EXHAUSTED); waiting for it to drain...",
+                file=sys.stderr,
+            )
+            _reset_hbm()
+            time.sleep(30.0)
+
+
 def _wait_for_healthy_tunnel(max_wait_s: float = 1500.0) -> None:
     """The tunneled TPU platform has multi-hour degraded windows (trivial
     ops taking 30-60 s). Benchmarks taken then are meaningless, so probe
     warm-op latency and wait (bounded) for a healthy window."""
-    import jax
     import jax.numpy as jnp
 
     deadline = time.monotonic() + max_wait_s
@@ -156,7 +223,6 @@ def _fetch_probe_s() -> float:
     Healthy: <0.1 s. Degraded windows add a constant ~1.4 s to EVERY
     blocking fetch, which collapses all decode/serving secondaries while
     leaving few-dispatch sections (TTFT, vision) looking normal."""
-    import jax
     import jax.numpy as jnp
 
     x = jnp.zeros(8) + 1
@@ -166,26 +232,170 @@ def _fetch_probe_s() -> float:
     return time.perf_counter() - t0
 
 
-def main():
+# ---------------------------------------------------------------------------
+# Shared-state context: every expensive input (params, batches, jitted
+# decode windows) is built lazily through a named builder so a mid-run
+# HBM reset can drop everything and later sections transparently rebuild
+# exactly what they need.
+# ---------------------------------------------------------------------------
+
+
+class Ctx:
+    def __init__(self):
+        self.cache = {}
+
+    def get(self, name):
+        if name not in self.cache:
+            self.cache[name] = getattr(self, "_build_" + name)()
+        return self.cache[name]
+
+    def drop(self, name):
+        """Remove an entry and free its device arrays."""
+        import jax
+
+        tree = self.cache.pop(name, None)
+        if tree is None:
+            return
+        for leaf in jax.tree.leaves(tree):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:  # already deleted / not an array
+                    pass
+
+    def invalidate(self):
+        """Forget everything (used after a hard HBM reset, which already
+        deleted the arrays)."""
+        self.cache.clear()
+
+    # --- builders ---
+
+    def _build_cfg7(self):
+        from vcoder_tpu.config import VCoderConfig
+
+        if TINY:
+            return VCoderConfig.tiny("vcoder_ds_llava")
+        return VCoderConfig.standard("vcoder_ds_llava", "7b")
+
+    def _build_cfg13(self):
+        from vcoder_tpu.config import VCoderConfig
+
+        if TINY:
+            return VCoderConfig.tiny("vcoder_ds_llava")
+        return VCoderConfig.standard("vcoder_ds_llava", "13b")
+
+    def _build_params7(self):
+        import jax
+        import jax.numpy as jnp
+
+        from vcoder_tpu.models import vcoder as model_mod
+
+        return model_mod.init_vcoder_params(
+            jax.random.PRNGKey(0), self.get("cfg7"), dtype=jnp.bfloat16
+        )
+
+    def _build_batch7(self):
+        from __graft_entry__ import _example_batch
+
+        return _example_batch(self.get("cfg7"), batch_size=1)
+
+    def _build_qparams7(self):
+        """int8 7B weights for the serving sections. The bf16 tree is
+        dropped first — 14.5 GB bf16 + ~7 GB int8 don't coexist in
+        15.5 GB of HBM."""
+        import jax
+
+        from vcoder_tpu.quant import init_quantized_params
+
+        self.drop("params7")
+        return init_quantized_params(jax.random.PRNGKey(5), self.get("cfg7"), bits=8)
+
+    def _build_params13(self):
+        import jax
+
+        from vcoder_tpu.quant import init_quantized_params
+
+        # 13B's 2.8 GB stacked-MLP leaves need a defragged HBM.
+        self.drop("qparams7")
+        cfg13 = self.get("cfg13")
+        cache = dict(self.cache)
+        _reset_hbm()
+        self.invalidate()
+        self.cache["cfg7"] = cache.get("cfg7") or self._build_cfg7()
+        self.cache["cfg13"] = cfg13
+        return init_quantized_params(jax.random.PRNGKey(3), cfg13, bits=8)
+
+    def _build_decode_n7(self):
+        """Fused decode window over the 7B config: one dispatch for
+        N_STEPS tokens, so the tunnel's per-dispatch latency doesn't
+        masquerade as decode time."""
+        return _make_decode_n(self.get("cfg7"))
+
+    def _build_decode_n13(self):
+        return _make_decode_n(self.get("cfg13"))
+
+
+def _make_decode_n(cfg):
     import jax
     import jax.numpy as jnp
 
-    _wait_for_healthy_tunnel()
-    probe_start_s = _fetch_probe_s()
-
-    from __graft_entry__ import _example_batch
-    from vcoder_tpu.config import VCoderConfig
     from vcoder_tpu.models import vcoder as model_mod
+
+    @partial(jax.jit, donate_argnums=(3,))
+    def decode_n(params, tok, pos, cache):
+        def body(i, carry):
+            tok, cache = carry
+            logits, cache = model_mod.decode_step(
+                params, cfg, tok, pos + i, cache
+            )
+            return jnp.argmax(logits, -1).astype(jnp.int32), cache
+
+        return jax.lax.fori_loop(0, N_STEPS, body, (tok, cache))
+
+    return decode_n
+
+
+def _populated_cache(cfg, batch, *, quantized=False):
+    """Synthetic populated KV cache: identical compute and memory traffic
+    to a real post-prefill cache, without holding a second prefill
+    executable + workspace in HBM."""
+    import jax.numpy as jnp
+
     from vcoder_tpu.models.llama import KVCache
-    from vcoder_tpu.models import clip as clip_mod
 
-    cfg = VCoderConfig.standard("vcoder_ds_llava", "7b")
-    params = model_mod.init_vcoder_params(
-        jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16
+    S_cache = T + S_EXTRA
+    kw = {"quantized": True} if quantized else {"dtype": jnp.bfloat16}
+    cache = KVCache.create(cfg.text, batch, S_cache, **kw)
+    mask = jnp.broadcast_to(
+        (jnp.arange(S_cache) < T)[None, :], (batch, S_cache)
     )
-    batch = _example_batch(cfg, batch_size=1)
+    return KVCache(
+        k=cache.k,
+        v=cache.v,
+        kv_mask=mask,
+        length=jnp.full((batch,), T, jnp.int32),
+        k_scale=getattr(cache, "k_scale", None),
+        v_scale=getattr(cache, "v_scale", None),
+    )
 
-    # --- TTFT: fused prefill -> first token ---
+
+# ---------------------------------------------------------------------------
+# Sections. Each takes the Ctx and returns {metric_name: value}. The
+# primary (sec_ttft) runs first and its JSON line is flushed immediately;
+# everything else is a secondary that may fail without losing the round.
+# ---------------------------------------------------------------------------
+
+
+def sec_ttft(ctx):
+    import jax
+    import jax.numpy as jnp
+
+    from vcoder_tpu.models import vcoder as model_mod
+
+    cfg = ctx.get("cfg7")
+    params = ctx.get("params7")
+    batch = ctx.get("batch7")
+
     @jax.jit
     def ttft_step(params, batch):
         logits, _ = model_mod.prefill(
@@ -199,11 +409,17 @@ def main():
         )
         return jnp.argmax(logits, axis=-1)
 
-    ttft_s = _p50(ttft_step, params, batch)
-    ttft_ms = ttft_s * 1e3
+    return {"ttft_ms": _p50(ttft_step, params, batch) * 1e3}
 
-    # --- secondary: vision encode throughput (stderr) ---
-    enc_batch = 16
+
+def sec_vision(ctx):
+    import jax
+    import jax.numpy as jnp
+
+    from vcoder_tpu.models import clip as clip_mod
+
+    cfg = ctx.get("cfg7")
+    params = ctx.get("params7")
 
     @jax.jit
     def encode(params, px):
@@ -215,58 +431,36 @@ def main():
 
     px = jax.random.normal(
         jax.random.PRNGKey(1),
-        (enc_batch, cfg.vision.image_size, cfg.vision.image_size, 3),
+        (ENC_BATCH, cfg.vision.image_size, cfg.vision.image_size, 3),
         jnp.bfloat16,
     )
     enc_s = _p50(encode, params, px, iters=10)
-    img_per_s = enc_batch / enc_s
+    return {"vision_img_s": ENC_BATCH / enc_s}
 
-    # --- secondary: decode tok/s (stderr) ---
-    # Decode against a synthetic populated cache: identical compute and
-    # memory traffic to a real post-prefill cache, without holding a second
-    # prefill executable + workspace in HBM. 704 slots (not the full 1344)
-    # so params (14.5 GB) + cache + donated-update workspace fit the single
-    # 16 GB chip; decode cost is weight-streaming dominated, so the
-    # difference is <2%.
-    T = 640
-    S_cache = T + 64
-    cache = KVCache.create(cfg.text, 1, S_cache, dtype=jnp.bfloat16)
-    cache = KVCache(
-        k=cache.k,
-        v=cache.v,
-        kv_mask=(jnp.arange(S_cache) < T)[None, :],
-        length=jnp.full((1,), T, jnp.int32),
-    )
 
-    n_steps = 32
+def sec_decode_bf16_b1(ctx):
+    import jax.numpy as jnp
 
-    @partial(jax.jit, donate_argnums=(3,))
-    def decode_n(params, tok, pos, cache):
-        # On-device decode loop: one dispatch for n_steps tokens, so the
-        # tunnel's per-dispatch latency doesn't masquerade as decode time.
-        def body(i, carry):
-            tok, cache = carry
-            logits, cache = model_mod.decode_step(
-                params, cfg, tok, pos + i, cache
-            )
-            return jnp.argmax(logits, -1).astype(jnp.int32), cache
-
-        return jax.lax.fori_loop(0, n_steps, body, (tok, cache))
-
+    cfg = ctx.get("cfg7")
+    params = ctx.get("params7")
+    decode_n = ctx.get("decode_n7")
+    cache = _populated_cache(cfg, 1)
     tok = jnp.zeros((1,), jnp.int32)
     pos = jnp.full((1,), T, jnp.int32)
     tok, cache = decode_n(params, tok, pos, cache)  # compile
     jax_block(tok)
     st = [tok, cache]
 
-    def _run_b1():
+    def _run():
         st[0], st[1] = decode_n(params, st[0], pos, st[1])
         jax_block(st[0])
 
-    tok_per_s = _best_window(_run_b1, n_steps)
+    out = {"decode_bf16_b1_tok_s": _best_window(_run, N_STEPS)}
     del cache, st
+    return out
 
-    # --- secondary: bf16 BATCHED decode (B=4), windowed fori_loop ---
+
+def sec_decode_bf16_b4(ctx):
     # A fori-loop decode body at B>=2 makes XLA's while-loop layout
     # assignment re-lay the stacked bf16 q/k/v projections (~1 GB copy
     # each — the round-1 bf16 batched OOM). Pinning those projections to
@@ -276,33 +470,31 @@ def main():
     # amortization int8 always had. int8 KV keeps B=4x704-token cache
     # within the 16 GB chip next to 14.5 GB of bf16 weights (kv_quant
     # engine flag; weights stay full bf16).
+    import jax.numpy as jnp
+
     from vcoder_tpu.serve.engine import apply_serving_layout
 
+    cfg = ctx.get("cfg7")
+    params = ctx.get("params7")
+    decode_n = ctx.get("decode_n7")
     apply_serving_layout(params)
-    B4 = 4
-    cache = KVCache.create(cfg.text, B4, S_cache, quantized=True)
-    cache = KVCache(
-        k=cache.k, v=cache.v,
-        kv_mask=jnp.broadcast_to(
-            (jnp.arange(S_cache) < T)[None, :], (B4, S_cache)
-        ),
-        length=jnp.full((B4,), T, jnp.int32),
-        k_scale=cache.k_scale, v_scale=cache.v_scale,
-    )
+    cache = _populated_cache(cfg, B4, quantized=True)
     tok4 = jnp.zeros((B4,), jnp.int32)
     pos4 = jnp.full((B4,), T, jnp.int32)
     tok4, cache = decode_n(params, tok4, pos4, cache)  # compile
     jax_block(tok4)
     st4 = [tok4, cache]
 
-    def _run_b4():
+    def _run():
         st4[0], st4[1] = decode_n(params, st4[0], pos4, st4[1])
         jax_block(st4[0])
 
-    bf16_b4_tok_per_s = _best_window(_run_b4, B4 * n_steps)
+    out = {"decode_bf16_b4_tok_s": _best_window(_run, B4 * N_STEPS)}
     del cache, st4
+    return out
 
-    # --- secondary: speculative decode, COST-like repetition regime ---
+
+def sec_spec_costlike(ctx):
     # Random weights produce unrepetitive text (accept 1.3-1.6/dispatch,
     # docs/PERFORMANCE.md); COST answers repeat the prompt's object
     # nouns, which is what prompt-lookup speculation exploits. Surgery
@@ -312,10 +504,15 @@ def main():
     # columns set to permuted embeddings so argmax(logits(t)) = perm(t).
     # The n-gram drafter then operates in the high-repetition regime the
     # COST workload lives in; with the random-weights number this
-    # brackets realized speculative speedup. In-place on params: only
-    # TIMING of later sections depends on weight values.
+    # brackets realized speculative speedup. Runs LAST among the bf16
+    # sections: the surgery destroys the weights for anything but timing.
+    import jax
+    import jax.numpy as jnp
+
     from vcoder_tpu import speculative
 
+    cfg = ctx.get("cfg7")
+    params = ctx.get("params7")
     Lp = params["lm"]["layers"]
     # 14.5 GB of bf16 weights leave <1 GB HBM headroom: free each tensor
     # BEFORE allocating its replacement (zeros_like while the old o_proj/
@@ -339,198 +536,195 @@ def main():
     params["lm"]["lm_head"] = jnp.asarray(head, head_dt)
     del head, emb
     spec_prompt = [1] + list(map(int, cyc)) * 2
-    spec_stats = {}
+    out = {}
     for k in (4, 8, 16):
         seqs, num_gen, iters = speculative.generate_speculative(
-            params, cfg, [spec_prompt], max_new_tokens=96, lookahead=k,
+            params, cfg, [spec_prompt], max_new_tokens=SPEC_NEW, lookahead=k,
         )  # compile + warm the drafter
         jax_block(seqs)
         # The spec loop host-syncs once per dispatch iteration (the n-gram
         # drafter reads accepted tokens), so tunnel RTT enters ``iters``
         # times — correct by iters+1 probes, floored, best of 2 runs.
         best = float("inf")
-        for _ in range(2):
+        for _ in range(1 if TINY else 2):
             off = _probe_or_wait()
             t0 = time.perf_counter()
             seqs, num_gen, iters = speculative.generate_speculative(
-                params, cfg, [spec_prompt], max_new_tokens=96, lookahead=k,
+                params, cfg, [spec_prompt], max_new_tokens=SPEC_NEW,
+                lookahead=k,
             )
             jax_block(seqs)
             dt = time.perf_counter() - t0
             best = min(best, max(dt - off * (int(iters) + 1), 0.2 * dt))
-        spec_stats[k] = (
-            int(num_gen[0]) / best,
-            int(num_gen[0]) / max(int(iters), 1),
-        )
-    spec_costlike_tok_s, spec_costlike_accept = spec_stats[8]
+        out[f"spec_k{k}_tok_s"] = int(num_gen[0]) / best
+        out[f"spec_k{k}_accept"] = int(num_gen[0]) / max(int(iters), 1)
+    # The surgical weights are timing-only garbage now; drop them so the
+    # int8 sections rebuild from a clean init.
+    ctx.drop("params7")
+    return out
 
-    # --- secondary: int8 weight-only decode (load_8bit path) ---
-    from vcoder_tpu.quant import quantize_params
 
-    qparams = quantize_params(params, bits=8)  # destructive: frees bf16
-    del params
-    cache = KVCache.create(cfg.text, 1, S_cache, dtype=jnp.bfloat16)
-    cache = KVCache(
-        k=cache.k,
-        v=cache.v,
-        kv_mask=(jnp.arange(S_cache) < T)[None, :],
-        length=jnp.full((1,), T, jnp.int32),
-    )
+def sec_decode_int8(ctx):
+    import jax.numpy as jnp
+
+    cfg = ctx.get("cfg7")
+    qparams = ctx.get("qparams7")
+    decode_n = ctx.get("decode_n7")
+    cache = _populated_cache(cfg, 1)
     tok = jnp.zeros((1,), jnp.int32)
+    pos = jnp.full((1,), T, jnp.int32)
     tok2, cache = decode_n(qparams, tok, pos, cache)
     jax_block(tok2)
     sti = [tok2, cache]
 
-    def _run_i8():
+    def _run():
         sti[0], sti[1] = decode_n(qparams, sti[0], pos, sti[1])
         jax_block(sti[0])
 
-    tok_per_s_int8 = _best_window(_run_i8, n_steps)
+    out = {"decode_int8_tok_s": _best_window(_run, N_STEPS)}
     del cache, sti
+    return out
 
-    # --- secondary: continuous-batching aggregate decode (int8, B=8) ---
-    Bcb = 8
-    cache = KVCache.create(cfg.text, Bcb, S_cache, dtype=jnp.bfloat16)
-    cache = KVCache(
-        k=cache.k,
-        v=cache.v,
-        kv_mask=jnp.broadcast_to(
-            (jnp.arange(S_cache) < T)[None, :], (Bcb, S_cache)
-        ),
-        length=jnp.full((Bcb,), T, jnp.int32),
-    )
-    tokb = jnp.zeros((Bcb,), jnp.int32)
-    posb = jnp.full((Bcb,), T, jnp.int32)
+
+def sec_serve_int8_b8(ctx):
+    import jax.numpy as jnp
+
+    cfg = ctx.get("cfg7")
+    qparams = ctx.get("qparams7")
+    decode_n = ctx.get("decode_n7")
+    cache = _populated_cache(cfg, BCB)
+    tokb = jnp.zeros((BCB,), jnp.int32)
+    posb = jnp.full((BCB,), T, jnp.int32)
     tokb, cache = decode_n(qparams, tokb, posb, cache)
     jax_block(tokb)
     stb = [tokb, cache]
 
-    def _run_cb():
+    def _run():
         stb[0], stb[1] = decode_n(qparams, stb[0], posb, stb[1])
         jax_block(stb[0])
 
-    serve_tok_per_s = _best_window(_run_cb, Bcb * n_steps)
+    out = {"serve_int8_b8_tok_s": _best_window(_run, BCB * N_STEPS)}
     del cache, stb
+    return out
 
-    # --- secondary: paged-KV decode aggregate (int8 weights, B=8) ---
+
+def _paged_decode_n_fn(cfg, table, lengths0, active, *, quantized):
+    import jax
+    import jax.numpy as jnp
+
     from vcoder_tpu.models.llama import llama_paged_decode
 
-    page = 64
-    Bp = 8
-    p_max = (T + 64) // page
-    n_pages = Bp * p_max + 2
-    L = cfg.text.num_layers
-    KH, HD = cfg.text.num_kv_heads, cfg.text.head_dim
-    k_pages = jnp.zeros((L, n_pages, KH, page, HD), jnp.bfloat16)
-    v_pages = jnp.zeros((L, n_pages, KH, page, HD), jnp.bfloat16)
-    table = jnp.asarray(
-        np.arange(1, Bp * p_max + 1).reshape(Bp, p_max).astype(np.int32)
-    )
-    lengths0 = jnp.full((Bp,), T, jnp.int32)
-    active = jnp.ones((Bp,), bool)
+    donate = (2, 3, 4, 5) if quantized else (2, 3)
 
-    @partial(jax.jit, donate_argnums=(2, 3))
-    def paged_decode_n(params, tok, k_pages, v_pages):
+    @partial(jax.jit, donate_argnums=donate)
+    def paged_decode_n(params, tok, k_pages, v_pages, k_scale=None, v_scale=None):
         def body(i, carry):
-            tok, k_pages, v_pages = carry
+            if quantized:
+                tok, k_pages, v_pages, k_scale, v_scale = carry
+            else:
+                tok, k_pages, v_pages = carry
+                k_scale = v_scale = None
             embeds = jnp.take(
                 params["lm"]["embed_tokens"], tok[:, None], axis=0
             )
-            hidden, k_pages, v_pages = llama_paged_decode(
+            res = llama_paged_decode(
                 params["lm"], cfg.text, embeds, lengths0 + i, k_pages,
                 v_pages, table, lengths0 + i, active,
+                **(
+                    {"k_scale": k_scale, "v_scale": v_scale}
+                    if quantized
+                    else {}
+                ),
+                interpret=TINY,
             )
+            if quantized:
+                hidden, k_pages, v_pages, k_scale, v_scale = res
+            else:
+                hidden, k_pages, v_pages = res
             logits = hidden[:, 0] @ (
                 params["lm"]["lm_head"].q.astype(jnp.bfloat16)
                 if hasattr(params["lm"]["lm_head"], "q")
                 else params["lm"]["lm_head"]
             )
-            return (
-                jnp.argmax(logits, -1).astype(jnp.int32), k_pages, v_pages
-            )
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+            if quantized:
+                return tok, k_pages, v_pages, k_scale, v_scale
+            return tok, k_pages, v_pages
 
-        return jax.lax.fori_loop(0, n_steps, body, (tok, k_pages, v_pages))
-
-    tokp = jnp.zeros((Bp,), jnp.int32)
-    tokp, k_pages, v_pages = paged_decode_n(qparams, tokp, k_pages, v_pages)
-    jax_block(tokp)
-    stp = [tokp, k_pages, v_pages]
-
-    def _run_paged():
-        stp[0], stp[1], stp[2] = paged_decode_n(qparams, *stp)
-        jax_block(stp[0])
-
-    paged_tok_per_s = _best_window(_run_paged, Bp * n_steps)
-    del k_pages, v_pages, tokp, stp
-
-    # --- secondary: int8-PAGE paged decode, B=16 (kv_quant pools halve
-    # the cache bytes each step streams, so more rows amortize the int8
-    # weight pass; page_size 128 per the Mosaic scale-DMA tiling) ---
-    page_q = 128
-    Bq = 32
-    pq_max = (T + page_q) // page_q
-    nq_pages = Bq * pq_max + 2
-    kq_pages = jnp.zeros((L, nq_pages, KH, page_q, HD), jnp.int8)
-    vq_pages = jnp.zeros((L, nq_pages, KH, page_q, HD), jnp.int8)
-    kq_scale = jnp.zeros((L, nq_pages, KH, page_q), jnp.float32)
-    vq_scale = jnp.zeros((L, nq_pages, KH, page_q), jnp.float32)
-    tableq = jnp.asarray(
-        np.arange(1, Bq * pq_max + 1).reshape(Bq, pq_max).astype(np.int32)
-    )
-    lengths0q = jnp.full((Bq,), T, jnp.int32)
-    activeq = jnp.ones((Bq,), bool)
-
-    @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
-    def paged_q8_decode_n(params, tok, k_pages, v_pages, k_scale, v_scale):
-        def body(i, carry):
-            tok, k_pages, v_pages, k_scale, v_scale = carry
-            embeds = jnp.take(
-                params["lm"]["embed_tokens"], tok[:, None], axis=0
-            )
-            hidden, k_pages, v_pages, k_scale, v_scale = (
-                llama_paged_decode(
-                    params["lm"], cfg.text, embeds, lengths0q + i,
-                    k_pages, v_pages, tableq, lengths0q + i, activeq,
-                    k_scale=k_scale, v_scale=v_scale,
-                )
-            )
-            logits = hidden[:, 0] @ (
-                params["lm"]["lm_head"].q.astype(jnp.bfloat16)
-                if hasattr(params["lm"]["lm_head"], "q")
-                else params["lm"]["lm_head"]
-            )
-            return (
-                jnp.argmax(logits, -1).astype(jnp.int32),
-                k_pages, v_pages, k_scale, v_scale,
-            )
-
-        return jax.lax.fori_loop(
-            0, n_steps, body, (tok, k_pages, v_pages, k_scale, v_scale)
+        init = (
+            (tok, k_pages, v_pages, k_scale, v_scale)
+            if quantized
+            else (tok, k_pages, v_pages)
         )
+        return jax.lax.fori_loop(0, N_STEPS, body, init)
 
-    tokq = jnp.zeros((Bq,), jnp.int32)
-    tokq, kq_pages, vq_pages, kq_scale, vq_scale = paged_q8_decode_n(
-        qparams, tokq, kq_pages, vq_pages, kq_scale, vq_scale
+    return paged_decode_n
+
+
+def _paged_section(ctx, *, params_key, cfg_key, B, page, quantized, name):
+    import jax.numpy as jnp
+
+    cfg = ctx.get(cfg_key)
+    params = ctx.get(params_key)
+    L = cfg.text.num_layers
+    KH, HD = cfg.text.num_kv_heads, cfg.text.head_dim
+    p_max = (T + page) // page if quantized else (T + S_EXTRA) // page
+    n_pages = B * p_max + 2
+    dtype = jnp.int8 if quantized else jnp.bfloat16
+    k_pages = jnp.zeros((L, n_pages, KH, page, HD), dtype)
+    v_pages = jnp.zeros((L, n_pages, KH, page, HD), dtype)
+    table = jnp.asarray(
+        np.arange(1, B * p_max + 1).reshape(B, p_max).astype(np.int32)
     )
-    jax_block(tokq)
-    stq = [tokq, kq_pages, vq_pages, kq_scale, vq_scale]
+    lengths0 = jnp.full((B,), T, jnp.int32)
+    active = jnp.ones((B,), bool)
+    fn = _paged_decode_n_fn(cfg, table, lengths0, active, quantized=quantized)
+    tok = jnp.zeros((B,), jnp.int32)
+    if quantized:
+        k_scale = jnp.zeros((L, n_pages, KH, page), jnp.float32)
+        v_scale = jnp.zeros((L, n_pages, KH, page), jnp.float32)
+        st = list(fn(params, tok, k_pages, v_pages, k_scale, v_scale))
+    else:
+        st = list(fn(params, tok, k_pages, v_pages))
+    jax_block(st[0])
 
-    def _run_q8():
-        stq[:] = paged_q8_decode_n(qparams, *stq)
-        jax_block(stq[0])
+    def _run():
+        st[:] = fn(params, *st)
+        jax_block(st[0])
 
-    paged_q8_tok_per_s = _best_window(_run_q8, Bq * n_steps)
-    del kq_pages, vq_pages, kq_scale, vq_scale, tokq, stq
+    out = {name: _best_window(_run, B * N_STEPS)}
+    del st, k_pages, v_pages
+    return out
 
-    # --- secondary: 13B int8 weights + int8 KV (BASELINE.json asks for
-    # TTFT + decode at 7B AND 13B; 13B bf16 is 26 GB and can only exist
-    # quantized on one 16 GB chip — commit cea4bc3 feasibility) ---
-    del qparams
-    _reset_hbm()  # 13B's 2.8 GB stacked-MLP leaves need a defragged HBM
-    cfg13 = VCoderConfig.standard("vcoder_ds_llava", "13b")
-    from vcoder_tpu.quant import init_quantized_params
 
-    params13 = init_quantized_params(jax.random.PRNGKey(3), cfg13, bits=8)
+def sec_paged_int8_b8(ctx):
+    return _paged_section(
+        ctx, params_key="qparams7", cfg_key="cfg7", B=BP, page=PAGE,
+        quantized=False, name="paged_int8_b8_tok_s",
+    )
+
+
+def sec_paged_q8_b32(ctx):
+    # int8 PAGE pools halve the cache bytes each step streams, so more
+    # rows amortize the int8 weight pass; page_size 128 per the Mosaic
+    # scale-DMA lane tiling.
+    return _paged_section(
+        ctx, params_key="qparams7", cfg_key="cfg7", B=BQ, page=PAGE_Q,
+        quantized=True, name="paged_q8_b32_tok_s",
+    )
+
+
+def sec_ttft_13b(ctx):
+    # BASELINE.json asks for TTFT + decode at 7B AND 13B; 13B bf16 is
+    # 26 GB and can only exist quantized on one 16 GB chip.
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from vcoder_tpu.models import vcoder as model_mod
+
+    cfg13 = ctx.get("cfg13")
+    params13 = ctx.get("params13")
     batch13 = _example_batch(cfg13, batch_size=1)
 
     @jax.jit
@@ -546,146 +740,188 @@ def main():
         )
         return jnp.argmax(logits, axis=-1)
 
-    ttft13_ms = _p50(ttft13_step, params13, batch13, iters=3, windows=3) * 1e3
+    ms = _p50(ttft13_step, params13, batch13, iters=3, windows=3) * 1e3
     del batch13
+    return {"ttft13_ms": ms}
 
-    B13 = 2
-    cache13 = KVCache.create(cfg13.text, B13, S_cache, quantized=True)
-    cache13 = KVCache(
-        k=cache13.k, v=cache13.v,
-        kv_mask=jnp.broadcast_to(
-            (jnp.arange(S_cache) < T)[None, :], (B13, S_cache)
-        ),
-        length=jnp.full((B13,), T, jnp.int32),
-        k_scale=cache13.k_scale, v_scale=cache13.v_scale,
-    )
 
-    @partial(jax.jit, donate_argnums=(3,))
-    def decode_n13(params, tok, pos, cache):
-        # Fused window, same as the 7B decode_n: one dispatch per
-        # n_steps tokens (a host loop of single steps pays ~15 ms tunnel
-        # submit per token — it dominated this number through round 2).
-        # int8 weights ride as entry args, so the bf16 while-loop
-        # relayout issue doesn't apply.
-        def body(i, carry):
-            tok, cache = carry
-            logits, cache = model_mod.decode_step(
-                params, cfg13, tok, pos + i, cache
-            )
-            return jnp.argmax(logits, -1).astype(jnp.int32), cache
+def sec_decode_13b_b2(ctx):
+    import jax.numpy as jnp
 
-        return jax.lax.fori_loop(0, n_steps, body, (tok, cache))
-
+    cfg13 = ctx.get("cfg13")
+    params13 = ctx.get("params13")
+    decode_n13 = ctx.get("decode_n13")
+    cache13 = _populated_cache(cfg13, B13, quantized=True)
     tok13 = jnp.zeros((B13,), jnp.int32)
     pos13 = jnp.full((B13,), T, jnp.int32)
     tok13, cache13 = decode_n13(params13, tok13, pos13, cache13)
     jax_block(tok13)
     st13 = [tok13, cache13]
 
-    def _run_13():
+    def _run():
         st13[0], st13[1] = decode_n13(params13, st13[0], pos13, st13[1])
         jax_block(st13[0])
 
-    tok13_per_s = _best_window(_run_13, B13 * n_steps)
+    out = {"decode13_b2_tok_s": _best_window(_run, B13 * N_STEPS)}
     del cache13, st13
+    return out
 
-    # --- secondary: 13B int8 weights + int8 PAGE pools (the stated
-    # motivation for kv_quant: 13B serving capacity on one 16 GB chip —
-    # docs/PERFORMANCE.md #11). B=4 x 640 ctx: ~13 GB weights + ~1.4 GB
-    # q8 pools; page 128 per the Mosaic scale-DMA tiling. ---
-    L13 = cfg13.text.num_layers
-    KH13 = cfg13.text.num_kv_heads
-    HD13 = cfg13.text.head_dim
-    B13q = 4
-    pq13 = (T + page_q) // page_q
-    n13_pages = B13q * pq13 + 2
-    k13_pages = jnp.zeros((L13, n13_pages, KH13, page_q, HD13), jnp.int8)
-    v13_pages = jnp.zeros((L13, n13_pages, KH13, page_q, HD13), jnp.int8)
-    k13_scale = jnp.zeros((L13, n13_pages, KH13, page_q), jnp.float32)
-    v13_scale = jnp.zeros((L13, n13_pages, KH13, page_q), jnp.float32)
-    table13 = jnp.asarray(
-        np.arange(1, B13q * pq13 + 1).reshape(B13q, pq13).astype(np.int32)
+
+def sec_paged13_q8_b4(ctx):
+    # The stated motivation for kv_quant: 13B serving capacity on one
+    # 16 GB chip (docs/PERFORMANCE.md #11). B=4 x 640 ctx: ~13 GB weights
+    # + ~1.4 GB q8 pools.
+    return _paged_section(
+        ctx, params_key="params13", cfg_key="cfg13", B=B13Q, page=PAGE_Q,
+        quantized=True, name="paged13_q8_b4_tok_s",
     )
-    lengths13 = jnp.full((B13q,), T, jnp.int32)
-    active13 = jnp.ones((B13q,), bool)
 
-    @partial(jax.jit, donate_argnums=(2, 3, 4, 5))
-    def paged13_q8_decode_n(params, tok, k_pages, v_pages, k_scale, v_scale):
-        def body(i, carry):
-            tok, k_pages, v_pages, k_scale, v_scale = carry
-            embeds = jnp.take(
-                params["lm"]["embed_tokens"], tok[:, None], axis=0
-            )
-            hidden, k_pages, v_pages, k_scale, v_scale = (
-                llama_paged_decode(
-                    params["lm"], cfg13.text, embeds, lengths13 + i,
-                    k_pages, v_pages, table13, lengths13 + i, active13,
-                    k_scale=k_scale, v_scale=v_scale,
-                )
-            )
-            logits = hidden[:, 0] @ (
-                params["lm"]["lm_head"].q.astype(jnp.bfloat16)
-                if hasattr(params["lm"]["lm_head"], "q")
-                else params["lm"]["lm_head"]
-            )
-            return (
-                jnp.argmax(logits, -1).astype(jnp.int32),
-                k_pages, v_pages, k_scale, v_scale,
-            )
 
-        return jax.lax.fori_loop(
-            0, n_steps, body, (tok, k_pages, v_pages, k_scale, v_scale)
-        )
-
-    tok13q = jnp.zeros((B13q,), jnp.int32)
-    tok13q, k13_pages, v13_pages, k13_scale, v13_scale = paged13_q8_decode_n(
-        params13, tok13q, k13_pages, v13_pages, k13_scale, v13_scale
-    )
-    jax_block(tok13q)
-    st13q = [tok13q, k13_pages, v13_pages, k13_scale, v13_scale]
-
-    def _run_13q():
-        st13q[:] = paged13_q8_decode_n(params13, *st13q)
-        jax_block(st13q[0])
-
-    paged13_q8_tok_per_s = _best_window(_run_13q, B13q * n_steps)
-    del k13_pages, v13_pages, k13_scale, v13_scale, tok13q, st13q, params13
-
-    # --- secondary: stage-3 training step (vcoder_ds adapters over an
-    # int8-frozen 7B base — the reference's `--bits 8` training path,
+def sec_train(ctx):
+    # Stage-3 training step (vcoder_ds adapters over an int8-frozen 7B
+    # base — the reference's `--bits 8` training path,
     # train/train.py:917-933). Trains seg+depth projectors + vcoder_lm_emb
     # with remat + Pallas flash fwd/bwd; reports step time and tokens/s.
     # Runs LAST: the backward's compile workspace + Adam state want a
-    # clean HBM (13B init right after it OOMs on fragmentation). ---
-    _reset_hbm()
+    # clean HBM.
+    import jax
+
+    from __graft_entry__ import _example_batch
+    from vcoder_tpu.quant import init_quantized_params
     from vcoder_tpu.train.step import (
         init_opt_state,
         make_optimizer,
         make_train_step,
     )
 
+    cfg = ctx.get("cfg7")
+    cfg13 = ctx.get("cfg13")
+    _reset_hbm()
+    ctx.invalidate()
+    ctx.cache["cfg7"], ctx.cache["cfg13"] = cfg, cfg13
     qparams7 = init_quantized_params(jax.random.PRNGKey(5), cfg, bits=8)
-    B_tr = 2
-    batch_tr = _example_batch(cfg, batch_size=B_tr, with_labels=True)
+    batch_tr = _example_batch(cfg, batch_size=B_TR, with_labels=True)
     optimizer = make_optimizer(1e-3, total_steps=100)
     opt_state = init_opt_state(qparams7, optimizer, "vcoder_ds")
     tstep = make_train_step(cfg, optimizer, stage="vcoder_ds", remat="dots")
     params_t, opt_state, metrics = tstep(qparams7, opt_state, batch_tr)
     jax_block(metrics["loss"])
-    n_tr = 5
+    n_tr = 5 if not TINY else 2
     stt = [params_t, opt_state, metrics]
 
-    def _run_train():
+    def _run():
         for _ in range(n_tr):
             stt[0], stt[1], stt[2] = tstep(stt[0], stt[1], batch_tr)
         jax_block(stt[2]["loss"])
 
-    train_steps_per_s = _best_window(_run_train, n_tr, repeats=2)
-    train_step_ms = 1e3 / train_steps_per_s
+    steps_per_s = _best_window(_run, n_tr, repeats=2)
+    step_ms = 1e3 / steps_per_s
     T_tr = int(batch_tr["safe_ids"].shape[1])
-    train_tok_s = B_tr * T_tr / (train_step_ms / 1e3)
+    return {
+        "train_step_ms": step_ms,
+        "train_tok_s": B_TR * T_tr / (step_ms / 1e3),
+    }
 
-    probe_end_s = _fetch_probe_s()
+
+# Secondary sections, in run order. The bf16 sections run before the spec
+# surgery destroys the weights; int8 sections rebuild from quantized init;
+# 13B and training each start from a defragged HBM.
+SECTIONS = [
+    ("vision", sec_vision),
+    ("decode_bf16_b1", sec_decode_bf16_b1),
+    ("decode_bf16_b4", sec_decode_bf16_b4),
+    ("spec_costlike", sec_spec_costlike),
+    ("decode_int8", sec_decode_int8),
+    ("serve_int8_b8", sec_serve_int8_b8),
+    ("paged_int8_b8", sec_paged_int8_b8),
+    ("paged_q8_b32", sec_paged_q8_b32),
+    ("ttft_13b", sec_ttft_13b),
+    ("decode_13b_b2", sec_decode_13b_b2),
+    ("paged13_q8_b4", sec_paged13_q8_b4),
+    ("train", sec_train),
+]
+
+
+def run_section(name, fn, ctx, results, failures, *, attempts=2):
+    """Run one section with bounded OOM retry. RESOURCE_EXHAUSTED gets a
+    hard HBM reset + lazy rebuild and one more try; any other failure (or
+    a second OOM) logs, resets the heap so the NEXT section starts clean,
+    and moves on."""
+    for attempt in range(attempts):
+        try:
+            results.update(fn(ctx))
+            return True
+        except Exception as e:  # noqa: BLE001 - report-and-continue by design
+            oom = _is_oom(e)
+            print(
+                f"bench: section {name} failed "
+                f"(attempt {attempt + 1}, {type(e).__name__}: "
+                f"{str(e)[:400]})",
+                file=sys.stderr,
+            )
+            if not oom or attempt + 1 >= attempts:
+                traceback.print_exc(file=sys.stderr)
+                try:
+                    _reset_hbm()
+                except Exception:
+                    pass
+                ctx.invalidate()
+                failures.append(name)
+                return False
+            print(
+                f"bench: RESOURCE_EXHAUSTED in {name}; resetting HBM and "
+                "retrying once",
+                file=sys.stderr,
+            )
+            try:
+                _reset_hbm()
+            except Exception:
+                pass
+            ctx.invalidate()
+
+
+def _fmt(results, key, spec="{:.1f}"):
+    v = results.get(key)
+    return spec.format(v) if v is not None else "FAILED"
+
+
+def main() -> int:
+    import vcoder_tpu  # noqa: F401 - selects the platform before device use
+
+    if not TINY:
+        _wait_for_clean_startup()
+        _wait_for_healthy_tunnel()
+    probe_start_s = _fetch_probe_s() if not TINY else 0.0
+
+    ctx = Ctx()
+    results: dict = {}
+    failures: list = []
+
+    # --- PRIMARY: fused prefill -> first token. Three attempts with a
+    # full reset between (this is the round's headline; losing it loses
+    # the round), and the JSON line is flushed the moment it exists.
+    ok = run_section("ttft", sec_ttft, ctx, results, failures, attempts=3)
+    if not ok or "ttft_ms" not in results:
+        print("bench: PRIMARY ttft section failed; no metric", file=sys.stderr)
+        return 1
+    ttft_ms = results["ttft_ms"]
+    print(
+        json.dumps(
+            {
+                "metric": "vcoder_ds_7b_prefill_ttft_p50_single_chip",
+                "value": round(ttft_ms, 2),
+                "unit": "ms",
+                "vs_baseline": round(250.0 / ttft_ms, 3),
+            }
+        ),
+        flush=True,
+    )
+
+    # --- secondaries (stderr) ---
+    for name, fn in SECTIONS:
+        run_section(name, fn, ctx, results, failures)
+
+    probe_end_s = _fetch_probe_s() if not TINY else 0.0
     if max(probe_start_s, probe_end_s) > 0.5:
         print(
             "bench: TUNNEL DEGRADED during run (trivial-fetch probe "
@@ -695,41 +931,42 @@ def main():
             "throughput; prefer a healthy-window rerun",
             file=sys.stderr,
         )
-
-    print(
-        f"secondary: vision_encode={img_per_s:.1f} img/s/chip  "
-        f"decode={tok_per_s:.1f} tok/s (7B bf16, B=1)  "
-        f"decode_bf16_B4={bf16_b4_tok_per_s:.1f} tok/s aggregate "
-        f"(fused {n_steps}-step window, serving layout, int8 KV)  "
-        f"spec_costlike={spec_costlike_tok_s:.1f} tok/s "
-        f"(B=1 bf16, lookahead=8, accept {spec_costlike_accept:.1f}/"
-        f"dispatch; k=4 {spec_stats[4][0]:.1f}@{spec_stats[4][1]:.1f}, "
-        f"k=16 {spec_stats[16][0]:.1f}@{spec_stats[16][1]:.1f})  "
-        f"decode_int8={tok_per_s_int8:.1f} tok/s  "
-        f"serve_int8_B8={serve_tok_per_s:.1f} tok/s aggregate  "
-        f"paged_int8_B8={paged_tok_per_s:.1f} tok/s aggregate  "
-        f"paged_q8kv_B32={paged_q8_tok_per_s:.1f} tok/s aggregate "
-        f"(int8 pages, page=128, B=32)  "
-        f"train_vcoder_ds_7b={train_step_ms:.0f} ms/step "
-        f"({train_tok_s:.0f} tok/s, B={B_tr}, int8 base, remat)  "
-        f"13b_ttft={ttft13_ms:.1f} ms p50 (int8)  "
-        f"13b_decode_B2={tok13_per_s:.1f} tok/s aggregate (int8, int8 KV)  "
-        f"13b_paged_q8_B4={paged13_q8_tok_per_s:.1f} tok/s aggregate "
-        f"(int8 weights + int8 pages, page=128)",
-        file=sys.stderr,
-    )
-
-    print(
-        json.dumps(
-            {
-                "metric": "vcoder_ds_7b_prefill_ttft_p50_single_chip",
-                "value": round(ttft_ms, 2),
-                "unit": "ms",
-                "vs_baseline": round(250.0 / ttft_ms, 3),
-            }
+    if failures:
+        print(
+            f"bench: {len(failures)} secondary section(s) FAILED: "
+            + ", ".join(failures),
+            file=sys.stderr,
         )
+
+    print(
+        f"secondary: vision_encode={_fmt(results, 'vision_img_s')} img/s/chip  "
+        f"decode={_fmt(results, 'decode_bf16_b1_tok_s')} tok/s (7B bf16, B=1)  "
+        f"decode_bf16_B4={_fmt(results, 'decode_bf16_b4_tok_s')} tok/s aggregate "
+        f"(fused {N_STEPS}-step window, serving layout, int8 KV)  "
+        f"spec_costlike={_fmt(results, 'spec_k8_tok_s')} tok/s "
+        f"(B=1 bf16, lookahead=8, accept {_fmt(results, 'spec_k8_accept')}/"
+        f"dispatch; k=4 {_fmt(results, 'spec_k4_tok_s')}@"
+        f"{_fmt(results, 'spec_k4_accept')}, "
+        f"k=16 {_fmt(results, 'spec_k16_tok_s')}@"
+        f"{_fmt(results, 'spec_k16_accept')})  "
+        f"decode_int8={_fmt(results, 'decode_int8_tok_s')} tok/s  "
+        f"serve_int8_B8={_fmt(results, 'serve_int8_b8_tok_s')} tok/s aggregate  "
+        f"paged_int8_B8={_fmt(results, 'paged_int8_b8_tok_s')} tok/s aggregate  "
+        f"paged_q8kv_B32={_fmt(results, 'paged_q8_b32_tok_s')} tok/s aggregate "
+        f"(int8 pages, page={PAGE_Q}, B={BQ})  "
+        f"train_vcoder_ds_7b={_fmt(results, 'train_step_ms', '{:.0f}')} ms/step "
+        f"({_fmt(results, 'train_tok_s', '{:.0f}')} tok/s, B={B_TR}, int8 "
+        f"base, remat)  "
+        f"13b_ttft={_fmt(results, 'ttft13_ms')} ms p50 (int8)  "
+        f"13b_decode_B2={_fmt(results, 'decode13_b2_tok_s')} tok/s aggregate "
+        f"(int8, int8 KV)  "
+        f"13b_paged_q8_B4={_fmt(results, 'paged13_q8_b4_tok_s')} tok/s "
+        f"aggregate (int8 weights + int8 pages, page={PAGE_Q})",
+        file=sys.stderr,
+        flush=True,
     )
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

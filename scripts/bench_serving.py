@@ -1,47 +1,351 @@
-"""Engine-level serving benchmark: continuous batching end to end.
+"""Engine-level serving benchmark: the REAL wire path, feature-complete.
 
-Unlike bench.py's raw decode-loop secondaries, this drives the REAL
-``ServingEngine.step()`` path — per-request multimodal prefill, slot
-admission, per-step host sync, event emission — and reports aggregate
-throughput plus the engine's own TTFT / decode-step percentiles, with
-speculative decoding off vs on. Run on the TPU box:
+Drives the paged engine through the EngineWorker loop (submit queue ->
+engine thread -> TokenStream), i.e. everything the HTTP server does minus
+the socket — with the round-3 serving features ON:
 
-    python scripts/bench_serving.py [--batch 8] [--requests 16] \
-        [--max-new 96] [--lookahead 8]
+* Phase A — multi-turn conversations with **automatic prefix caching**:
+  every turn-2 admission re-maps the turn-1 pages (incl. the 1728 vision
+  tokens) instead of recomputing them. Reports per-turn admission-TTFT
+  p50 (submit -> first streamed token) and the engine's prefix-hit rate.
+* Phase B — **chunked prefill under decode load**: a long text prompt is
+  admitted in page-aligned chunks, one per engine step, while other rows
+  keep decoding. Reports the long request's admission TTFT and the worst
+  inter-token stall a decoding row observed during the admission.
+* Phase C — **preemption episode**: an engine with an undersized page
+  pool oversubscribes; mid-decode rows are preempted (recompute) and
+  every request still completes. Reports the preemption count.
 
-Runs int8 weights + int8 KV (the serving configuration that fits the
-chip at multimodal context; bf16 B=1 numbers live in bench.py).
-Random weights: absolute accept-rates for speculation are NOT
-representative of trained checkpoints (random 7B output rarely repeats);
-the spec run reports dispatch counts so the overhead at the measured
-accept rate is explicit.
+    python scripts/bench_serving.py [--batch 8] [--max-new 64] \
+        [--sync-every 8] [--engine slot] [--tiny]
+
+`--engine slot` instead runs the older slot-engine A/B (plain / windowed
+/ speculative) kept for comparison with the round-2 numbers.
+
+Runs int8 weights + int8 KV pages (the serving configuration that fits
+the chip at multimodal context; bf16 B=1 numbers live in bench.py).
+Random weights: answers are gibberish, but admission/paging/streaming
+costs are weight-value-independent.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--requests", type=int, default=16)
-    ap.add_argument("--max-new", type=int, default=96)
-    ap.add_argument("--lookahead", type=int, default=8)
-    ap.add_argument("--size", type=str, default="7b")
-    ap.add_argument("--tiny", action="store_true",
-                    help="tiny config on CPU (smoke test)")
-    args = ap.parse_args()
-    # int8 weights only: 7B bf16 (14.5 GB) + a multimodal-context slot
-    # cache (prompts expand to ~1.8k tokens) cannot fit the 15.5 GB chip
-    # at any useful batch; bf16 B=1 numbers live in bench.py secondaries.
-    args.bf16 = False
+# The serve modules install the reference-parity StreamToLogger stdout
+# redirect at import (vcoder_tpu/utils.py build_logger); keep a handle on
+# the real stream so the machine-readable JSON line stays unprefixed.
+_STDOUT = sys.stdout
 
+
+def _prep(ids, px, max_new, *, images=True):
+    """A PreparedRequest like the HTTP handler builds."""
+    from vcoder_tpu.serve.chat import PreparedRequest
+
+    return PreparedRequest(
+        ori_prompt="",
+        input_ids=list(ids),
+        images=px if images else None,
+        segs=px if images else None,
+        depths=px if images else None,
+        max_new_tokens=max_new,
+        temperature=0.0,
+        top_p=1.0,
+        stop_str=None,
+    )
+
+
+class StreamReader(threading.Thread):
+    """Consumes one TokenStream, recording submit->first-token latency,
+    inter-token gaps, and completion."""
+
+    def __init__(self, worker, prep):
+        super().__init__(daemon=True)
+        self.worker = worker
+        self.prep = prep
+        self.tokens = []
+        self.t_submit = None
+        self.t_first = None
+        self.t_done = None
+        self.gaps = []
+
+    def run(self):
+        self.t_submit = time.perf_counter()
+        handle = self.worker.submit(self.prep)
+        last = None
+        for tok in handle:
+            now = time.perf_counter()
+            if self.t_first is None:
+                self.t_first = now
+            if last is not None:
+                self.gaps.append(now - last)
+            last = now
+            self.tokens.append(tok)
+        self.t_done = time.perf_counter()
+
+    @property
+    def ttft_s(self):
+        return (self.t_first or self.t_done) - self.t_submit
+
+
+def _p50(xs):
+    return float(np.median(xs)) if xs else 0.0
+
+
+def _run_readers(readers):
+    for r in readers:
+        r.start()
+    for r in readers:
+        r.join()
+
+
+def paged_worker_bench(args):
+    import jax
+
+    from vcoder_tpu.config import VCoderConfig
+    from vcoder_tpu.constants import (
+        DEPTH_TOKEN_INDEX,
+        IMAGE_TOKEN_INDEX,
+        SEG_TOKEN_INDEX,
+    )
+    from vcoder_tpu.models import vcoder as model_mod
+    from vcoder_tpu.quant import init_quantized_params
+    from vcoder_tpu.serve.engine_server import EngineWorker
+    from vcoder_tpu.serve.paged_engine import PagedServingEngine
+
+    if args.tiny:
+        import jax.numpy as jnp
+
+        cfg = VCoderConfig.tiny("vcoder_ds_llava")
+        params = model_mod.init_vcoder_params(
+            jax.random.PRNGKey(0), cfg, dtype=jnp.float32
+        )
+        page = 16
+        max_len = 256
+        kv_quant = False  # q8 pools take any page size only in interpret
+    else:
+        cfg = VCoderConfig.standard("vcoder_ds_llava", args.size)
+        params = init_quantized_params(jax.random.PRNGKey(0), cfg, bits=8)
+        page = 128
+        max_len = 2048
+        kv_quant = True
+
+    hw = cfg.vision.image_size
+    rng = np.random.RandomState(0)
+    px = rng.randn(1, hw, hw, 3).astype(np.float32)
+    eos = cfg.text.eos_token_id
+
+    sys_text = list(rng.randint(5, min(cfg.text.vocab_size, 30000), size=24))
+
+    def turn1_ids(i):
+        q = list(rng.randint(5, min(cfg.text.vocab_size, 30000), size=8))
+        return (
+            [cfg.text.bos_token_id]
+            + sys_text
+            + [IMAGE_TOKEN_INDEX, DEPTH_TOKEN_INDEX, SEG_TOKEN_INDEX]
+            + q
+            + [10 + i]
+        )
+
+    out = {}
+
+    # ---- Phase A+B engine: prefix cache + chunked prefill on ----
+    eng = PagedServingEngine(
+        cfg,
+        params,
+        max_batch=args.batch,
+        max_len=max_len,
+        page_size=page,
+        kv_quant=kv_quant,
+        sync_every=args.sync_every,
+        prefix_cache=True,
+        prefix_chunk=page,
+        chunked_prefill=2 * page,
+    )
+    worker = EngineWorker.from_engine(
+        eng, model_name="bench-vcoder-ds", eos_id=eos
+    )
+
+    # Warmup: compile prefill buckets/chunk graphs/decode windows outside
+    # the timed phases — including one long TEXT-ONLY prompt so phase B's
+    # chunked-admission graphs are compiled before they are timed.
+    warm_long = [cfg.text.bos_token_id] + list(
+        rng.randint(5, min(cfg.text.vocab_size, 30000), size=3 * page)
+    )
+    warm = [
+        StreamReader(worker, _prep(turn1_ids(90 + i), px, 4))
+        for i in range(2)
+    ] + [StreamReader(worker, _prep(warm_long, px, 2, images=False))]
+    _run_readers(warm)
+    eng.timer.samples.clear()
+
+    # --- Phase A: C concurrent 2-turn conversations ---
+    C = args.batch
+    turn_ttfts = {1: [], 2: []}
+    tok_count = [0]
+    lock = threading.Lock()
+
+    def conversation(i):
+        ids = turn1_ids(i)
+        for turn in (1, 2):
+            r = StreamReader(worker, _prep(ids, px, args.max_new))
+            r.run()  # same thread: turns are sequential per conversation
+            with lock:
+                turn_ttfts[turn].append(r.ttft_s)
+                tok_count[0] += len(r.tokens)
+            ids = ids + r.tokens + list(
+                rng.randint(5, min(cfg.text.vocab_size, 30000), size=6)
+            )
+
+    t0 = time.perf_counter()
+    threads = [
+        threading.Thread(target=conversation, args=(i,), daemon=True)
+        for i in range(C)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stats = worker.stats()
+    pc = stats.get("prefix_cache", {})
+    hits, misses = pc.get("hits", 0), pc.get("misses", 0)
+    out["phaseA"] = {
+        "conversations": C,
+        "turns": 2,
+        "tok_per_s": round(tok_count[0] / wall, 1),
+        "ttft_p50_turn1_ms": round(_p50(turn_ttfts[1]) * 1e3, 1),
+        "ttft_p50_turn2_ms": round(_p50(turn_ttfts[2]) * 1e3, 1),
+        "prefix_hit_rate": round(hits / max(hits + misses, 1), 3),
+        "reused_pages": pc.get("reused_pages", 0),
+    }
+    print(f"phaseA: {json.dumps(out['phaseA'])}", file=sys.stderr, flush=True)
+
+    # --- Phase B: chunked prefill under decode load ---
+    # Background decoders hold rows; a long text-only prompt admits in
+    # chunks without stalling them for more than ~a chunk forward.
+    bg_new = args.max_new * 4
+    bg = [
+        StreamReader(worker, _prep(turn1_ids(50 + i), px, bg_new))
+        for i in range(max(args.batch - 2, 1))
+    ]
+    for r in bg:
+        r.start()
+    # Let the background rows reach steady decode before the admission.
+    time.sleep(0.2 if args.tiny else 2.0)
+    t_adm0 = time.perf_counter()
+    long_len = min(max_len - bg_new - 8, 1024)
+    long_ids = [cfg.text.bos_token_id] + list(
+        rng.randint(5, min(cfg.text.vocab_size, 30000), size=long_len)
+    )
+    lr = StreamReader(worker, _prep(long_ids, px, 16, images=False))
+    lr.run()
+    t_adm1 = time.perf_counter()
+    for r in bg:
+        r.join()
+    # Worst stall a decoding row saw while the chunks were admitted:
+    # reconstruct each row's token timestamps and keep the inter-token
+    # gaps overlapping the admission window.
+    stalls = []
+    for r in bg:
+        if r.t_first is None:
+            continue
+        ts = [r.t_first]
+        for g in r.gaps:
+            ts.append(ts[-1] + g)
+        for prev, cur in zip(ts, ts[1:]):
+            if prev < t_adm1 and cur > t_adm0:
+                stalls.append(cur - prev)
+    out["phaseB"] = {
+        "long_prompt_tokens": len(long_ids),
+        "admission_ttft_ms": round(lr.ttft_s * 1e3, 1),
+        "bg_rows": len(bg),
+        "bg_worst_stall_ms": round(max(stalls) * 1e3, 1) if stalls else 0.0,
+        "bg_p50_gap_ms": round(_p50(stalls) * 1e3, 1) if stalls else 0.0,
+    }
+    print(f"phaseB: {json.dumps(out['phaseB'])}", file=sys.stderr, flush=True)
+    worker.shutdown()
+    del worker, eng
+
+    # --- Phase C: preemption episode (undersized page pool) ---
+    # Size the pool at ~70% of what the batch actually needs at full
+    # generation length, so mid-decode page growth exhausts it and the
+    # engine must preempt-by-recompute (rather than the pool being
+    # accidentally sufficient or admission never fitting).
+    expanded = len(turn1_ids(0)) - 3 + 3 * cfg.vision.num_patches
+    pages_per_row = -(-(expanded + bg_new + args.sync_every) // page)
+    small_pool = max(int(args.batch * pages_per_row * 0.7), 8)
+    eng2 = PagedServingEngine(
+        cfg,
+        params,
+        max_batch=args.batch,
+        max_len=max_len,
+        page_size=page,
+        total_pages=small_pool,
+        kv_quant=kv_quant,
+        sync_every=args.sync_every,
+    )
+    worker2 = EngineWorker.from_engine(
+        eng2, model_name="bench-vcoder-ds", eos_id=eos
+    )
+    warm = [StreamReader(worker2, _prep(turn1_ids(80), px, 4))]
+    _run_readers(warm)
+    readers = [
+        StreamReader(worker2, _prep(turn1_ids(i), px, bg_new))
+        for i in range(args.batch)
+    ]
+    t0 = time.perf_counter()
+    _run_readers(readers)
+    wall = time.perf_counter() - t0
+    total = sum(len(r.tokens) for r in readers)
+    incomplete = sum(
+        1 for r in readers if len(r.tokens) < 1
+    )
+    out["phaseC"] = {
+        "requests": args.batch,
+        "pool_pages": small_pool,
+        "preemptions": worker2.engine.preemptions,
+        "tok_per_s": round(total / wall, 1),
+        "incomplete": incomplete,
+    }
+    print(f"phaseC: {json.dumps(out['phaseC'])}", file=sys.stderr, flush=True)
+    worker2.shutdown()
+
+    print(
+        json.dumps(
+            {
+                "metric": "paged_engine_worker",
+                "aggregate_tok_per_s": out["phaseA"]["tok_per_s"],
+                "ttft_p50_turn1_ms": out["phaseA"]["ttft_p50_turn1_ms"],
+                "ttft_p50_turn2_ms": out["phaseA"]["ttft_p50_turn2_ms"],
+                "prefix_hit_rate": out["phaseA"]["prefix_hit_rate"],
+                "chunked_admission_ttft_ms": out["phaseB"][
+                    "admission_ttft_ms"
+                ],
+                "bg_worst_stall_ms": out["phaseB"]["bg_worst_stall_ms"],
+                "preemptions": out["phaseC"]["preemptions"],
+                "batch": args.batch,
+                "sync_every": args.sync_every,
+            }
+        ),
+        file=_STDOUT,
+        flush=True,
+    )
+    return out
+
+
+def slot_engine_bench(args):
+    """The round-2 slot-engine A/B (plain / windowed / speculative),
+    kept for longitudinal comparison."""
     import jax
     import jax.numpy as jnp
 
@@ -57,15 +361,15 @@ def main():
 
     if args.tiny:
         cfg = VCoderConfig.tiny("vcoder_ds_llava")
-        args.bf16 = True
-    else:
-        cfg = VCoderConfig.standard("vcoder_ds_llava", args.size)
-    if args.bf16:
+        bf16 = True
         params = model_mod.init_vcoder_params(
-            jax.random.PRNGKey(0), cfg,
-            dtype=jnp.float32 if args.tiny else jnp.bfloat16,
+            jax.random.PRNGKey(0), cfg, dtype=jnp.float32
         )
     else:
+        cfg = VCoderConfig.standard("vcoder_ds_llava", args.size)
+        bf16 = False
+        # int8 weights only: 7B bf16 (14.5 GB) + a multimodal-context slot
+        # cache cannot fit the 15.5 GB chip at any useful batch.
         params = init_quantized_params(jax.random.PRNGKey(0), cfg, bits=8)
 
     hw = cfg.vision.image_size
@@ -95,7 +399,7 @@ def main():
             params,
             max_batch=args.batch,
             max_len=2048,
-            kv_quant=not args.bf16,  # int8 KV halves the slot-cache HBM
+            kv_quant=not bf16,  # int8 KV halves the slot-cache HBM
             speculative=spec,
             sync_every=sync,
         )
@@ -146,8 +450,34 @@ def main():
                 "batch": args.batch,
                 "requests": args.requests,
             }
-        )
+        ),
+        file=_STDOUT,
+        flush=True,
     )
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=16)
+    ap.add_argument("--max-new", type=int, default=64)
+    ap.add_argument("--lookahead", type=int, default=8)
+    ap.add_argument("--sync-every", type=int, default=8)
+    ap.add_argument("--size", type=str, default="7b")
+    ap.add_argument("--engine", choices=["paged", "slot"], default="paged")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny config on CPU (smoke test)")
+    args = ap.parse_args()
+    if args.tiny:
+        # Tiny max_len is 256: keep prompts + 4x background decodes inside.
+        args.max_new = min(args.max_new, 8)
+        args.batch = min(args.batch, 4)
+
+    if args.engine == "slot":
+        slot_engine_bench(args)
+    else:
+        paged_worker_bench(args)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,36 @@
+"""Smoke test for scripts/bench_serving.py --tiny (the engine-worker
+serving bench: prefix-cache multi-turn, chunked prefill under load, and
+a preemption episode must all exercise on the CPU tiny config and emit
+the summary JSON line)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_paged_worker_bench_tiny():
+    env = dict(os.environ)
+    env["VCODER_TPU_PLATFORM"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "bench_serving.py"),
+         "--tiny"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    rec = json.loads(lines[-1])
+    assert rec["metric"] == "paged_engine_worker"
+    # Prefix cache produced hits on the turn-2 admissions...
+    assert rec["prefix_hit_rate"] > 0
+    # ...which also made turn-2 TTFT cheaper than turn-1.
+    assert rec["ttft_p50_turn2_ms"] < rec["ttft_p50_turn1_ms"]
+    # The undersized pool forced at least one preemption-by-recompute.
+    assert rec["preemptions"] >= 1
+    assert rec["aggregate_tok_per_s"] > 0
+    assert rec["chunked_admission_ttft_ms"] > 0

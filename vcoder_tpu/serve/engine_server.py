@@ -110,7 +110,25 @@ class EngineWorker:
             raise ValueError(f"unknown engine {engine!r}")
         self.model_name = self.chat.model_name
         self.eos_id = model.config.text.eos_token_id
+        self._start_loop()
 
+    @classmethod
+    def from_engine(cls, engine, *, model_name: str, eos_id: int):
+        """Wrap an already-built engine (in-memory weights) in the worker
+        loop — the same submit/cancel/stream wire path as the HTTP server,
+        minus the Chat checkpoint load. Used by scripts/bench_serving.py
+        to hardware-bench the engine-worker path on synthetic weights;
+        the HTTP handler surface needs `chat` and is not available on
+        such a worker."""
+        self = cls.__new__(cls)
+        self.chat = None
+        self.engine = engine
+        self.model_name = model_name
+        self.eos_id = eos_id
+        self._start_loop()
+        return self
+
+    def _start_loop(self) -> None:
         self._cond = threading.Condition()
         self._submissions: List[Tuple[PreparedRequest, TokenStream]] = []
         self._cancels: List[int] = []
