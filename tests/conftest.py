@@ -75,3 +75,36 @@ class FakeTokenizer:
 @pytest.fixture
 def fake_tokenizer():
     return FakeTokenizer()
+
+
+# ---- smoke tier -----------------------------------------------------------
+# `-m smoke` = units + interpret-mode kernels + splice/tokenizer/scorer
+# goldens: the <3-minute pre-commit loop (the full quick tier is ~15-20 min
+# and was getting run less and less mid-round — round-3 VERDICT #6). Heavy
+# parity matrices (engines, generation, training, beam goldens) stay in the
+# quick tier; `slow` marks the end-to-end driver runs.
+SMOKE_MODULES = {
+    "test_mm_tokens",
+    "test_splice",
+    "test_preprocess",
+    "test_conversation",
+    "test_eval_scorers",
+    "test_data_gen",
+    "test_utils",
+    "test_native_io",
+    "test_it_mode",
+    "test_gradio_app",
+    "test_flash_attention",
+    "test_vit_attention",
+    "test_clip_parity",
+    "test_llama_parity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if (
+            item.module.__name__.rsplit(".", 1)[-1] in SMOKE_MODULES
+            and item.get_closest_marker("slow") is None
+        ):
+            item.add_marker(pytest.mark.smoke)
