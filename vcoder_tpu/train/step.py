@@ -232,11 +232,10 @@ def make_train_step(
         if mode[0] == "pinned":
             return pinned(params, opt_state, batch)
         params, opt_state, metrics = plain(params, opt_state, batch)
-        return (
-            params,
-            jax.tree.map(jax.device_put, opt_state, host_sh),
-            metrics,
-        )
+        # ONE batched device_put for the whole tree: per-leaf calls pay
+        # one dispatch each (measured 232% step overhead vs 17% batched
+        # on the CPU mesh — scripts/bench_offload.py).
+        return params, jax.device_put(opt_state, host_sh), metrics
 
     offloaded_step.mode = mode  # exposed so callers can assert latching
     return offloaded_step
