@@ -918,7 +918,12 @@ def main() -> int:
     )
 
     # --- secondaries (stderr) ---
+    only = {
+        s for s in os.environ.get("VCODER_BENCH_SECTIONS", "").split(",") if s
+    }
     for name, fn in SECTIONS:
+        if only and name not in only:
+            continue
         run_section(name, fn, ctx, results, failures)
 
     probe_end_s = _fetch_probe_s() if not TINY else 0.0

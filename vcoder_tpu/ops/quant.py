@@ -15,6 +15,8 @@ TPU analog; deltas vs the CUDA path are documented in SURVEY.md §7.3.
 from __future__ import annotations
 
 import dataclasses
+import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -73,9 +75,90 @@ def base_weight_dtype(w):
     return w.dtype
 
 
+# ---------------------------------------------------------------------------
+# W8A8 prefill: int8 activations x int8 weights on the int8 MXU path.
+#
+# The v5e MXU runs dot(s8, s8) -> s32 at ~2x the bf16 rate (measured
+# 391.8 vs 195.1 TFLOP/s at M=1792 K=5120 N=13824 — scripts/
+# bench_int8_matmul.py; round 3 recorded this path as *slower* than
+# bf16, but that number was fetch-dominated tunnel noise). For
+# compute-bound token counts we therefore quantize activations
+# per-token (dynamic symmetric int8) and keep the whole matmul in
+# integers; the f32 rescale (row scale x per-output-channel weight
+# scale) fuses into the epilogue. Below the threshold (decode,
+# speculative verify windows) the weight-streaming upcast path stays —
+# those are HBM-bound, and per-token quant would only add VPU work.
+# ---------------------------------------------------------------------------
+
+#: Minimum token count (product of leading dims) for the W8A8 path.
+#: Measured crossover is well below this (the s8s8 dot wins from
+#: M~256 up), but small-T callers are memory-bound anyway.
+W8A8_MIN_TOKENS = 256
+
+_W8A8_ENABLED = os.environ.get("VCODER_W8A8_PREFILL", "1") != "0"
+
+
+def w8a8_enabled() -> bool:
+    return _W8A8_ENABLED
+
+
+def set_w8a8(enabled: bool) -> None:
+    """Toggle the W8A8 prefill path (trace-time; re-jit to apply)."""
+    global _W8A8_ENABLED
+    _W8A8_ENABLED = bool(enabled)
+
+
+@jax.custom_vjp
+def _w8a8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
+    """``x @ dequant(q, scale)`` computed as s8s8->s32 on the MXU.
+
+    x: [M, K] float; q: [K, N] int8; scale: [1, N] f32.
+    Activation quantization is per-row dynamic symmetric int8.
+    """
+    x32 = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    xs = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x32 / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    return (acc.astype(jnp.float32) * xs * scale).astype(x.dtype)
+
+
+def _w8a8_fwd(x, q, scale):
+    # The zero-size array only carries x's dtype (dtypes themselves are
+    # not valid custom_vjp residuals).
+    return _w8a8_matmul(x, q, scale), (q, scale, jnp.zeros((0,), x.dtype))
+
+
+def _w8a8_bwd(res, g):
+    # Straight-through: treat the forward as x @ (q * scale). The round()
+    # in the activation quant has zero gradient, so without this a LoRA
+    # adapter trained over an int8 base would silently get dx == 0
+    # through every base matmul.
+    q, scale, xproto = res
+    dx = ((g.astype(jnp.float32) * scale) @ q.astype(jnp.float32).T).astype(
+        xproto.dtype
+    )
+    return dx, None, None
+
+
+_w8a8_matmul.defvjp(_w8a8_fwd, _w8a8_bwd)
+
+
 def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
     """``x @ w`` for plain, quantized, or LoRA-wrapped weights."""
     if isinstance(w, QuantizedTensor):
+        if (
+            _W8A8_ENABLED
+            and w.q.dtype == jnp.int8
+            and w.q.ndim == 2
+            and x.ndim >= 2
+            and math.prod(x.shape[:-1]) >= W8A8_MIN_TOKENS
+        ):
+            x2 = x.reshape(-1, x.shape[-1])
+            y = _w8a8_matmul(x2, w.q, w.scale)
+            return y.reshape(*x.shape[:-1], w.q.shape[-1])
         y = x @ w.q.astype(x.dtype)
         # scale is [..., 1, out]: broadcast as-is against y [..., T, out].
         # (Squeezing the 1-axis right-aligns a stacked [L, out] scale
