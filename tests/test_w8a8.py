@@ -127,11 +127,16 @@ def test_w8a8_gradient_is_straight_through(wq):
     def f_ref(xx):
         return ((xx @ w_deq) * g).sum()
 
-    dx = jax.grad(f_w8a8)(x)
-    dx_ref = jax.grad(f_ref)(x)
-    np.testing.assert_allclose(
-        np.asarray(dx), np.asarray(dx_ref), rtol=1e-4, atol=1e-5
+    dx = np.asarray(jax.grad(f_w8a8)(x), dtype=np.float64)
+    dx_ref = np.asarray(jax.grad(f_ref)(x), dtype=np.float64)
+    # The bwd matmul runs in bf16 (f32 accumulation) like the upcast
+    # path's autodiff would; compare at the bf16 noise floor.
+    denom = np.linalg.norm(dx_ref) + 1e-9
+    assert np.linalg.norm(dx - dx_ref) / denom < 5e-3
+    cos = (dx * dx_ref).sum() / (
+        np.linalg.norm(dx) * np.linalg.norm(dx_ref) + 1e-9
     )
+    assert cos > 0.99999
 
 
 def test_prefill_parity_w8a8_vs_upcast(monkeypatch):

@@ -135,11 +135,17 @@ def _w8a8_bwd(res, g):
     # Straight-through: treat the forward as x @ (q * scale). The round()
     # in the activation quant has zero gradient, so without this a LoRA
     # adapter trained over an int8 base would silently get dx == 0
-    # through every base matmul.
+    # through every base matmul. The matmul runs in bf16 with f32
+    # accumulation — exactly what autodiff of the upcast path produces
+    # (an f32 dot here is the same FLOPs at 1/4 the MXU rate).
     q, scale, xproto = res
-    dx = ((g.astype(jnp.float32) * scale) @ q.astype(jnp.float32).T).astype(
-        xproto.dtype
-    )
+    gs = (g.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    dx = jax.lax.dot_general(
+        gs,
+        q.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(xproto.dtype)
     return dx, None, None
 
 
