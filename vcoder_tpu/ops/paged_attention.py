@@ -30,6 +30,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Scoped-VMEM ceiling for the multi-query (window>1) carry kernels. At
+# serving chunked-prefill shapes (7B: KH=32, C=256, D=128) the per-row
+# working set — q/out blocks, the f32 online-softmax accumulator, the
+# [KH, C, page] logits, and the double-buffered page DMA scratch — is
+# ~26 MB, past Mosaic's 16 MB default stack budget (compile-time
+# "scoped vmem" OOM, hit live in bench_serving r4). v5e VMEM is 128 MB
+# per core; 100 MB leaves margin for Mosaic internals.
+_MULTI_VMEM_LIMIT = 100 * 1024 * 1024
+
 
 def _paged_kernel(
     # scalar prefetch
@@ -401,7 +410,9 @@ def carry_paged_attention_multi(
             jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype),
         ],
         input_output_aliases={4: 1, 5: 2},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_MULTI_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(page_table, lengths, layer, qt, k_pages, v_pages)
     out = (
@@ -664,7 +675,9 @@ def carry_paged_attention_multi_q8(
             jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype),
         ],
         input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_MULTI_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(page_table, lengths, layer, qt, k_pages, v_pages, k_scale, v_scale)
     out = (
