@@ -586,6 +586,39 @@ def sec_decode_int8(ctx):
     return out
 
 
+def sec_ttft_7b_int8(ctx):
+    # W8A8 serving TTFT: the int8-quantized 7B (the reference's load_8bit
+    # serving config, builder.py:28-31) prefills on the s8s8 MXU path
+    # (docs/PERFORMANCE.md #20) — vision tower included, its fc1/fc2/qkv
+    # are quantized too and 577 tokens/img clears the >=256 W8A8 gate.
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch
+    from vcoder_tpu.models import vcoder as model_mod
+
+    cfg = ctx.get("cfg7")
+    qparams = ctx.get("qparams7")
+    batch = _example_batch(cfg, batch_size=1)
+
+    @jax.jit
+    def ttft_q_step(params, batch):
+        logits, _ = model_mod.prefill(
+            params,
+            cfg,
+            batch,
+            batch["images"],
+            batch["segs"],
+            batch["depths"],
+            use_vcoder_emb=cfg.use_vcoder_lm_emb,
+        )
+        return jnp.argmax(logits, axis=-1)
+
+    ms = _p50(ttft_q_step, qparams, batch, iters=3, windows=3) * 1e3
+    del batch
+    return {"ttft_7b_int8_ms": ms}
+
+
 def sec_serve_int8_b8(ctx):
     import jax.numpy as jnp
 
@@ -832,6 +865,7 @@ SECTIONS = [
     ("decode_bf16_b4", sec_decode_bf16_b4),
     ("spec_costlike", sec_spec_costlike),
     ("decode_int8", sec_decode_int8),
+    ("ttft_7b_int8", sec_ttft_7b_int8),
     ("serve_int8_b8", sec_serve_int8_b8),
     ("paged_int8_b8", sec_paged_int8_b8),
     ("paged_q8_b32", sec_paged_q8_b32),

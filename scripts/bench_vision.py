@@ -23,6 +23,11 @@ from bench import _p50, _wait_for_healthy_tunnel  # noqa: E402
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, nargs="+", default=[16, 32])
+    ap.add_argument(
+        "--attrib",
+        action="store_true",
+        help="per-stage attribution (front / attn / mlp) at --batch[0]",
+    )
     args = ap.parse_args()
 
     _wait_for_healthy_tunnel()
