@@ -178,8 +178,11 @@ def paged_worker_bench(args):
     # Warmup: compile prefill buckets/chunk graphs/decode windows outside
     # the timed phases — including one long TEXT-ONLY prompt so phase B's
     # chunked-admission graphs are compiled before they are timed.
+    # Same length as phase B's long prompt so every chunk bucket
+    # (including the final partial chunk) compiles here, not mid-phase.
+    warm_long_len = min(max_len - args.max_new * 4 - 8, 1024)
     warm_long = [cfg.text.bos_token_id] + list(
-        rng.randint(5, min(cfg.text.vocab_size, 30000), size=3 * page)
+        rng.randint(5, min(cfg.text.vocab_size, 30000), size=warm_long_len)
     )
     warm = [
         StreamReader(worker, _prep(turn1_ids(90 + i), px, 4))
@@ -274,16 +277,30 @@ def paged_worker_bench(args):
     }
     print(f"phaseB: {json.dumps(out['phaseB'])}", file=sys.stderr, flush=True)
     worker.shutdown()
+    # Free the first engine's page pools (several GB) deterministically
+    # before the phase-C engine allocates its own: dangling StreamReader
+    # references keep the engine alive, so without an explicit close the
+    # second engine's first admissions race the GC for HBM and hit
+    # transient RESOURCE_EXHAUSTED through the allocator.
+    eng.close()
     del worker, eng
 
     # --- Phase C: preemption episode (undersized page pool) ---
-    # Size the pool at ~70% of what the batch actually needs at full
-    # generation length, so mid-decode page growth exhausts it and the
-    # engine must preempt-by-recompute (rather than the pool being
-    # accidentally sufficient or admission never fitting).
+    # Size the pool so every prompt fits at admission but only ~30% of
+    # the decode-growth pages exist: admission allocates exactly
+    # ceil(prompt_len/page) pages, so a pool short on PROMPT pages only
+    # defers admissions (zero preemptions); shorting the GROWTH pages is
+    # what exhausts the pool mid-decode and forces preempt-by-recompute.
     expanded = len(turn1_ids(0)) - 3 + 3 * cfg.vision.num_patches
-    pages_per_row = -(-(expanded + bg_new + args.sync_every) // page)
-    small_pool = max(int(args.batch * pages_per_row * 0.7), 8)
+    prompt_pages = -(-expanded // page)
+    full_pages = -(-(expanded + bg_new + args.sync_every) // page)
+    growth = max(full_pages - prompt_pages, 1)
+    # +2: sentinel + scratch pages are never allocatable.
+    small_pool = (
+        args.batch * prompt_pages
+        + max(int(args.batch * growth * 0.3), 1)
+        + 2
+    )
     eng2 = PagedServingEngine(
         cfg,
         params,
@@ -319,6 +336,7 @@ def paged_worker_bench(args):
     }
     print(f"phaseC: {json.dumps(out['phaseC'])}", file=sys.stderr, flush=True)
     worker2.shutdown()
+    eng2.close()
 
     print(
         json.dumps(

@@ -723,3 +723,36 @@ def test_paged_spec_engine_top_p(setup):
         temperature=0.9, top_p=1e-9,
     )
     assert spec.run()[s] == greedy.run()[g]
+
+
+def test_engine_close_frees_buffers(setup):
+    """close() deletes the page pools / decode carries deterministically
+    (dangling StreamReaders otherwise keep multi-GB pools alive on a
+    single 16 GB chip) and is idempotent; params are untouched."""
+    cfg, params, px = setup
+    eng = PagedServingEngine(
+        cfg, params, max_batch=2, max_len=768, page_size=64,
+        attn_impl="xla",
+    )
+    r = eng.add_request(_prompt(0), images=px, segs=px, max_new_tokens=3)
+    out = eng.run()[r]
+    assert len(out) > 0
+    pool = eng.k_pages
+    eng.close()
+    assert eng.k_pages is None and eng.v_pages is None
+    assert eng.tokens is None and eng._closed
+    assert pool.is_deleted()
+    eng.close()  # idempotent
+    # Shared params survive for the next engine.
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    assert not leaf.is_deleted()
+
+    slot = ServingEngine(
+        cfg, params, max_batch=2, max_len=768, attn_impl="xla"
+    )
+    r2 = slot.add_request(_prompt(1), images=px, segs=px, max_new_tokens=3)
+    assert len(slot.run()[r2]) > 0
+    cache_leaf = jax.tree_util.tree_leaves(slot.cache)[0]
+    slot.close()
+    assert slot.cache is None and cache_leaf.is_deleted()
+    slot.close()

@@ -920,6 +920,34 @@ class ServingEngine:
             for r in reqs
         }
 
+    def close(self) -> None:
+        """Free the engine's device buffers (KV cache, decode carries)
+        immediately and render the engine unusable.
+
+        Dropping the Python reference is NOT enough: StreamReaders and
+        worker threads commonly keep the engine alive, and on a single
+        16 GB chip a second engine's first allocations then race the GC
+        for HBM (transient RESOURCE_EXHAUSTED). Shared ``params`` are
+        left untouched. Idempotent."""
+        if getattr(self, "_closed", False):
+            return
+        self._closed = True
+        big = [self.cache, self.tokens]
+        if self._spec_fused:
+            big += [
+                self._history, self._hist_len, self._gen_count,
+                self._done_dev, self._budget_max,
+            ]
+        for leaf in jax.tree_util.tree_leaves(big):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+        self.cache = None
+        self.tokens = None
+        self._active_dev = self._temps_dev = self._top_ps_dev = None
+
     # ---- internals ----
 
     def _mesh_ctx(self):

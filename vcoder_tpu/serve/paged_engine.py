@@ -667,6 +667,32 @@ class PagedServingEngine(ServingEngine):
     def _shard_of(self, slot: int) -> int:
         return slot // self.rows_per_shard
 
+    def close(self) -> None:
+        """Free the page pools — the paged engine's dominant HBM use
+        (several GB at serving scale) — plus the base decode carries.
+        Idempotent; shared ``params`` are left untouched."""
+        if getattr(self, "_closed", False):
+            return
+        for leaf in jax.tree_util.tree_leaves(
+            [
+                self.k_pages,
+                self.v_pages,
+                self.k_scale,
+                self.v_scale,
+                self._table_dev,
+            ]
+        ):
+            if hasattr(leaf, "delete"):
+                try:
+                    leaf.delete()
+                except Exception:
+                    pass
+        self.k_pages = self.v_pages = None
+        self.k_scale = self.v_scale = None
+        self._table_dev = None
+        self._table_dirty = True
+        super().close()
+
     def _make_cache(self):
         # No slot cache: KV lives in the page pools.
         return None
