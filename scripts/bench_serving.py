@@ -157,7 +157,59 @@ def paged_worker_bench(args):
         )
 
     out = {}
+    bg_new = args.max_new * 4
 
+    if "A" in args.phases or "B" in args.phases:
+        _phases_ab(args, out, cfg, params, px, turn1_ids, rng,
+                   page, max_len, kv_quant, eos, bg_new,
+                   PagedServingEngine, EngineWorker)
+    if "C" in args.phases:
+        _phase_c(args, out, cfg, params, px, turn1_ids,
+                 page, max_len, kv_quant, bg_new,
+                 PagedServingEngine, EngineWorker)
+
+    print(
+        json.dumps(
+            {
+                "metric": "paged_engine_worker",
+                **{
+                    k: v
+                    for k, v in {
+                        "aggregate_tok_per_s": out.get("phaseA", {}).get(
+                            "tok_per_s"
+                        ),
+                        "ttft_p50_turn1_ms": out.get("phaseA", {}).get(
+                            "ttft_p50_turn1_ms"
+                        ),
+                        "ttft_p50_turn2_ms": out.get("phaseA", {}).get(
+                            "ttft_p50_turn2_ms"
+                        ),
+                        "prefix_hit_rate": out.get("phaseA", {}).get(
+                            "prefix_hit_rate"
+                        ),
+                        "chunked_admission_ttft_ms": out.get(
+                            "phaseB", {}
+                        ).get("admission_ttft_ms"),
+                        "bg_worst_stall_ms": out.get("phaseB", {}).get(
+                            "bg_worst_stall_ms"
+                        ),
+                        "preemptions": out.get("phaseC", {}).get(
+                            "preemptions"
+                        ),
+                    }.items()
+                    if v is not None
+                },
+                "batch": args.batch,
+                "sync_every": args.sync_every,
+            }
+        ),
+        file=_STDOUT,
+        flush=True,
+    )
+
+
+def _phases_ab(args, out, cfg, params, px, turn1_ids, rng, page, max_len,
+               kv_quant, eos, bg_new, PagedServingEngine, EngineWorker):
     # ---- Phase A+B engine: prefix cache + chunked prefill on ----
     eng = PagedServingEngine(
         cfg,
@@ -236,7 +288,6 @@ def paged_worker_bench(args):
     # --- Phase B: chunked prefill under decode load ---
     # Background decoders hold rows; a long text-only prompt admits in
     # chunks without stalling them for more than ~a chunk forward.
-    bg_new = args.max_new * 4
     bg = [
         StreamReader(worker, _prep(turn1_ids(50 + i), px, bg_new))
         for i in range(max(args.batch - 2, 1))
@@ -285,13 +336,31 @@ def paged_worker_bench(args):
     eng.close()
     del worker, eng
 
+
+def _phase_c(args, out, cfg, params, px, turn1_ids, page, max_len,
+             kv_quant, bg_new, PagedServingEngine, EngineWorker):
     # --- Phase C: preemption episode (undersized page pool) ---
     # Size the pool so every prompt fits at admission but only ~30% of
     # the decode-growth pages exist: admission allocates exactly
     # ceil(prompt_len/page) pages, so a pool short on PROMPT pages only
     # defers admissions (zero preemptions); shorting the GROWTH pages is
     # what exhausts the pool mid-decode and forces preempt-by-recompute.
-    expanded = len(turn1_ids(0)) - 3 + 3 * cfg.vision.num_patches
+    # Exact expanded length via the same splice probe the engine uses:
+    # the naive `raw - 3 + 3*num_patches` formula overshoots for DS
+    # models (the DS quirk drops the depth tokens: 1186, not 1762, at
+    # the 7B config), oversizing the pool so much it never exhausts —
+    # the other half of the round-4 "0 preemptions" mystery.
+    from vcoder_tpu.multimodal import build_splice_plan
+
+    probe = build_splice_plan(
+        [turn1_ids(0)],
+        num_patches=cfg.vision.num_patches,
+        has_image=True, has_seg=True, has_depth=True,
+        ds_mode=cfg.model_type == "vcoder_ds_llava",
+        it_mode=cfg.model_type == "vcoder_it_llava",
+        pad_multiple=1,
+    )
+    expanded = int(probe.seq_lens[0])
     prompt_pages = -(-expanded // page)
     full_pages = -(-(expanded + bg_new + args.sync_every) // page)
     growth = max(full_pages - prompt_pages, 1)
@@ -310,9 +379,14 @@ def paged_worker_bench(args):
         total_pages=small_pool,
         kv_quant=kv_quant,
         sync_every=args.sync_every,
+        eos_id=-1,
     )
+    # EOS disabled (-1): greedy decode over random weights hits the real
+    # eos id within ~25 tokens, ending every row BEFORE it crosses its
+    # first page boundary — the round-4 "0 preemptions" mystery. A
+    # preemption episode needs deterministic full-length generation.
     worker2 = EngineWorker.from_engine(
-        eng2, model_name="bench-vcoder-ds", eos_id=eos
+        eng2, model_name="bench-vcoder-ds", eos_id=-1
     )
     warm = [StreamReader(worker2, _prep(turn1_ids(80), px, 4))]
     _run_readers(warm)
@@ -323,41 +397,20 @@ def paged_worker_bench(args):
     t0 = time.perf_counter()
     _run_readers(readers)
     wall = time.perf_counter() - t0
-    total = sum(len(r.tokens) for r in readers)
-    incomplete = sum(
-        1 for r in readers if len(r.tokens) < 1
-    )
+    lens = sorted(len(r.tokens) for r in readers)
+    total = sum(lens)
+    incomplete = sum(1 for r in readers if len(r.tokens) < bg_new)
     out["phaseC"] = {
         "requests": args.batch,
         "pool_pages": small_pool,
         "preemptions": worker2.engine.preemptions,
         "tok_per_s": round(total / wall, 1),
         "incomplete": incomplete,
+        "row_tokens": lens,
     }
     print(f"phaseC: {json.dumps(out['phaseC'])}", file=sys.stderr, flush=True)
     worker2.shutdown()
     eng2.close()
-
-    print(
-        json.dumps(
-            {
-                "metric": "paged_engine_worker",
-                "aggregate_tok_per_s": out["phaseA"]["tok_per_s"],
-                "ttft_p50_turn1_ms": out["phaseA"]["ttft_p50_turn1_ms"],
-                "ttft_p50_turn2_ms": out["phaseA"]["ttft_p50_turn2_ms"],
-                "prefix_hit_rate": out["phaseA"]["prefix_hit_rate"],
-                "chunked_admission_ttft_ms": out["phaseB"][
-                    "admission_ttft_ms"
-                ],
-                "bg_worst_stall_ms": out["phaseB"]["bg_worst_stall_ms"],
-                "preemptions": out["phaseC"]["preemptions"],
-                "batch": args.batch,
-                "sync_every": args.sync_every,
-            }
-        ),
-        file=_STDOUT,
-        flush=True,
-    )
     return out
 
 
@@ -484,6 +537,8 @@ def main():
     ap.add_argument("--sync-every", type=int, default=8)
     ap.add_argument("--size", type=str, default="7b")
     ap.add_argument("--engine", choices=["paged", "slot"], default="paged")
+    ap.add_argument("--phases", type=str, default="ABC",
+                    help="subset of phases to run, e.g. --phases C")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config on CPU (smoke test)")
     args = ap.parse_args()

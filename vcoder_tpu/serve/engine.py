@@ -467,6 +467,7 @@ class ServingEngine:
         speculative: int = 0,
         sync_every: int = 1,
         lora_adapters=None,
+        eos_id: Optional[int] = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -575,7 +576,11 @@ class ServingEngine:
         self.failed: Dict[int, str] = {}
         self._next_id = 0
         self.rng = jax.random.PRNGKey(seed)
-        self.eos_id = cfg.text.eos_token_id
+        # eos_id=-1 disables EOS termination (deterministic-length
+        # generation — benchmarks/tests on random weights).
+        self.eos_id = (
+            cfg.text.eos_token_id if eos_id is None else eos_id
+        )
         from vcoder_tpu.profiling import StepTimer
 
         self.timer = StepTimer()  # ttft / decode_step percentiles

@@ -490,6 +490,7 @@ class PagedServingEngine(ServingEngine):
         prefix_max_suffix: int = 1024,
         chunked_prefill: int = 0,
         lora_adapters=None,
+        eos_id: Optional[int] = None,
     ):
         assert max_len % page_size == 0, (
             f"max_len {max_len} must be a multiple of page_size {page_size}"
@@ -531,6 +532,7 @@ class PagedServingEngine(ServingEngine):
             speculative=speculative,
             sync_every=sync_every,
             lora_adapters=lora_adapters,
+            eos_id=eos_id,
         )
         # Speculative windows overshoot a row's accepted length by up to
         # spec_k rejected tokens, and sync windows by up to sync_every-1
