@@ -989,6 +989,7 @@ def main() -> int:
         f"k=16 {_fmt(results, 'spec_k16_tok_s')}@"
         f"{_fmt(results, 'spec_k16_accept')})  "
         f"decode_int8={_fmt(results, 'decode_int8_tok_s')} tok/s  "
+        f"ttft_7b_int8={_fmt(results, 'ttft_7b_int8_ms')} ms p50 (W8A8)  "
         f"serve_int8_B8={_fmt(results, 'serve_int8_b8_tok_s')} tok/s aggregate  "
         f"paged_int8_B8={_fmt(results, 'paged_int8_b8_tok_s')} tok/s aggregate  "
         f"paged_q8kv_B32={_fmt(results, 'paged_q8_b32_tok_s')} tok/s aggregate "
