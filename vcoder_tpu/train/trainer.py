@@ -204,6 +204,11 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(self._ckpt_dir(self.step))
+        if os.path.exists(os.path.join(path, "state")):
+            # Already saved at this step (the end-of-training save lands
+            # on a save_steps boundary whenever total_steps % save_steps
+            # == 0); orbax refuses to overwrite an existing destination.
+            return path
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(
                 os.path.join(path, "state"),
