@@ -1,0 +1,96 @@
+"""int4 weight-only decode on hardware: is the 4-bit path worth serving?
+
+7B int4 weights are ~3.6 GB (vs 7.2 int8 / 14.5 bf16), so the
+weight-streaming floor for B=1 decode is ~2x the int8 rate — IF the
+int4->bf16 unpack (XLA lowers jnp.int4 loads to unpack ops on the VPU)
+keeps up with the MXU/DMA. Reference parity point: --load-4bit serving
+(`/root/reference/vcoder_llava/model/builder.py:30-38` via
+bitsandbytes NF4). Measures B=1 and B=4 fused 32-step decode windows
+plus W8A8-gated int4 prefill TTFT; prints one JSON line per metric.
+
+    python scripts/bench_int4.py [--batch 1 4]
+"""
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from bench import (  # noqa: E402
+    N_STEPS,
+    T,
+    _best_window,
+    _make_decode_n,
+    _p50,
+    _populated_cache,
+    _wait_for_healthy_tunnel,
+    jax_block,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, nargs="+", default=[1, 4])
+    ap.add_argument("--ttft", action="store_true",
+                    help="also time int4 prefill TTFT")
+    args = ap.parse_args()
+
+    _wait_for_healthy_tunnel()
+
+    import jax
+    import jax.numpy as jnp
+
+    from vcoder_tpu.config import VCoderConfig
+    from vcoder_tpu.models import vcoder as model_mod
+    from vcoder_tpu.quant import init_quantized_params
+
+    cfg = VCoderConfig.standard("vcoder_ds_llava", "7b")
+    qparams = init_quantized_params(jax.random.PRNGKey(5), cfg, bits=4)
+    decode_n = _make_decode_n(cfg)
+
+    for B in args.batch:
+        cache = _populated_cache(cfg, B)
+        tok = jnp.zeros((B,), jnp.int32)
+        pos = jnp.full((B,), T, jnp.int32)
+        tok2, cache = decode_n(qparams, tok, pos, cache)
+        jax_block(tok2)
+        sti = [tok2, cache]
+
+        def _run():
+            sti[0], sti[1] = decode_n(qparams, sti[0], pos, sti[1])
+            jax_block(sti[0])
+
+        tok_s = _best_window(_run, N_STEPS * B)
+        print(
+            json.dumps(
+                {"metric": "decode_int4", "batch": B,
+                 "tok_per_s": round(tok_s, 1)}
+            ),
+            flush=True,
+        )
+        del cache, sti
+
+    if args.ttft:
+        from __graft_entry__ import _example_batch
+
+        batch = _example_batch(cfg, batch_size=1)
+
+        @jax.jit
+        def ttft_step(params, batch):
+            logits, _ = model_mod.prefill(
+                params, cfg, batch,
+                batch["images"], batch["segs"], batch["depths"],
+                use_vcoder_emb=cfg.use_vcoder_lm_emb,
+            )
+            return jnp.argmax(logits, axis=-1)
+
+        ms = _p50(ttft_step, qparams, batch, iters=3, windows=3) * 1e3
+        print(
+            json.dumps({"metric": "ttft_7b_int4", "ms_p50": round(ms, 1)}),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -73,6 +73,7 @@ class StreamReader(threading.Thread):
         self.worker = worker
         self.prep = prep
         self.tokens = []
+        self.error = None
         self.t_submit = None
         self.t_first = None
         self.t_done = None
@@ -82,7 +83,14 @@ class StreamReader(threading.Thread):
         self.t_submit = time.perf_counter()
         handle = self.worker.submit(self.prep)
         last = None
-        for tok in handle:
+        # TokenStream yields (token, done, err) EVENTS. An errored event
+        # carries a filler token (the eos id) — recording it as output
+        # would fabricate metrics from failed requests, so error events
+        # terminate the reader and phases assert no reader errored.
+        for tok, done, err in handle:
+            if err:
+                self.error = err
+                break
             now = time.perf_counter()
             if self.t_first is None:
                 self.t_first = now
@@ -106,6 +114,15 @@ def _run_readers(readers):
         r.start()
     for r in readers:
         r.join()
+    _check_errors(readers)
+
+
+def _check_errors(readers):
+    errs = [r.error for r in readers if r.error]
+    if errs:
+        raise RuntimeError(
+            f"{len(errs)}/{len(readers)} requests errored; first: {errs[0]}"
+        )
 
 
 def paged_worker_bench(args):
@@ -147,7 +164,14 @@ def paged_worker_bench(args):
     sys_text = list(rng.randint(5, min(cfg.text.vocab_size, 30000), size=24))
 
     def turn1_ids(i):
-        q = list(rng.randint(5, min(cfg.text.vocab_size, 30000), size=8))
+        # Deterministic per conversation index (turn1_ids is called from
+        # concurrent conversation threads; a shared RandomState is not
+        # thread-safe and made prompts nondeterministic run to run).
+        q = list(
+            np.random.RandomState(1000 + i).randint(
+                5, min(cfg.text.vocab_size, 30000), size=8
+            )
+        )
         return (
             [cfg.text.bos_token_id]
             + sys_text
@@ -242,23 +266,31 @@ def _phases_ab(args, out, cfg, params, px, turn1_ids, rng, page, max_len,
     ] + [StreamReader(worker, _prep(warm_long, px, 2, images=False))]
     _run_readers(warm)
     eng.timer.samples.clear()
+    # Snapshot prefix counters: the warmup admissions register probes
+    # too, and the phase's hit rate must cover only the measured turns.
+    pc0 = dict(worker.stats().get("prefix_cache", {}))
 
     # --- Phase A: C concurrent 2-turn conversations ---
     C = args.batch
     turn_ttfts = {1: [], 2: []}
     tok_count = [0]
+    errors = []
     lock = threading.Lock()
 
     def conversation(i):
+        crng = np.random.RandomState(2000 + i)  # thread-local suffixes
         ids = turn1_ids(i)
         for turn in (1, 2):
             r = StreamReader(worker, _prep(ids, px, args.max_new))
             r.run()  # same thread: turns are sequential per conversation
             with lock:
+                if r.error:
+                    errors.append(f"conv {i} turn {turn}: {r.error}")
+                    return
                 turn_ttfts[turn].append(r.ttft_s)
                 tok_count[0] += len(r.tokens)
             ids = ids + r.tokens + list(
-                rng.randint(5, min(cfg.text.vocab_size, 30000), size=6)
+                crng.randint(5, min(cfg.text.vocab_size, 30000), size=6)
             )
 
     t0 = time.perf_counter()
@@ -271,9 +303,14 @@ def _phases_ab(args, out, cfg, params, px, turn1_ids, rng, page, max_len,
     for t in threads:
         t.join()
     wall = time.perf_counter() - t0
+    if errors:
+        raise RuntimeError(
+            f"phase A: {len(errors)} turn(s) errored; first: {errors[0]}"
+        )
     stats = worker.stats()
     pc = stats.get("prefix_cache", {})
-    hits, misses = pc.get("hits", 0), pc.get("misses", 0)
+    hits = pc.get("hits", 0) - pc0.get("hits", 0)
+    misses = pc.get("misses", 0) - pc0.get("misses", 0)
     out["phaseA"] = {
         "conversations": C,
         "turns": 2,
@@ -281,7 +318,8 @@ def _phases_ab(args, out, cfg, params, px, turn1_ids, rng, page, max_len,
         "ttft_p50_turn1_ms": round(_p50(turn_ttfts[1]) * 1e3, 1),
         "ttft_p50_turn2_ms": round(_p50(turn_ttfts[2]) * 1e3, 1),
         "prefix_hit_rate": round(hits / max(hits + misses, 1), 3),
-        "reused_pages": pc.get("reused_pages", 0),
+        "reused_pages": pc.get("reused_pages", 0)
+        - pc0.get("reused_pages", 0),
     }
     print(f"phaseA: {json.dumps(out['phaseA'])}", file=sys.stderr, flush=True)
 
@@ -306,6 +344,7 @@ def _phases_ab(args, out, cfg, params, px, turn1_ids, rng, page, max_len,
     t_adm1 = time.perf_counter()
     for r in bg:
         r.join()
+    _check_errors(bg + [lr])
     # Worst stall a decoding row saw while the chunks were admitted:
     # reconstruct each row's token timestamps and keep the inter-token
     # gaps overlapping the admission window.

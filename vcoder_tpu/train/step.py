@@ -208,14 +208,31 @@ def make_train_step(
     plain = jax.jit(step, donate_argnums=(0, 1))
     mode = []
 
+    compiled = {}  # input-shape key -> AOT-compiled pinned executable
+
+    def _compile_pinned(params, opt_state, batch):
+        key = tuple(
+            (l.shape, str(l.dtype))
+            for l in jax.tree.leaves((params, opt_state, batch))
+            if hasattr(l, "shape")
+        )
+        if key not in compiled:
+            compiled[key] = pinned.lower(params, opt_state, batch).compile()
+        return compiled[key]
+
     def offloaded_step(params, opt_state, batch):
         if not mode:
-            # Host-pinned jit outputs are a TPU feature; probe once (the
-            # failure raises at lowering, before any donation executes).
+            # Host-pinned jit outputs are a TPU feature; probe once by
+            # COMPILING ahead-of-time. The probe must not execute: the
+            # jits donate (params, opt_state), so catching a post-
+            # dispatch failure and re-running plain() would hand it
+            # already-deleted arrays (use-after-donate masking the real
+            # error). Compilation performs no donation, and the SPMD
+            # memory-kind rejection this probes for is a compile-time
+            # failure.
             try:
-                out = pinned(params, opt_state, batch)
+                _compile_pinned(params, opt_state, batch)
                 mode.append("pinned")
-                return out
             except Exception as e:
                 # Log before latching eager: a transient failure here
                 # silently costs an extra opt-state transfer EVERY step,
@@ -230,7 +247,11 @@ def make_train_step(
                 )
                 mode.append("eager")
         if mode[0] == "pinned":
-            return pinned(params, opt_state, batch)
+            # Execute the AOT executable (a runtime failure propagates —
+            # the donated inputs are gone, so no fallback is possible).
+            return _compile_pinned(params, opt_state, batch)(
+                params, opt_state, batch
+            )
         params, opt_state, metrics = plain(params, opt_state, batch)
         # ONE batched device_put for the whole tree: per-leaf calls pay
         # one dispatch each (measured 232% step overhead vs 17% batched

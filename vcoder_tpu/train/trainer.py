@@ -136,9 +136,9 @@ class Trainer:
             )
 
             host_sh = host_shardings(self.opt_state, mesh)
-            self.opt_state = jax.tree.map(
-                jax.device_put, self.opt_state, host_sh
-            )
+            # ONE batched device_put (per-leaf dispatches cost ~15 ms
+            # each through the tunnel — scripts/bench_offload.py).
+            self.opt_state = jax.device_put(self.opt_state, host_sh)
             offload_shardings = (device_shardings_like(host_sh), host_sh)
         self.step_fn = make_train_step(
             cfg,
