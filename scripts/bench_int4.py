@@ -1,14 +1,15 @@
 """int4 weight-only decode on hardware: is the 4-bit path worth serving?
 
-7B int4 weights are ~3.6 GB (vs 7.2 int8 / 14.5 bf16), so the
-weight-streaming floor for B=1 decode is ~2x the int8 rate — IF the
-int4->bf16 unpack (XLA lowers jnp.int4 loads to unpack ops on the VPU)
-keeps up with the MXU/DMA. Reference parity point: --load-4bit serving
+7B int4 weights are ~3.6 GB stored (vs 7.2 int8 / 14.5 bf16) as
+nibble-PACKED int8 bytes (ops/quant.py — ``jnp.int4`` jit entry args
+crash this backend in a device_put recursion, and measured in-graph
+unpack does NOT fuse into the dot anyway, so int4's win is CAPACITY,
+not decode bandwidth). Reference parity point: --load-4bit serving
 (`/root/reference/vcoder_llava/model/builder.py:30-38` via
 bitsandbytes NF4). Measures B=1 and B=4 fused 32-step decode windows
-plus W8A8-gated int4 prefill TTFT; prints one JSON line per metric.
+plus the W8A8 int4 prefill TTFT; prints one JSON line per metric.
 
-    python scripts/bench_int4.py [--batch 1 4]
+    python scripts/bench_int4.py [--batch 1 4] [--ttft]
 """
 
 import argparse

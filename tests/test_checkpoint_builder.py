@@ -127,6 +127,54 @@ def test_qmatmul_stacked_layers():
         np.testing.assert_allclose(y_q, y_ref, rtol=2e-2, atol=2e-2)
 
 
+def test_int4_model_matches_its_dequantized_twin():
+    """An int4 (packed-storage) model must decode token-for-token like a
+    bf16 model whose weights are the DEQUANTIZED int4 values — the exact
+    functional contract of weight-only quantization (the absolute
+    quality-vs-bf16 gap is a property of 4-bit quantization itself, not
+    of this implementation)."""
+    from vcoder_tpu.generation import generate
+    from vcoder_tpu.ops.quant import unpack_int4
+
+    cfg = VCoderConfig.tiny("vcoder_llava")
+    params = _tiny_params(cfg)
+    q4 = quantize_params(params, bits=4, destroy=False)
+    lay = q4["lm"]["layers"]["q_proj"]
+    assert isinstance(lay, QuantizedTensor) and lay.bits == 4
+    assert lay.q.dtype == jnp.int8  # packed bytes, never jnp.int4
+    assert lay.q.shape[-2] * 2 == params["lm"]["layers"]["q_proj"].shape[-2]
+
+    twin = jax.tree.map(
+        lambda x: (
+            dequantize(x, jnp.bfloat16).astype(params["lm"]["lm_head"].dtype)
+            if isinstance(x, QuantizedTensor)
+            else x
+        ),
+        q4,
+        is_leaf=lambda x: isinstance(x, QuantizedTensor),
+    )
+    hw = cfg.vision.image_size
+    px = np.asarray(jax.random.normal(jax.random.PRNGKey(2), (1, hw, hw, 3)))
+    ids = [1, 5, 6, IMAGE_TOKEN_INDEX, SEG_TOKEN_INDEX, 7, 8, 9]
+    outs = []
+    for p in (q4, twin):
+        r = generate(
+            p, cfg, [ids], jnp.asarray(px), jnp.asarray(px), None,
+            max_new_tokens=8, temperature=0.0, attn_impl="xla", pad_to=128,
+        )
+        outs.append(
+            [int(t) for t in r.sequences[0][: int(r.num_generated[0])]]
+        )
+    assert outs[0] == outs[1], outs
+
+    # unpack/pack consistency at the model level: dequantize sees the
+    # same values qmatmul's in-graph unpack computes.
+    np.testing.assert_array_equal(
+        np.asarray(unpack_int4(lay.q).astype(jnp.float32) * lay.scale),
+        np.asarray(dequantize(lay)),
+    )
+
+
 def test_quantized_model_forward_close():
     cfg = VCoderConfig.tiny("vcoder_llava")
     params = _tiny_params(cfg)

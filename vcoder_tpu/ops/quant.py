@@ -24,13 +24,29 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass
 class QuantizedTensor:
-    """q: [..., in, out] int8/int4; scale: [..., 1, out] f32."""
+    """q: [..., in, out] int8, or int4 packed two-per-byte along the
+    input axis ([..., in//2, out] int8, ``bits == 4``); scale:
+    [..., 1, out] f32.
+
+    int4 uses NIBBLE-PACKED int8 storage, never ``jnp.int4`` arrays: on
+    the tunneled TPU backend a ``jnp.int4`` jit entry argument dies in a
+    device_put/relayout recursion (upstream bug, reproduced round 4 with
+    a 4-line jit), and packed bytes are also what a Pallas unpack kernel
+    would want. Row 2i lives in the low nibble, row 2i+1 in the high."""
 
     q: jnp.ndarray
     scale: jnp.ndarray
+    bits: int = 8
 
     @property
     def shape(self):
+        """LOGICAL [..., in, out] shape (unpacked for int4)."""
+        if self.bits == 4:
+            return (
+                *self.q.shape[:-2],
+                self.q.shape[-2] * 2,
+                self.q.shape[-1],
+            )
         return self.q.shape
 
     @property
@@ -39,39 +55,65 @@ class QuantizedTensor:
 
 
 jax.tree_util.register_dataclass(
-    QuantizedTensor, data_fields=["q", "scale"], meta_fields=[]
+    QuantizedTensor, data_fields=["q", "scale"], meta_fields=["bits"]
 )
+
+
+def pack_int4(q: jnp.ndarray) -> jnp.ndarray:
+    """[..., in, out] int8 nibble values in [-8, 7] -> [..., in//2, out]
+    packed bytes (row 2i -> low nibble, row 2i+1 -> high nibble)."""
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    return ((lo & 0x0F) | (hi << 4)).astype(jnp.int8)
+
+
+def unpack_int4(qp: jnp.ndarray) -> jnp.ndarray:
+    """Packed [..., in//2, out] bytes -> [..., in, out] int8 values.
+    Arithmetic shifts sign-extend the nibbles."""
+    lo = jnp.right_shift(jnp.left_shift(qp, 4), 4)
+    hi = jnp.right_shift(qp, 4)
+    w = jnp.stack([lo, hi], axis=-2)  # [..., in//2, 2, out]
+    return w.reshape(*qp.shape[:-2], qp.shape[-2] * 2, qp.shape[-1])
 
 
 def quantize(w: jnp.ndarray, bits: int = 8) -> QuantizedTensor:
     """Symmetric per-output-channel quantization over the input axis."""
     if bits == 8:
-        qmax, dtype = 127.0, jnp.int8
+        qmax = 127.0
     elif bits == 4:
-        qmax, dtype = 7.0, jnp.int4
+        qmax = 7.0
     else:
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     w32 = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
     scale = jnp.maximum(absmax, 1e-8) / qmax
-    q = jnp.clip(jnp.round(w32 / scale), -qmax, qmax).astype(dtype)
+    q = jnp.clip(jnp.round(w32 / scale), -qmax, qmax).astype(jnp.int8)
+    if bits == 4:
+        if w.shape[-2] % 2:
+            raise ValueError(
+                f"int4 packing needs an even input dim, got {w.shape}"
+            )
+        return QuantizedTensor(q=pack_int4(q), scale=scale, bits=4)
     return QuantizedTensor(q=q, scale=scale)
 
 
 def dequantize(w: QuantizedTensor, dtype=jnp.float32) -> jnp.ndarray:
-    return (w.q.astype(jnp.float32) * w.scale).astype(dtype)
+    q = unpack_int4(w.q) if w.bits == 4 else w.q
+    return (q.astype(jnp.float32) * w.scale).astype(dtype)
 
 
 def base_weight_dtype(w):
     """Effective storage dtype of a weight leaf, unwrapping LoraWeight
     and QuantizedTensor (a LoRA adapter over an int8 base is int8; a
-    plain or LoRA-wrapped bf16 matrix is bf16). Callers use this to pick
-    execution strategies that depend on whether the stacked projections
-    are quantized (e.g. fused-loop vs unrolled decode windows)."""
+    plain or LoRA-wrapped bf16 matrix is bf16; a packed int4 tensor
+    reports jnp.int4 even though its storage bytes are int8). Callers
+    use this to pick execution strategies that depend on whether the
+    stacked projections are quantized (e.g. fused-loop vs unrolled
+    decode windows)."""
     while type(w).__name__ in ("LoraWeight", "MultiLoraWeight"):
         w = w.base
     if isinstance(w, QuantizedTensor):
-        return w.q.dtype
+        return jnp.int4 if w.bits == 4 else w.q.dtype
     return w.dtype
 
 
@@ -162,9 +204,27 @@ def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
             and x.ndim >= 2
             and math.prod(x.shape[:-1]) >= W8A8_MIN_TOKENS
         ):
+            # int4 rides the same s8s8 MXU path: unpacked nibbles are
+            # int8 values in [-8, 7] (compute-bound token counts amortize
+            # the unpack temp).
+            q = unpack_int4(w.q) if w.bits == 4 else w.q
             x2 = x.reshape(-1, x.shape[-1])
-            y = _w8a8_matmul(x2, w.q, w.scale)
-            return y.reshape(*x.shape[:-1], w.q.shape[-1])
+            y = _w8a8_matmul(x2, q, w.scale)
+            return y.reshape(*x.shape[:-1], q.shape[-1])
+        if w.bits == 4:
+            # Split by nibble instead of unpacking: with row 2i in the
+            # low nibble and row 2i+1 in the high,
+            #   x @ W == x[..., 0::2] @ lo(q) + x[..., 1::2] @ hi(q).
+            # The shifts are elementwise on the dot operands (no
+            # stack/reshape materializing an unpacked copy), the form
+            # XLA can fuse into the weight read like the int8 astype.
+            lo = jnp.right_shift(jnp.left_shift(w.q, 4), 4)
+            hi = jnp.right_shift(w.q, 4)
+            y = (
+                x[..., 0::2] @ lo.astype(x.dtype)
+                + x[..., 1::2] @ hi.astype(x.dtype)
+            )
+            return y * w.scale.astype(x.dtype)
         y = x @ w.q.astype(x.dtype)
         # scale is [..., 1, out]: broadcast as-is against y [..., T, out].
         # (Squeezing the 1-axis right-aligns a stacked [L, out] scale

@@ -60,37 +60,52 @@ def init_quantized_params(
             # Sample the quantized representation directly, layer-stacked
             # tensors per-layer inside one jit: randint's u32 bit buffer
             # for a full 13B stacked tensor is an 11 GB transient.
+            # int4 samples its nibble-PACKED int8 bytes directly (see
+            # ops.quant.QuantizedTensor) at half the int8 storage shape.
             qmax = 127 if bits == 8 else 7
-            qdt = jnp.int8 if bits == 8 else jnp.int4
+            store = (
+                sds.shape
+                if bits == 8
+                else sds.shape[:-2] + (sds.shape[-2] // 2, sds.shape[-1])
+            )
 
-            if len(sds.shape) == 3:
+            def sample(k, shape):
+                if bits == 8:
+                    return jax.random.randint(
+                        k, shape, -qmax, qmax + 1, jnp.int8
+                    )
+                lo = jax.random.randint(k, shape, -qmax, qmax + 1, jnp.int8)
+                hi = jax.random.randint(
+                    jax.random.fold_in(k, 7), shape, -qmax, qmax + 1,
+                    jnp.int8,
+                )
+                return (lo & 0x0F) | (hi << 4)
+
+            if len(store) == 3:
 
                 @jax.jit
                 def _fill(key):
                     def body(i, buf):
                         k = jax.random.fold_in(key, i)
-                        vals = jax.random.randint(
-                            k, sds.shape[1:], -qmax, qmax + 1, jnp.int8
-                        )
                         return jax.lax.dynamic_update_index_in_dim(
-                            buf, vals.astype(qdt), i, 0
+                            buf, sample(k, store[1:]), i, 0
                         )
 
                     return jax.lax.fori_loop(
-                        0, sds.shape[0], body, jnp.zeros(sds.shape, qdt)
+                        0, store[0], body, jnp.zeros(store, jnp.int8)
                     )
 
                 q = _fill(key)
             else:
-                q = jax.random.randint(
-                    key, sds.shape, -qmax, qmax + 1, jnp.int8
-                ).astype(qdt)
+                q = sample(key, store)
             scale = jnp.full(
                 sds.shape[:-2] + (1, sds.shape[-1]),
                 0.02 / qmax,
                 jnp.float32,
             )
-            return QuantizedTensor(q=q, scale=scale)
+            return QuantizedTensor(
+                q=q, scale=scale, bits=bits
+            )
         if sds.dtype in (jnp.float32, jnp.bfloat16, jnp.float16):
             # Match init_vcoder_params' structure: norm/scale weights are
             # ones and biases zeros — N(0, 0.02) there would scale every
