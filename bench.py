@@ -674,10 +674,11 @@ def _paged_decode_n_fn(cfg, table, lengths0, active, *, quantized):
                 hidden, k_pages, v_pages, k_scale, v_scale = res
             else:
                 hidden, k_pages, v_pages = res
-            logits = hidden[:, 0] @ (
-                params["lm"]["lm_head"].q.astype(jnp.bfloat16)
-                if hasattr(params["lm"]["lm_head"], "q")
-                else params["lm"]["lm_head"]
+            from vcoder_tpu.ops.quant import qmatmul
+
+            logits = qmatmul(
+                hidden[:, 0].astype(jnp.bfloat16),
+                params["lm"]["lm_head"],
             )
             tok = jnp.argmax(logits, -1).astype(jnp.int32)
             if quantized:

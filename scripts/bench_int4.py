@@ -35,7 +35,13 @@ def main():
     ap.add_argument("--batch", type=int, nargs="+", default=[1, 4])
     ap.add_argument("--ttft", action="store_true",
                     help="also time int4 prefill TTFT")
+    ap.add_argument("--cap13", type=int, default=0, metavar="B",
+                    help="13B int4 + int8-page capacity case at batch B "
+                    "(skips the 7B sections)")
     args = ap.parse_args()
+    if args.cap13:
+        cap13(args.cap13)
+        return
 
     _wait_for_healthy_tunnel()
 
@@ -91,6 +97,46 @@ def main():
             json.dumps({"metric": "ttft_7b_int4", "ms_p50": round(ms, 1)}),
             flush=True,
         )
+
+
+def cap13(B):
+    """13B serving CAPACITY on one 16 GB chip: int4 weights (6.6 GB) +
+    int8 KV pages leave room for a B-row paged decode batch that int8
+    weights (13 GB) cannot hold. Same synthetic paged-decode harness as
+    bench.py's paged13_q8_b4 section."""
+    _wait_for_healthy_tunnel()
+
+    import bench as B_
+    import jax
+
+    from vcoder_tpu.quant import init_quantized_params
+
+    class _Ctx:
+        def __init__(self, d):
+            self.d = d
+
+        def get(self, k):
+            return self.d[k]
+
+    from vcoder_tpu.config import VCoderConfig
+
+    cfg13 = VCoderConfig.standard("vcoder_ds_llava", "13b")
+    params13 = init_quantized_params(jax.random.PRNGKey(7), cfg13, bits=4)
+    ctx = _Ctx({"cfg13": cfg13, "params13": params13})
+    out = B_._paged_section(
+        ctx, params_key="params13", cfg_key="cfg13", B=B,
+        page=B_.PAGE_Q, quantized=True, name="tok_per_s",
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "paged13_int4_q8",
+                "batch": B,
+                "tok_per_s": round(out["tok_per_s"], 1),
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

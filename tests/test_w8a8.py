@@ -99,6 +99,25 @@ def test_int4_below_threshold_takes_nibble_split_path():
     )
 
 
+@pytest.mark.parametrize("B,K,N", [(1, 128, 256), (4, 256, 384), (7, 128, 128)])
+def test_int4_pallas_kernel_matches_unpacked_oracle(B, K, N):
+    """The fused Pallas int4 matmul (interpret mode) must equal the
+    unpacked-bf16 dot bit-for-bit-close, including the B < 8 sublane
+    padding path and non-default block widths."""
+    from vcoder_tpu.ops.int4_matmul import int4_matmul, int4_matmul_supported
+
+    assert int4_matmul_supported(K, N)
+    rng = np.random.RandomState(B)
+    vals = rng.randint(-7, 8, (K, N)).astype(np.int8)
+    packed = quant.pack_int4(jnp.asarray(vals))
+    x = jnp.asarray(rng.randn(B, K), jnp.bfloat16)
+    got = int4_matmul(x, packed, interpret=True)
+    want = (x @ jnp.asarray(vals, jnp.bfloat16)).astype(jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want), rtol=2e-2, atol=2e-1
+    )
+
+
 def test_int4_pack_roundtrip_and_logical_shape():
     rng = np.random.RandomState(3)
     vals = jnp.asarray(

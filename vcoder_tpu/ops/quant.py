@@ -139,6 +139,15 @@ W8A8_MIN_TOKENS = 256
 
 _W8A8_ENABLED = os.environ.get("VCODER_W8A8_PREFILL", "1") != "0"
 
+#: Fused Pallas int4 matmul (ops/int4_matmul.py) vs the XLA nibble-split
+#: two-dot form. Hardware A/B at 7B decode: statistically even at B=1
+#: (57.8 vs 57.6 tok/s), split slightly ahead at B=4 (294 vs 278) — both
+#: are VPU-unpack-bound, and Mosaic cannot lower int8-lane shifts or s8
+#: pallas dots (remote-compile crash) that would lift that ceiling. The
+#: kernel reads HALF the HBM bytes, which matters when weight traffic
+#: competes with big KV pools (the 13B B=16 capacity case).
+_INT4_KERNEL = os.environ.get("VCODER_INT4_KERNEL", "1") != "0"
+
 
 def w8a8_enabled() -> bool:
     return _W8A8_ENABLED
@@ -212,6 +221,25 @@ def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
             y = _w8a8_matmul(x2, q, w.scale)
             return y.reshape(*x.shape[:-1], q.shape[-1])
         if w.bits == 4:
+            if (
+                _INT4_KERNEL
+                and w.q.ndim == 2
+                and x.ndim >= 2
+                and jax.default_backend() == "tpu"
+            ):
+                from vcoder_tpu.ops.int4_matmul import (
+                    int4_matmul,
+                    int4_matmul_supported,
+                )
+
+                K2, N = w.q.shape
+                if int4_matmul_supported(2 * K2, N):
+                    # Fused Pallas kernel: packed bytes stream from HBM
+                    # ONCE, nibbles sign-extend on the VPU in VMEM
+                    # (hardware A/B in ops/int4_matmul.py docstring).
+                    x2 = x.reshape(-1, x.shape[-1])
+                    y = int4_matmul(x2, w.q).reshape(*x.shape[:-1], N)
+                    return y * w.scale.astype(x.dtype)
             # Split by nibble instead of unpacking: with row 2i in the
             # low nibble and row 2i+1 in the high,
             #   x @ W == x[..., 0::2] @ lo(q) + x[..., 1::2] @ hi(q).
