@@ -1,10 +1,12 @@
 """Chunked prefill (paged engine prefill/decode interleaving).
 
 A `chunked_prefill=N` engine runs at most one N-token prefill chunk per
-step(), so admissions never stall in-flight decodes for longer than one
-chunk — while emitting token-for-token the same outputs as the fused
-dense-prefill engine. The reference blocks its whole generate loop on
-each admission (HF GenerationMixin is strictly sequential,
+step() while rows are decoding, so admissions never stall in-flight
+decodes for longer than one chunk — and runs chunks to completion when
+the engine is idle (nothing to interleave against) — while emitting
+token-for-token the same outputs as the fused dense-prefill engine. The
+reference blocks its whole generate loop on each admission (HF
+GenerationMixin is strictly sequential,
 vcoder_llava/serve/chat.py:141-150); vLLM-style chunked prefill is a
 TPU-rebuild addition."""
 
@@ -154,6 +156,21 @@ def test_decode_interleaves_with_admission(setup):
     # through them.
     assert pending_steps >= 2
     assert saw_r0_during_pending >= pending_steps
+
+
+def test_idle_admission_runs_all_chunks_in_one_step(setup):
+    """With no rows decoding there is nothing to interleave against, so
+    a cold chunked admission must complete inside ONE step() instead of
+    paying the one-chunk-per-step tax (the vLLM token-budget rule)."""
+    cfg, params, px = setup
+    eng = _engine(cfg, params, chunked_prefill=8, max_len=512)
+    long_prompt = _text_prompt(list(range(30, 80)), n=90)  # many chunks
+    rid = eng.add_request(long_prompt, max_new_tokens=4)
+    events = eng.step()
+    assert eng._pending is None
+    assert any(r == rid for r, _, _ in events)  # first token emitted
+    # And under load the one-chunk-per-step contract still holds
+    # (test_decode_interleaves_with_admission).
 
 
 def test_pool_exhaustion_defers_chunked_admission(setup):

@@ -799,29 +799,37 @@ class PagedServingEngine(ServingEngine):
     # ---- chunked admission (prefill/decode interleaving) ----
 
     def _admit_chunked(self) -> List[Tuple[int, int, bool]]:
-        """Advance prefill work by AT MOST one chunk this step: either
-        continue the pending request's region, or pop the queue and start
-        (plus run the first chunk of) a new one. Decode for active slots
-        proceeds every step regardless."""
-        if self._pending is not None:
-            return self._advance_pending()
+        """Advance prefill work by one chunk per step UNDER DECODE LOAD,
+        or to completion when no row is decoding: chunking exists to
+        bound how long in-flight decodes stall behind an admission, so
+        with nothing to interleave against there is no reason to pay the
+        per-chunk step tax (vLLM's token-budget rule: decode tokens and
+        prefill chunks share one step budget, and an idle step's whole
+        budget goes to prefill)."""
         events: List[Tuple[int, int, bool]] = []
-        while self.queue and not all(self.active):
-            slot = int(np.nonzero(~self.active)[0][0])
-            req = self.queue.pop(0)
-            try:
-                self._start_pending(req, slot)
-            except ValueError as e:
-                # Oversized prompt / pool too small: fail this request.
-                req.done = True
-                req.error = str(e)
-                self._record_failure(req)
-                events.append((req.request_id, self.eos_id, True))
-                continue
-            except DeferAdmission:
+        while True:
+            if self._pending is not None:
+                events += self._advance_pending()
+            elif self.queue and not all(self.active):
+                slot = int(np.nonzero(~self.active)[0][0])
+                req = self.queue.pop(0)
+                try:
+                    self._start_pending(req, slot)
+                except ValueError as e:
+                    # Oversized prompt / pool too small: fail this request.
+                    req.done = True
+                    req.error = str(e)
+                    self._record_failure(req)
+                    events.append((req.request_id, self.eos_id, True))
+                    continue
+                except DeferAdmission:
+                    break
+                events += self._advance_pending()
+            else:
                 break
-            events += self._advance_pending()
-            break
+            if any(self.active):
+                # Decode work exists: at most one chunk this step.
+                break
         return events
 
     def _start_pending(self, req: Request, slot: int) -> None:
