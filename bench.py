@@ -310,6 +310,16 @@ class Ctx:
         self.drop("params7")
         return init_quantized_params(jax.random.PRNGKey(5), self.get("cfg7"), bits=8)
 
+    def _build_qparams4(self):
+        """Packed-int4 7B weights (3.7 GB — coexists with qparams7)."""
+        import jax
+
+        from vcoder_tpu.quant import init_quantized_params
+
+        return init_quantized_params(
+            jax.random.PRNGKey(6), self.get("cfg7"), bits=4
+        )
+
     def _build_params13(self):
         import jax
 
@@ -583,6 +593,34 @@ def sec_decode_int8(ctx):
 
     out = {"decode_int8_tok_s": _best_window(_run, N_STEPS)}
     del cache, sti
+    return out
+
+
+def sec_decode_int4(ctx):
+    # Packed-int4 decode (--load-4bit serving, PERFORMANCE.md #21): B=4
+    # window through the fused Pallas unpack kernel. The capacity
+    # headline (13B int4 B=16, ~20 min of init+compile) lives in
+    # scripts/bench_int4.py --cap13 instead.
+    import jax.numpy as jnp
+
+    cfg = ctx.get("cfg7")
+    q4 = ctx.get("qparams4")
+    decode_n = ctx.get("decode_n7")
+    B = 4
+    cache = _populated_cache(cfg, B)
+    tok = jnp.zeros((B,), jnp.int32)
+    pos = jnp.full((B,), T, jnp.int32)
+    tok2, cache = decode_n(q4, tok, pos, cache)
+    jax_block(tok2)
+    sti = [tok2, cache]
+
+    def _run():
+        sti[0], sti[1] = decode_n(q4, sti[0], pos, sti[1])
+        jax_block(sti[0])
+
+    out = {"decode_int4_b4_tok_s": _best_window(_run, N_STEPS * B)}
+    del cache, sti
+    ctx.drop("qparams4")
     return out
 
 
@@ -866,6 +904,7 @@ SECTIONS = [
     ("decode_bf16_b4", sec_decode_bf16_b4),
     ("spec_costlike", sec_spec_costlike),
     ("decode_int8", sec_decode_int8),
+    ("decode_int4", sec_decode_int4),
     ("ttft_7b_int8", sec_ttft_7b_int8),
     ("serve_int8_b8", sec_serve_int8_b8),
     ("paged_int8_b8", sec_paged_int8_b8),
@@ -990,6 +1029,8 @@ def main() -> int:
         f"k=16 {_fmt(results, 'spec_k16_tok_s')}@"
         f"{_fmt(results, 'spec_k16_accept')})  "
         f"decode_int8={_fmt(results, 'decode_int8_tok_s')} tok/s  "
+        f"decode_int4_B4={_fmt(results, 'decode_int4_b4_tok_s')} tok/s "
+        f"aggregate (packed int4)  "
         f"ttft_7b_int8={_fmt(results, 'ttft_7b_int8_ms')} ms p50 (W8A8)  "
         f"serve_int8_B8={_fmt(results, 'serve_int8_b8_tok_s')} tok/s aggregate  "
         f"paged_int8_B8={_fmt(results, 'paged_int8_b8_tok_s')} tok/s aggregate  "

@@ -90,6 +90,38 @@ def test_engine_concurrent_requests_and_slot_reuse(setup):
         assert out[rid] == ref_tokens, f"request {i}"
 
 
+def test_int4_engine_matches_fused_generate(setup):
+    """--load-4bit serving end to end: both engines over packed-int4
+    weights must emit the fused generate loop's tokens (round 4: int4
+    previously compiled on CPU and crashed on TPU — jnp.int4 entry args;
+    now nibble-packed int8 storage, ops/quant.py)."""
+    from vcoder_tpu.quant import quantize_params
+    from vcoder_tpu.serve.paged_engine import PagedServingEngine
+
+    cfg, params, px = setup
+    q4 = quantize_params(params, bits=4, destroy=False)
+    ids = _prompt(3)
+    ref = generate(
+        q4, cfg, [ids], jnp.asarray(px), jnp.asarray(px), jnp.asarray(px),
+        max_new_tokens=5, temperature=0.0, attn_impl="xla", pad_to=512,
+    )
+    ref_tokens = [
+        int(t) for t in ref.sequences[0][: int(ref.num_generated[0])]
+    ]
+    for eng in (
+        ServingEngine(cfg, q4, max_batch=2, max_len=768, attn_impl="xla"),
+        PagedServingEngine(
+            cfg, q4, max_batch=2, max_len=768, page_size=16,
+            attn_impl="xla",
+        ),
+    ):
+        rid = eng.add_request(
+            ids, images=px, segs=px, depths=px, max_new_tokens=5
+        )
+        out = eng.run()
+        assert out[rid] == ref_tokens, type(eng).__name__
+
+
 def test_engine_mixed_modalities(setup):
     cfg, params, px = setup
     eng = ServingEngine(

@@ -348,11 +348,16 @@ def test_engine_cancel_returns_pages():
     assert len(eng.free_pages[0]) == free0
     assert not eng.cancel(rid)  # already gone
 
-    # Pending chunked prefill: cancel mid-region.
+    # Pending chunked prefill: cancel mid-region. A decode row must be
+    # active first — an idle engine runs admission chunks to completion
+    # inside one step (the idle fast path), leaving nothing pending.
     eng2 = PagedServingEngine(
         cfg, params, max_batch=2, max_len=256, page_size=8,
         attn_impl="xla", chunked_prefill=8,
     )
+    bg = eng2.add_request(prompt[:10], max_new_tokens=64)
+    while not any(eng2.active):
+        eng2.step()
     free0 = len(eng2.free_pages[0])
     rid = eng2.add_request(prompt, max_new_tokens=8)
     eng2.step()
@@ -360,4 +365,4 @@ def test_engine_cancel_returns_pages():
     assert eng2.cancel(rid)
     assert eng2._pending is None
     assert len(eng2.free_pages[0]) == free0
-    assert not eng2.has_work()
+    assert eng2.cancel(bg)
