@@ -336,6 +336,40 @@ def test_paged_engine_multichip_matches_single(setup):
     )
 
 
+@pytest.mark.slow
+def test_paged_engine_multichip_int4_matches_single(setup):
+    """Packed-int4 weights under the mesh: the PACKED q leaf has a halved
+    input dim, so the inherited sharding spec must still align (or drop
+    the axis via _shrink_to_fit) — decoded tokens must match the
+    single-device int4 engine exactly."""
+    from vcoder_tpu.parallel.mesh import make_mesh
+    from vcoder_tpu.parallel.sharding import shard_params
+    from vcoder_tpu.quant import quantize_params
+
+    cfg, params, px = setup
+    q4 = quantize_params(params, bits=4, destroy=False)
+    mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, model=2)
+
+    single = PagedServingEngine(
+        cfg, q4, max_batch=4, max_len=768, page_size=64, attn_impl="xla",
+    )
+    multi = PagedServingEngine(
+        cfg, shard_params(q4, mesh), max_batch=4, max_len=768,
+        page_size=64, attn_impl="xla", mesh=mesh,
+    )
+    outs = {}
+    for name, eng in (("single", single), ("multi", multi)):
+        rids = [
+            eng.add_request(
+                _prompt(i), images=px, segs=px, max_new_tokens=5
+            )
+            for i in range(4)
+        ]
+        res = eng.run()
+        outs[name] = [res[r] for r in rids]
+    assert outs["multi"] == outs["single"]
+
+
 # ---- int8 page pools (kv_quant) ------------------------------------------
 
 
