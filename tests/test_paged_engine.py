@@ -790,3 +790,107 @@ def test_engine_close_frees_buffers(setup):
     slot.close()
     assert slot.cache is None and cache_leaf.is_deleted()
     slot.close()
+
+
+# ---------------------------------------------------------------------------
+# Fused append+attend kernels (ops/paged_attention.py FUSED_APPEND path)
+# ---------------------------------------------------------------------------
+
+
+def _fused_case(quantized, window, active_mask):
+    """Fused kernel vs XLA-scatter append + non-fused attend: pools must
+    match EXACTLY (same bytes land in the same slots) and active rows'
+    outputs must match the oracle numerically. GQA (H=8, KH=4), window
+    straddling a page boundary on row 0."""
+    from vcoder_tpu.models.llama import _kv_quantize
+    from vcoder_tpu.ops.paged_attention import (
+        append_token_scales_layer,
+        append_tokens_layer,
+        carry_paged_attention_fused,
+        carry_paged_attention_multi,
+        carry_paged_attention_multi_q8,
+    )
+
+    L, n_pages, KH, page, D, B, H = 2, 12, 4, 8, 16, 3, 8
+    k = window
+    rng = np.random.default_rng(21 + window + 10 * quantized)
+    kp_f = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    vp_f = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    # lengths BEFORE the window; row 0 straddles its page boundary.
+    lengths0 = jnp.asarray([page - 1, 2 * page + 3, 5], jnp.int32)
+    active = jnp.asarray(active_mask, bool)
+    positions = lengths0  # window token 0 lands at the row's tail
+    table = np.zeros((B, 4), np.int32)
+    for b in range(B):
+        table[b] = 1 + b * 3 + np.arange(4) % 3  # last entry wraps; unused
+        table[b] = 1 + b * 3 + np.minimum(np.arange(4), 2)
+    table = jnp.asarray(table)
+    q = jnp.asarray(rng.standard_normal((B, k, H, D)), jnp.float32)
+    new_k = jnp.asarray(rng.standard_normal((B, k, KH, D)), jnp.float32)
+    new_v = jnp.asarray(rng.standard_normal((B, k, KH, D)), jnp.float32)
+    attn_lengths = lengths0 + k * active.astype(jnp.int32)
+    pos2d = positions[:, None] + jnp.arange(k, dtype=jnp.int32)[None]
+    l = jnp.int32(1)
+
+    if quantized:
+        kq_pool, ks_pool = _kv_quantize(kp_f)
+        vq_pool, vs_pool = _kv_quantize(vp_f)
+        ks_pool, vs_pool = ks_pool[..., 0], vs_pool[..., 0]
+        nkq, nks = _kv_quantize(new_k)
+        nvq, nvs = _kv_quantize(new_v)
+        nks, nvs = nks[..., 0], nvs[..., 0]
+        # Oracle: XLA appends then the non-fused q8 kernel.
+        kp_ref = append_tokens_layer(kq_pool, l, nkq, pos2d, table, active)
+        vp_ref = append_tokens_layer(vq_pool, l, nvq, pos2d, table, active)
+        ks_ref = append_token_scales_layer(ks_pool, l, nks, pos2d, table, active)
+        vs_ref = append_token_scales_layer(vs_pool, l, nvs, pos2d, table, active)
+        out_ref, *_ = carry_paged_attention_multi_q8(
+            q, kp_ref, vp_ref, ks_ref, vs_ref, table, attn_lengths, l,
+            window=k, interpret=True,
+        )
+        out, kp2, vp2, ks2, vs2 = carry_paged_attention_fused(
+            q, nkq, nvq, kq_pool, vq_pool, table, attn_lengths, positions,
+            active, l, window=k, interpret=True,
+            k_scale=ks_pool, v_scale=vs_pool, new_ks=nks, new_vs=nvs,
+        )
+        np.testing.assert_array_equal(np.asarray(kp2), np.asarray(kp_ref))
+        np.testing.assert_array_equal(np.asarray(vp2), np.asarray(vp_ref))
+        np.testing.assert_array_equal(np.asarray(ks2), np.asarray(ks_ref))
+        np.testing.assert_array_equal(np.asarray(vs2), np.asarray(vs_ref))
+    else:
+        kp_ref = append_tokens_layer(kp_f, l, new_k, pos2d, table, active)
+        vp_ref = append_tokens_layer(vp_f, l, new_v, pos2d, table, active)
+        out_ref, *_ = carry_paged_attention_multi(
+            q, kp_ref, vp_ref, table, attn_lengths, l, window=k,
+            interpret=True,
+        )
+        out, kp2, vp2 = carry_paged_attention_fused(
+            q, new_k, new_v, kp_f, vp_f, table, attn_lengths, positions,
+            active, l, window=k, interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(kp2), np.asarray(kp_ref))
+        np.testing.assert_array_equal(np.asarray(vp2), np.asarray(vp_ref))
+
+    # Outputs compared on ACTIVE rows only: for finished rows the fused
+    # kernel attends the true `lengths` tokens while the non-fused oracle
+    # replays its window-mask arithmetic on a window that was never
+    # appended — both are discarded by the engine.
+    act = np.asarray(active)
+    np.testing.assert_allclose(
+        np.asarray(out)[act], np.asarray(out_ref)[act], atol=2e-5, rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+@pytest.mark.parametrize("window", [1, 4])
+def test_fused_append_attend_matches_scatter_oracle(quantized, window):
+    _fused_case(quantized, window, [True, True, True])
+
+
+def test_fused_append_attend_inactive_rows_park_on_scratch():
+    _fused_case(False, 1, [True, False, True])
+    _fused_case(True, 4, [False, True, True])

@@ -30,6 +30,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Trace-time A/B knob (scripts/bench_paged_attrib.py): when True the q8
+# kernels fold the per-token scales into the LOGITS (after the QK dot)
+# and the PROBS (before PV) — the dense decode path's trick — instead of
+# dequantizing the full [KH, page, D] K/V tiles elementwise in VMEM.
+# Same math (scales are per token, the dots are over D), ~page_size x
+# fewer VPU multiplies per tile.
+FOLD_SCALES = True
+
 # Scoped-VMEM ceiling for the multi-query (window>1) carry kernels. At
 # serving chunked-prefill shapes (7B: KH=32, C=256, D=128) the per-row
 # working set — q/out blocks, the f32 online-softmax accumulator, the
@@ -234,13 +242,19 @@ def carry_paged_attention(
     return out[:, 0], k_pages, v_pages
 
 def _online_softmax_page_step(
-    q, k, v, j, carry, *, length, window, page_size, scale
+    q, k, v, j, carry, *, length, window, page_size, scale,
+    k_scale=None, v_scale=None,
 ):
     """Shared online-softmax accumulation for ONE page of the
     multi-query (decode/verify) kernels: window-causal mask, running-max
     rescale, PV accumulate. Plain Python inlined at trace time by both
     the bf16 and q8 kernel bodies, so the mask/rescale math can never
-    drift between them. q [KH, C, D]; k/v [KH, page, D]."""
+    drift between them. q [KH, C, D]; k/v [KH, page, D].
+
+    ``k_scale``/``v_scale`` ([KH, page] f32, q8 kernels with FOLD_SCALES)
+    fold the per-token dequant scales into the logits / probs instead of
+    the K/V tiles: sum_t softmax(q.k_t * ks_t) * (vs_t * v_t) — per-token
+    scalars commute out of the D-dots, so the math is unchanged."""
     m, lsum, acc = carry
     KH, C, _ = q.shape
     s = jax.lax.dot_general(
@@ -249,6 +263,8 @@ def _online_softmax_page_step(
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     ) * scale  # [KH, C, page]
+    if k_scale is not None:
+        s = s * k_scale[:, None, :]
     tok = j * page_size + jax.lax.broadcasted_iota(
         jnp.int32, (KH, C, page_size), 2
     )
@@ -263,6 +279,8 @@ def _online_softmax_page_step(
     alpha = jnp.exp(m - m_new)
     p = jnp.where(mask, jnp.exp(s - m_new), 0.0)
     lsum = alpha * lsum + jnp.sum(p, axis=2, keepdims=True)
+    if v_scale is not None:
+        p = p * v_scale[:, None, :]
     pv = jax.lax.dot_general(
         p.astype(v.dtype),
         v,
@@ -586,6 +604,14 @@ def _carry_kernel_multi_q8(
 
         for buf, sem, pool in streams:
             page_dma(slot, j, buf, sem, pool).wait()
+        if FOLD_SCALES:
+            # Upcast only; the per-token scales fold into logits/probs
+            # inside the shared step (page_size x fewer VPU multiplies).
+            return _online_softmax_page_step(
+                q, kbuf[slot].astype(dt), vbuf[slot].astype(dt), j, carry,
+                length=length, window=window, page_size=page_size,
+                scale=scale, k_scale=ksbuf[slot], v_scale=vsbuf[slot],
+            )
         # In-VMEM dequant right after the DMA, then the shared step.
         k = kbuf[slot].astype(dt) * ksbuf[slot][:, :, None].astype(dt)
         v = vbuf[slot].astype(dt) * vsbuf[slot][:, :, None].astype(dt)
@@ -1070,3 +1096,351 @@ def write_prompt_pages(
         0, 2, 1, 3
     )  # [n, KH, page, D]
     return pages.at[page_ids].set(chunks.astype(pages.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Fused append+attend kernels. The decode/verify step previously wrote the
+# window's K/V (+ scales) into the page pools with 2-4 XLA scatters per
+# layer and then re-read them through the page DMAs — measured at 10.9 ms
+# of the 31 ms B=32 q8 decode step (scripts/bench_paged_attrib.py,
+# docs/bench_logs/r4_paged_attrib_prefold.txt). Here the window enters the
+# kernel as VMEM operands instead: it is attended directly from VMEM (a
+# "virtual page" after the real-page loop) and streamed OUT to its page
+# slots with fire-and-forget DMAs that are only waited at program end, so
+# new tokens never round-trip through HBM before being attended and the
+# kernel reads one page less whenever the window opens a fresh page.
+# Toggle: FUSED_APPEND (trace-time; llama_paged_decode/verify honor it).
+# ---------------------------------------------------------------------------
+
+FUSED_APPEND = True
+
+
+def _carry_kernel_fused(
+    # scalar prefetch
+    table_ref,  # [B, P_max] int32 LOCAL page ids
+    lengths_ref,  # [B] tokens INCLUDING the window for ACTIVE rows
+    pos_ref,  # [B] absolute position of window token 0 (storage slot)
+    layer_ref,  # [1] int32
+    active_ref,  # [B] int32 (0 = finished row: no writes, no window step)
+    *refs,
+    scale: float,
+    page_size: int,
+    window: int,
+    quantized: bool,
+):
+    """Shared fused-append kernel body (bf16 pools and int8+scales pools).
+
+    Mask split: pre-window tokens (all ``old = length - window*active`` of
+    them) are visible to every query column, so the page loop runs the
+    shared step with ``length=old, window=1``; the window itself is a
+    virtual in-VMEM page with the intra-window causal mask (column c
+    attends window token t <= c % window). Together these reproduce the
+    non-fused kernels' ``tok <= (length - window) + t`` exactly."""
+    if quantized:
+        (q_ref, nk_ref, nv_ref, nks_ref, nvs_ref,
+         kp_hbm, vp_hbm, ks_hbm, vs_hbm,
+         o_ref, kp_out, vp_out, ks_out, vs_out,
+         kbuf, vbuf, ksbuf, vsbuf,
+         ksem, vsem, kssem, vssem,
+         wksem, wvsem, wkssem, wvssem) = refs
+    else:
+        (q_ref, nk_ref, nv_ref,
+         kp_hbm, vp_hbm,
+         o_ref, kp_out, vp_out,
+         kbuf, vbuf, ksem, vsem,
+         wksem, wvsem) = refs
+        nks_ref = nvs_ref = ks_hbm = vs_hbm = None
+        ksbuf = vsbuf = kssem = vssem = wkssem = wvssem = None
+        ks_out = vs_out = None
+
+    b = pl.program_id(0)
+    l = layer_ref[0]
+    act = active_ref[b] != 0
+    length = lengths_ref[b]
+    base = pos_ref[b]
+    n_pages_total = kp_hbm.shape[1]
+    old = length - jnp.where(act, window, 0)
+    n_read = (old + page_size - 1) // page_size
+
+    # --- fire-and-forget writes of the window into its page slots -------
+    def write_dma(t, src, pool, sem, *, scales):
+        pos = base + t
+        pg = jnp.clip(table_ref[b, pos // page_size], 0, n_pages_total - 1)
+        # Finished rows park their (meaningless) writes on the scratch
+        # page — same contract as append_tokens_layer.
+        pg = jnp.where(act, pg, n_pages_total - 1)
+        off = pos % page_size
+        if scales:
+            return pltpu.make_async_copy(
+                src.at[0, :, pl.ds(t, 1)],
+                pool.at[l, pg, :, pl.ds(off, 1)],
+                sem.at[t],
+            )
+        return pltpu.make_async_copy(
+            src.at[0, :, pl.ds(t, 1), :],
+            pool.at[l, pg, :, pl.ds(off, 1), :],
+            sem.at[t],
+        )
+
+    # Writes target the OUTPUT refs (the alias makes them the same HBM
+    # buffer as the inputs on hardware; interpret mode copies in->out
+    # before the body, so writes land on top either way).
+    wstreams = [(nk_ref, kp_out, wksem, False), (nv_ref, vp_out, wvsem, False)]
+    if quantized:
+        wstreams += [
+            (nks_ref, ks_out, wkssem, True),
+            (nvs_ref, vs_out, wvssem, True),
+        ]
+    for t in range(window):
+        for src, pool, sem, sc in wstreams:
+            write_dma(t, src, pool, sem, scales=sc).start()
+
+    # --- page loop over the pre-window tokens ---------------------------
+    rstreams = [(kbuf, ksem, kp_hbm), (vbuf, vsem, vp_hbm)]
+    if quantized:
+        rstreams += [(ksbuf, kssem, ks_hbm), (vsbuf, vssem, vs_hbm)]
+
+    def page_dma(slot, j, buf, sem, pool):
+        pg = jnp.clip(table_ref[b, j], 0, n_pages_total - 1)
+        return pltpu.make_async_copy(
+            pool.at[l, pg], buf.at[slot], sem.at[slot]
+        )
+
+    @pl.when(n_read > 0)
+    def _warmup():
+        for buf, sem, pool in rstreams:
+            page_dma(0, 0, buf, sem, pool).start()
+
+    q = q_ref[0]  # [KH, C, D]
+    KH, C, D = q.shape
+    dt = q.dtype
+
+    def body(j, carry):
+        slot = j % 2
+        nxt = (j + 1) % 2
+
+        @pl.when(j + 1 < n_read)
+        def _prefetch():
+            for buf, sem, pool in rstreams:
+                page_dma(nxt, j + 1, buf, sem, pool).start()
+
+        for buf, sem, pool in rstreams:
+            page_dma(slot, j, buf, sem, pool).wait()
+        if quantized:
+            k, v = kbuf[slot].astype(dt), vbuf[slot].astype(dt)
+            ks, vs = ksbuf[slot], vsbuf[slot]
+        else:
+            k, v = kbuf[slot], vbuf[slot]
+            ks = vs = None
+        # All pre-window tokens are visible to every column: length=old
+        # with window=1 gives the plain ``tok < old`` mask.
+        return _online_softmax_page_step(
+            q, k, v, j, carry,
+            length=old, window=1, page_size=page_size,
+            scale=scale, k_scale=ks, v_scale=vs,
+        )
+
+    m0 = jnp.full((KH, C, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((KH, C, 1), jnp.float32)
+    a0 = jnp.zeros((KH, C, D), jnp.float32)
+    carry = jax.lax.fori_loop(0, n_read, body, (m0, l0, a0))
+
+    # --- virtual in-VMEM page: the window itself -------------------------
+    # length = window iff active (else fully masked); page_size=window
+    # makes the iota span the window; the helper's ``t = c % window``
+    # yields the intra-window causal mask tok <= t.
+    m, lsum, acc = _online_softmax_page_step(
+        q, nk_ref[0].astype(dt), nv_ref[0].astype(dt), 0, carry,
+        length=jnp.where(act, window, 0), window=window, page_size=window,
+        scale=scale,
+        k_scale=nks_ref[0] if quantized else None,
+        v_scale=nvs_ref[0] if quantized else None,
+    )
+    l_safe = jnp.where(lsum == 0.0, 1.0, lsum)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+
+    # Writes were overlapped with the whole page loop; settle them before
+    # the program ends (next layer / next row may touch those pages).
+    for t in range(window):
+        for src, pool, sem, sc in wstreams:
+            write_dma(t, src, pool, sem, scales=sc).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("window", "interpret"))
+def carry_paged_attention_fused(
+    q: jnp.ndarray,  # [B, k, H, D]
+    new_k: jnp.ndarray,  # [B, k, KH, D] pool dtype (int8: pre-quantized)
+    new_v: jnp.ndarray,
+    k_pages: jnp.ndarray,  # [L, n_pages, KH, page, D] STACKED pool
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,  # [B, P_max] int32 LOCAL ids
+    lengths: jnp.ndarray,  # [B] tokens INCLUDING the window (active rows)
+    positions: jnp.ndarray,  # [B] absolute position of window token 0
+    active: jnp.ndarray,  # [B] bool
+    layer: jnp.ndarray,
+    *,
+    window: int,
+    interpret: bool = False,
+    k_scale: jnp.ndarray | None = None,  # [L, n_pages, KH, page] f32
+    v_scale: jnp.ndarray | None = None,
+    new_ks: jnp.ndarray | None = None,  # [B, k, KH] f32
+    new_vs: jnp.ndarray | None = None,
+):
+    """Fused append+attend over paged KV (decode at window=1, speculative
+    verify at window=k). Appends ``new_k``/``new_v`` (+ scales for int8
+    pools) into each active row's page slots from INSIDE the kernel and
+    attends them from VMEM. Same pass-through aliasing contract as the
+    non-fused kernels. Returns (out [B, k, H, D], k_pages, v_pages[,
+    k_scale, v_scale])."""
+    B, k, H, D = q.shape
+    assert k == window
+    L, n_pages, KH, page_size, _ = k_pages.shape
+    assert H % KH == 0, (H, KH)
+    quantized = k_scale is not None
+    if quantized:
+        assert k_pages.dtype == jnp.int8, k_pages.dtype
+        assert interpret or page_size % 128 == 0, (
+            f"int8 paged KV requires page_size % 128 == 0, got {page_size}"
+        )
+    group = H // KH
+    scale = D**-0.5
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    active_i = jnp.asarray(active, jnp.int32)
+    positions = jnp.asarray(positions, jnp.int32)
+    qt = (
+        q.reshape(B, k, KH, group, D)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(B, KH, group * k, D)
+    )
+    nk = new_k.transpose(0, 2, 1, 3)  # [B, KH, k, D]
+    nv = new_v.transpose(0, 2, 1, 3)
+
+    kernel = functools.partial(
+        _carry_kernel_fused,
+        scale=scale,
+        page_size=page_size,
+        window=window,
+        quantized=quantized,
+    )
+    C = group * k
+    pool_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    row_block = pl.BlockSpec(
+        (1, KH, C, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    new_block = pl.BlockSpec(
+        (1, KH, k, D), lambda b, *_: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [row_block, new_block, new_block]
+    operands = [qt, nk, nv]
+    if quantized:
+        nscale_block = pl.BlockSpec(
+            (1, KH, k), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [nscale_block, nscale_block]
+        operands += [
+            new_ks.transpose(0, 2, 1),  # [B, KH, k]
+            new_vs.transpose(0, 2, 1),
+        ]
+    n_pools = 4 if quantized else 2
+    in_specs += [pool_spec] * n_pools
+    pools = [k_pages, v_pages] + ([k_scale, v_scale] if quantized else [])
+    operands += pools
+
+    scratch = [
+        pltpu.VMEM((2, KH, page_size, D), k_pages.dtype),
+        pltpu.VMEM((2, KH, page_size, D), v_pages.dtype),
+    ]
+    if quantized:
+        scratch += [
+            pltpu.VMEM((2, KH, page_size), jnp.float32),
+            pltpu.VMEM((2, KH, page_size), jnp.float32),
+        ]
+    scratch += [pltpu.SemaphoreType.DMA((2,))] * (4 if quantized else 2)
+    scratch += [pltpu.SemaphoreType.DMA((window,))] * (4 if quantized else 2)
+
+    # Alias each pool operand onto its output slot (output 0 is `out`).
+    # Operand indices INCLUDE the 5 scalar-prefetch args.
+    first_pool = 5 + len(in_specs) - n_pools
+    aliases = {first_pool + i: 1 + i for i in range(n_pools)}
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=[row_block] + [pool_spec] * n_pools,
+        scratch_shapes=scratch,
+    )
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, KH, C, D), q.dtype)]
+        + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in pools],
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True, vmem_limit_bytes=_MULTI_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(page_table, lengths, positions, layer, active_i, *operands)
+    out = (
+        res[0]
+        .reshape(B, KH, group, k, D)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(B, k, H, D)
+    )
+    return (out,) + tuple(res[1:])
+
+
+def sharded_carry_paged_attention_fused(
+    q, new_k, new_v, k_pages, v_pages, page_table, lengths, positions,
+    active, layer, mesh, *, window: int, interpret: bool = False,
+    k_scale=None, v_scale=None, new_ks=None, new_vs=None,
+):
+    """shard_map'd :func:`carry_paged_attention_fused` (rows over data x
+    fsdp, heads over model, GLOBAL page ids rebased per shard)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    quantized = k_scale is not None
+    row = P(ROW_AXES)
+    pool = P(None, ROW_AXES, "model", None, None)
+    spool = P(None, ROW_AXES, "model", None)
+    bh = P(ROW_AXES, None, "model", None)
+    bs = P(ROW_AXES, None, "model")
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    if quantized:
+
+        def local(q, nk, nv, kp, vp, ks, vs, nks, nvs, table, lengths,
+                  positions, active, layer):
+            local_table = table - _row_offset(kp.shape[1])
+            return carry_paged_attention_fused(
+                q, nk, nv, kp, vp, local_table, lengths, positions,
+                active, layer[0], window=window, interpret=interpret,
+                k_scale=ks, v_scale=vs, new_ks=nks, new_vs=nvs,
+            )
+
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(bh, bh, bh, pool, pool, spool, spool, bs, bs,
+                      row, row, row, row, P(None)),
+            out_specs=(bh, pool, pool, spool, spool),
+            check_vma=False,
+        )(q, new_k, new_v, k_pages, v_pages, k_scale, v_scale, new_ks,
+          new_vs, page_table, lengths, positions, active, layer)
+
+    def local(q, nk, nv, kp, vp, table, lengths, positions, active, layer):
+        local_table = table - _row_offset(kp.shape[1])
+        return carry_paged_attention_fused(
+            q, nk, nv, kp, vp, local_table, lengths, positions, active,
+            layer[0], window=window, interpret=interpret,
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(bh, bh, bh, pool, pool, row, row, row, row, P(None)),
+        out_specs=(bh, pool, pool),
+        check_vma=False,
+    )(q, new_k, new_v, k_pages, v_pages, page_table, lengths, positions,
+      active, layer)
