@@ -196,3 +196,108 @@ def test_chunked_prefill_rejects_mesh(setup):
     mesh = make_mesh(data=2, fsdp=1, model=1)
     with pytest.raises(ValueError, match="single-device"):
         _engine(cfg, params, chunked_prefill=16, mesh=mesh, max_batch=2)
+
+
+def test_concurrent_admissions_batch_into_one_group(setup):
+    """Same-shape requests queued together stage into ONE lockstep
+    group (one [G, kc] chunk dispatch per step instead of G), and emit
+    token-for-token what the sequential dense-prefill engine emits."""
+    cfg, params, px = setup
+    prompts = [
+        _text_prompt([5, 9]),
+        _text_prompt([7, 3]),
+        _text_prompt([11, 2]),
+    ]
+    plain = _serve(_engine(cfg, params, max_batch=4), prompts)
+    eng = _engine(cfg, params, max_batch=4, chunked_prefill=16)
+    grouped = _serve(eng, prompts)
+    assert grouped == plain
+    assert max(eng.admit_group_sizes) == 3, eng.admit_group_sizes
+
+
+def test_concurrent_mm_admissions_batch_vision(setup):
+    """Multimodal concurrent admissions share one batched vision encode
+    (one group) and match the sequential engine."""
+    cfg, params, px = setup
+    prompts = [_mm_prompt([7, 8]), _mm_prompt([9, 4])]
+    plain = _serve(_engine(cfg, params, max_batch=4), prompts, [px, px])
+    eng = _engine(cfg, params, max_batch=4, chunked_prefill=16)
+    grouped = _serve(eng, prompts, [px, px])
+    assert grouped == plain
+    assert max(eng.admit_group_sizes) == 2, eng.admit_group_sizes
+
+
+def test_mixed_shape_admissions_split_groups(setup):
+    """Different padded lengths / modality signatures degrade to
+    separate groups — never an error, still exact parity."""
+    cfg, params, px = setup
+    prompts = [
+        _text_prompt([5, 9]),          # text, short
+        _mm_prompt([7, 8]),            # multimodal
+        _text_prompt(list(range(30, 60)), n=80),  # text, long
+    ]
+    pxs = [None, px, None]
+    plain = _serve(_engine(cfg, params, max_batch=4), prompts, pxs)
+    eng = _engine(cfg, params, max_batch=4, chunked_prefill=16)
+    grouped = _serve(eng, prompts, pxs)
+    assert grouped == plain
+    # The multimodal request cannot share the text requests' group (its
+    # modality signature differs), so at least two groups formed; the two
+    # text prompts MAY share one if they pad to the same bucket.
+    assert sum(eng.admit_group_sizes) == 3
+    assert len(eng.admit_group_sizes) >= 2, eng.admit_group_sizes
+
+
+def test_identical_concurrent_prompts_wait_for_publish(setup):
+    """A queued prompt whose pages are being prefilled RIGHT NOW by an
+    in-flight admission waits for their publication (no redundant
+    parallel re-prefill) and then admits as a prefix hit."""
+    cfg, params, px = setup
+    prompts = [_text_prompt([5, 9]), _text_prompt([5, 9])]
+    plain = _serve(_engine(cfg, params, max_batch=4), prompts)
+    eng = _engine(
+        cfg, params, max_batch=4, chunked_prefill=16,
+        prefix_cache=True, prefix_chunk=16,
+    )
+    out = _serve(eng, prompts)
+    assert out == plain
+    s = eng.prefix_stats()
+    assert s["hits"] >= 1 and s["reused_pages"] > 0
+    # Both admitted as singleton groups: the second WAITED instead of
+    # staging concurrently (its pages were all in flight).
+    assert eng.admit_group_sizes == [1, 1], eng.admit_group_sizes
+
+
+def test_cancel_one_row_mid_group(setup):
+    """Cancelling one request of an in-flight group returns its pages
+    and leaves the surviving rows' outputs untouched."""
+    cfg, params, px = setup
+    solo = _serve(_engine(cfg, params, max_batch=4),
+                  [_text_prompt([7, 3])])
+    eng = _engine(cfg, params, max_batch=4, chunked_prefill=8,
+                  max_len=128)
+    free0 = sum(len(f) for f in eng.free_pages)
+    # A decode row must be active first or the idle fast path drains the
+    # whole group inside one step.
+    bg = eng.add_request(_text_prompt([2, 6], n=8), max_new_tokens=48)
+    while not any(eng.active):
+        eng.step()
+    ra = eng.add_request(
+        _text_prompt(list(range(30, 70)), n=70), max_new_tokens=4
+    )
+    rb = eng.add_request(_text_prompt([7, 3]), max_new_tokens=5)
+    eng.step()  # stage both; at most one chunk ran
+    assert eng._pending is not None
+    assert eng.cancel(ra)
+    outputs: dict = {}
+    steps = 0
+    while eng.has_work():
+        for rid, tok, _d in eng.step():
+            outputs.setdefault(rid, []).append(int(tok))
+        steps += 1
+        assert steps < 500
+    assert ra not in outputs
+    assert outputs[rb] == solo[0]
+    assert sum(len(f) for f in eng.free_pages) == free0 - sum(
+        len(p) for p in eng.row_pages
+    )

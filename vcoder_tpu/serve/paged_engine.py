@@ -188,36 +188,55 @@ def _plan_embeds(
     )
 
 
-@partial(jax.jit, static_argnames=("use_vcoder_emb",))
-def _embed_chunk(params, ids, *, use_vcoder_emb: bool):
-    """Text-only suffix chunk embeddings (skips the vision encode)."""
-    table = (
-        params["vcoder_lm_emb"]
-        if (use_vcoder_emb and "vcoder_lm_emb" in params)
-        else params["lm"]["embed_tokens"]
-    )
-    return jnp.take(table, ids, axis=0)
-
-
-@partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3, 4, 5, 6))
-def _suffix_chunk(
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "kc", "text_mode", "use_vemb"),
+    donate_argnums=(3, 4, 5, 6),
+)
+def _group_chunk(
     params,
     cfg: VCoderConfig,
-    embeds,  # [1, kc, D] — chunk of the suffix (pads only in the tail)
+    source,  # [G, T, D] spliced embeds (vision) or [G, T] int32 ids (text)
     k_pages,
     v_pages,
     k_scale,  # dummy () leaves when unquantized
     v_scale,
-    page_table,  # [1, P_max] — this row's pages (reused prefix + fresh)
-    start,  # [] int32: absolute position of the chunk's first token
+    tables,  # [G, P_max] — each row's pages (reused prefix + fresh)
+    starts,  # [G] int32: absolute position of each row's region start
+    off,  # [] int32: group cursor (uniform — rows advance in lockstep)
+    active,  # [G] bool: rows still inside their region
+    *,
+    kc: int,
+    text_mode: bool,
+    use_vemb: bool,
 ):
-    """One chunk of suffix prefill over paged KV: the speculative verify
-    forward doubles as a chunked prefill (append the chunk's KV into the
-    row's pages, attend each token causally to the cached prefix + its
-    own window). Returns (hidden [1, kc, D], pools...)."""
-    kc = embeds.shape[1]
+    """One BATCHED chunk of region prefill over paged KV: the speculative
+    verify forward doubles as a chunked prefill for G admissions at once
+    (append each row's chunk KV into its own pages, attend each token
+    causally to that row's cached prefix + its own window). Batching is
+    the round-4 admission-latency fix: G concurrent admissions stream the
+    weights ONCE per chunk step instead of once per chunk per request.
+
+    Per-row slack is masked, not specialized: rows past their region ride
+    along inactive (writes target the scratch page), and a row's final
+    chunk may overhang its region — those pad positions map to table
+    entries past the row's pages (the sentinel; gathers clamp), and the
+    kernel's causal window masking keeps valid tokens from ever attending
+    them. Returns (hidden [G, kc, D], pools...)."""
     quantized = k_scale is not None and k_scale.ndim == 4
-    positions = start + jnp.arange(kc, dtype=jnp.int32)[None, :]
+    s = starts + off  # [G]
+    slice_row = lambda row, st: jax.lax.dynamic_slice_in_dim(row, st, kc, 0)
+    if text_mode:
+        ids = jax.vmap(slice_row)(source, s)  # [G, kc]
+        table = (
+            params["vcoder_lm_emb"]
+            if (use_vemb and "vcoder_lm_emb" in params)
+            else params["lm"]["embed_tokens"]
+        )
+        embeds = jnp.take(table, ids, axis=0)
+    else:
+        embeds = jax.vmap(slice_row)(source, s)  # [G, kc, D]
+    positions = s[:, None] + jnp.arange(kc, dtype=jnp.int32)[None, :]
     out = llama_mod.llama_paged_verify(
         params["lm"],
         cfg.text,
@@ -225,9 +244,9 @@ def _suffix_chunk(
         positions,
         k_pages,
         v_pages,
-        page_table,
-        start[None].astype(jnp.int32),
-        jnp.ones((1,), bool),
+        tables,
+        s,
+        active,
         k_scale=k_scale if quantized else None,
         v_scale=v_scale if quantized else None,
         interpret=jax.default_backend() != "tpu",
@@ -240,10 +259,13 @@ def _suffix_chunk(
 
 
 @jax.jit
-def _hidden_logits(params, hidden, idx):
-    """lm_head at one position of a chunk's hidden states -> [V]."""
-    h = jax.lax.dynamic_slice_in_dim(hidden[0], idx, 1, axis=0)
-    return llama_mod.lm_head(params["lm"], h[None])[0, 0]
+def _hidden_logits(params, hidden, row, idx):
+    """lm_head at one position of one row of a chunk's hidden states
+    -> [V]."""
+    h = jax.lax.dynamic_slice(
+        hidden, (row, idx, jnp.int32(0)), (1, 1, hidden.shape[-1])
+    )
+    return llama_mod.lm_head(params["lm"], h)[0, 0]
 
 
 @partial(
@@ -432,39 +454,89 @@ def _paged_spec_decode_all(
     return (outs, emit, nxt) + pools
 
 
-class _RegionPrefill:
-    """Resumable paged prefill of one request's uncached page region.
+# Pending-prefill groups pad their batch to the nearest bucket (inactive
+# pad rows write to the scratch page) so concurrent-admission traffic
+# compiles a handful of chunk shapes instead of one per batch size.
+_G_BUCKETS = (1, 2, 4, 8)
 
-    Carries everything `_advance_region` needs to run the next chunk:
-    the region's page table row, precomputed spliced embeddings (when the
-    region holds vision positions), the cursor, and — once the chunk
-    containing the last prompt token has run — the first-token logits."""
+
+def _g_bucket(n: int) -> int:
+    for b in _G_BUCKETS:
+        if n <= b:
+            return b
+    return _G_BUCKETS[-1]
+
+
+class _RegionRow:
+    """Bookkeeping for one request's resumable paged region prefill.
+
+    The compute state (stacked embeddings/ids, page tables, cursor) lives
+    on the :class:`_PrefillGroup` the row belongs to; the row keeps the
+    request-level facts `_finish_admission` needs — its pages, prefix-hit
+    depth, hashes, and (once the chunk containing the last prompt token
+    has run) the first-token logits."""
 
     __slots__ = (
-        "req", "params", "arrays", "row_ids", "m", "hashes", "table_dev",
-        "full_embeds", "use_vemb", "start", "region", "off", "last_idx",
-        "logits", "chunk", "slot", "t0",
+        "req", "row_ids", "m", "hashes", "start", "region", "last_idx",
+        "logits", "slot", "t0", "done",
     )
 
-    def __init__(self, *, req, params, arrays, row_ids, m, table_dev,
-                 full_embeds, use_vemb, start, region, last_idx, chunk):
+    def __init__(self, *, req, row_ids, m, start, region, last_idx):
         self.req = req
-        self.params = params
-        self.arrays = arrays
         self.row_ids = row_ids
         self.m = m
         self.hashes: List[bytes] = []
-        self.table_dev = table_dev
-        self.full_embeds = full_embeds
-        self.use_vemb = use_vemb
         self.start = start
         self.region = region
-        self.off = 0
         self.last_idx = last_idx
         self.logits = None
-        self.chunk = chunk
         self.slot = -1
         self.t0 = 0.0
+        self.done = False
+
+
+class _PrefillGroup:
+    """A lockstep batch of pending region prefills sharing one compiled
+    chunk graph: same padded length, modality signature, embed route, and
+    adapter. `_advance_group` runs ONE `[G, kc]` verify dispatch per call;
+    rows whose region ends early ride along inactive until the group
+    drains (their slack is at most a chunk)."""
+
+    __slots__ = (
+        "rows", "params", "source", "text_mode", "use_vemb", "tables",
+        "starts", "off", "chunk", "gb", "max_region", "admit",
+        "_active_dev", "_active_dirty",
+    )
+
+    def __init__(self, *, rows, params, source, text_mode, use_vemb,
+                 tables, starts, chunk, admit):
+        self.rows: List[_RegionRow] = rows
+        self.params = params
+        self.source = source  # [Gb, T, D] embeds or [Gb, T] ids (device)
+        self.text_mode = text_mode
+        self.use_vemb = use_vemb
+        self.tables = tables  # [Gb, P_max] device
+        self.starts = starts  # [Gb] device
+        self.off = 0
+        self.chunk = chunk
+        self.gb = int(tables.shape[0])
+        self.max_region = max(rp.region for rp in rows)
+        self.admit = admit  # finish rows into decode slots as they drain
+        self._active_dev = None
+        self._active_dirty = True
+
+    @property
+    def done(self) -> bool:
+        return all(rp.done for rp in self.rows)
+
+    def active_dev(self):
+        if self._active_dirty:
+            act = np.zeros((self.gb,), bool)
+            for i, rp in enumerate(self.rows):
+                act[i] = not rp.done
+            self._active_dev = jnp.asarray(act)
+            self._active_dirty = False
+        return self._active_dev
 
 
 class PagedServingEngine(ServingEngine):
@@ -654,10 +726,13 @@ class PagedServingEngine(ServingEngine):
             if chunked_prefill
             else 0
         )
-        self._pending: Optional[_RegionPrefill] = None
+        self._pending_groups: List[_PrefillGroup] = []
         # Requests requeued for recompute after losing their pages
         # (observability; tests assert the path actually fired).
         self.preemptions = 0
+        # Batched-admission observability: size of every admit group
+        # formed (tests assert concurrent traffic actually batches).
+        self.admit_group_sizes: List[int] = []
 
 
     def _device_table(self):
@@ -675,6 +750,10 @@ class PagedServingEngine(ServingEngine):
         Idempotent; shared ``params`` are left untouched."""
         if getattr(self, "_closed", False):
             return
+        group_bufs = [
+            [g.source, g.tables, g.starts] for g in self._pending_groups
+        ]
+        self._pending_groups = []
         for leaf in jax.tree_util.tree_leaves(
             [
                 self.k_pages,
@@ -682,6 +761,7 @@ class PagedServingEngine(ServingEngine):
                 self.k_scale,
                 self.v_scale,
                 self._table_dev,
+                group_bufs,
             ]
         ):
             if hasattr(leaf, "delete"):
@@ -745,30 +825,46 @@ class PagedServingEngine(ServingEngine):
 
     # ---- request lifecycle ----
 
+    @property
+    def _pending(self) -> Optional[_RegionRow]:
+        """First still-prefilling pending row, or None (observability +
+        the `_ensure_pages` may-free-pages-later signal)."""
+        for g in self._pending_groups:
+            for rp in g.rows:
+                if not rp.done:
+                    return rp
+        return None
+
     def has_work(self) -> bool:
         return super().has_work() or self._pending is not None
 
     def cancel(self, request_id: int) -> bool:
-        rp = self._pending
-        if rp is not None and rp.req.request_id == request_id:
-            # Mid-chunked-prefill: return the region's pages. Reused
-            # prefix pages hold a reference (match() took one); fresh
-            # pages go straight back to the free list — the same split
-            # `_free_row` applies.
-            self._pending = None
-            rp.req.done = True
-            shard = rp.row_ids[0] // self.pages_per_shard
-            idx = (
-                self.prefix_idx[shard]
-                if self.prefix_idx is not None
-                else None
-            )
-            for pid in rp.row_ids:
-                if idx is not None and idx.is_registered(pid):
-                    idx.release(pid)
-                else:
-                    self.free_pages[shard].append(pid)
-            return True
+        for g in self._pending_groups:
+            for rp in g.rows:
+                if rp.done or rp.req.request_id != request_id:
+                    continue
+                # Mid-chunked-prefill: return the region's pages. Reused
+                # prefix pages hold a reference (match() took one); fresh
+                # pages go straight back to the free list — the same
+                # split `_free_row` applies. The row stays in its group
+                # as an inactive lane (no writes) until the group drains.
+                rp.done = True
+                g._active_dirty = True
+                rp.req.done = True
+                shard = rp.row_ids[0] // self.pages_per_shard
+                idx = (
+                    self.prefix_idx[shard]
+                    if self.prefix_idx is not None
+                    else None
+                )
+                for pid in rp.row_ids:
+                    if idx is not None and idx.is_registered(pid):
+                        idx.release(pid)
+                    else:
+                        self.free_pages[shard].append(pid)
+                if g.done:
+                    self._pending_groups.remove(g)
+                return True
         return super().cancel(request_id)
 
     def _admit(self):
@@ -787,10 +883,15 @@ class PagedServingEngine(ServingEngine):
     def _reclaim_vacated(self) -> None:
         """Free pages still attached to empty inactive slots. A pending
         chunked prefill's slot legitimately holds pages while inactive —
-        skip it."""
-        pend_slot = self._pending.slot if self._pending is not None else -1
+        skip those."""
+        pend_slots = {
+            rp.slot
+            for g in self._pending_groups
+            for rp in g.rows
+            if not rp.done
+        }
         for slot in range(self.max_batch):
-            if slot == pend_slot:
+            if slot in pend_slots:
                 continue
             if not self.active[slot] and self.slots[slot] is None:
                 if self.row_pages[slot]:
@@ -799,44 +900,102 @@ class PagedServingEngine(ServingEngine):
     # ---- chunked admission (prefill/decode interleaving) ----
 
     def _admit_chunked(self) -> List[Tuple[int, int, bool]]:
-        """Advance prefill work by one chunk per step UNDER DECODE LOAD,
-        or to completion when no row is decoding: chunking exists to
-        bound how long in-flight decodes stall behind an admission, so
-        with nothing to interleave against there is no reason to pay the
-        per-chunk step tax (vLLM's token-budget rule: decode tokens and
-        prefill chunks share one step budget, and an idle step's whole
-        budget goes to prefill)."""
+        """Advance prefill work by one BATCHED chunk per step UNDER
+        DECODE LOAD, or to completion when no row is decoding: chunking
+        exists to bound how long in-flight decodes stall behind an
+        admission, so with nothing to interleave against there is no
+        reason to pay the per-chunk step tax (vLLM's token-budget rule:
+        decode tokens and prefill chunks share one step budget, and an
+        idle step's whole budget goes to prefill).
+
+        Every queued request that can claim a slot + pages is staged
+        immediately and compatible stages form lockstep groups
+        (`_form_groups`), so K concurrent admissions cost ~one admission's
+        chunk steps instead of K× — the round-4 1874 ms concurrent-TTFT
+        fix."""
         events: List[Tuple[int, int, bool]] = []
         while True:
-            if self._pending is not None:
-                events += self._advance_pending()
-            elif self.queue and not all(self.active):
-                slot = int(np.nonzero(~self.active)[0][0])
-                req = self.queue.pop(0)
-                try:
-                    self._start_pending(req, slot)
-                except ValueError as e:
-                    # Oversized prompt / pool too small: fail this request.
-                    req.done = True
-                    req.error = str(e)
-                    self._record_failure(req)
-                    events.append((req.request_id, self.eos_id, True))
-                    continue
-                except DeferAdmission:
-                    break
-                events += self._advance_pending()
-            else:
+            events += self._fill_pending()
+            if not self._pending_groups:
                 break
+            g = self._pending_groups[0]  # FIFO: drain the oldest first
+            events += self._advance_group(g)
+            if g.done:
+                self._pending_groups.pop(0)
             if any(self.active):
                 # Decode work exists: at most one chunk this step.
                 break
         return events
 
-    def _start_pending(self, req: Request, slot: int) -> None:
+    def _fill_pending(self) -> List[Tuple[int, int, bool]]:
+        """Stage every queued request that can claim a free slot (plan +
+        page allocation + group formation); forwards run later, one
+        batched chunk per `_advance_group` call.
+
+        Requests whose prompt is mostly covered by an IN-FLIGHT
+        admission's soon-to-be-published pages wait for that publication
+        instead of staging a redundant re-prefill (`_WaitForPublish`);
+        requests with little or no overlap stage concurrently — batching
+        beats dedup when there is nothing substantial to dedup."""
+        events: List[Tuple[int, int, bool]] = []
+        claimed = set()
+        inflight = set()
+        page = self.page_size
+        for g in self._pending_groups:
+            for rp in g.rows:
+                if rp.done or not g.admit:
+                    continue
+                claimed.add(rp.slot)
+                inflight.update(rp.hashes[rp.m : rp.req.prompt_len // page])
+        staged = []
+        waiting: List[Request] = []
+        while self.queue:
+            free = [
+                s
+                for s in range(self.max_batch)
+                if not self.active[s]
+                and self.slots[s] is None
+                and s not in claimed
+            ]
+            if not free:
+                break
+            req = self.queue.pop(0)
+            try:
+                st = self._stage_admission(
+                    req, free[0], inflight, others_staged=bool(staged)
+                )
+            except ValueError as e:
+                # Oversized prompt / pool too small: fail this request.
+                req.done = True
+                req.error = str(e)
+                self._record_failure(req)
+                events.append((req.request_id, self.eos_id, True))
+                continue
+            except _WaitForPublish:
+                # Leave the slot unclaimed; retry next step (the
+                # publisher finishing — or dying — unblocks it).
+                waiting.append(req)
+                continue
+            except DeferAdmission:
+                break
+            claimed.add(free[0])
+            staged.append(st)
+            rp = st[0]
+            inflight.update(rp.hashes[rp.m : req.prompt_len // page])
+        self.queue[:0] = waiting
+        if staged:
+            self._pending_groups += self._form_groups(
+                staged, chunk=self._cp_chunk, admit=True
+            )
+        return events
+
+    def _stage_admission(self, req: Request, slot: int, inflight=(),
+                         others_staged: bool = False):
         """Plan + allocate pages for a chunked admission; mirrors the
         front half of `_prefill` (including prefix-cache reuse and the
-        defer-on-exhaustion rule) but defers the forward passes to
-        per-step `_advance_pending` calls."""
+        defer-on-exhaustion rule) but defers the forward passes to the
+        batched per-step `_advance_group` calls. Returns the staging
+        tuple `_form_groups` consumes."""
         if self.row_pages[slot]:
             self._free_row(slot)
         t0 = time.perf_counter()
@@ -860,36 +1019,53 @@ class PagedServingEngine(ServingEngine):
             reused = idx.match(hashes[: (req.prompt_len - 1) // page])
         m = len(reused)
 
+        if inflight and hashes:
+            # Overlap with pages an in-flight admission will publish
+            # (chained hashes: consecutive membership == shared prefix).
+            extra = 0
+            for h in hashes[m : (req.prompt_len - 1) // page]:
+                if h not in inflight:
+                    break
+                extra += 1
+            if extra and 2 * extra >= n_used:
+                # Most of this prompt is being computed RIGHT NOW by
+                # another admission: wait for its pages instead of
+                # re-prefilling them in parallel.
+                for pid in reused:
+                    idx.release(pid)
+                raise _WaitForPublish()
+
         try:
             ids = self._alloc(n_used - m, shard)
         except PoolExhausted as e:
             for pid in reused:
                 idx.release(pid)
-            if not any(self.active):
+            if (
+                not any(self.active)
+                and self._pending is None
+                and not others_staged
+            ):
+                # Nothing decoding, nothing mid-prefill, nothing staged
+                # ahead of this request: no pages will ever free — this
+                # request can never fit.
                 raise ValueError(str(e))
             self.queue.insert(0, req)
             raise DeferAdmission()
 
-        rp = self._begin_region(
-            pp, req, plan, arrays, px, reused + ids, m,
-            chunk=self._cp_chunk,
+        rp = _RegionRow(
+            req=req,
+            row_ids=reused + ids,
+            m=m,
+            start=m * page,
+            region=(n_used - m) * page,
+            last_idx=req.prompt_len - 1 - m * page,
         )
         rp.hashes = hashes
         rp.slot = slot
         rp.t0 = t0
-        self._pending = rp
+        return (rp, plan, pp, req)
 
-    def _advance_pending(self) -> List[Tuple[int, int, bool]]:
-        rp = self._pending
-        with self._mesh_ctx():
-            done = self._advance_region(rp)
-        if not done:
-            return []
-        self._pending = None
-        self.timer.record("ttft", time.perf_counter() - rp.t0)
-        return self._finish_admission(rp)
-
-    def _finish_admission(self, rp: "_RegionPrefill") -> List[Tuple[int, int, bool]]:
+    def _finish_admission(self, rp: "_RegionRow") -> List[Tuple[int, int, bool]]:
         """Activate a fully-prefilled pending request: publish its prefix
         pages, install its page-table row, sample the first token, and do
         the slot bookkeeping the base `_admit` does after `_prefill`."""
@@ -1060,111 +1236,224 @@ class PagedServingEngine(ServingEngine):
         paged verify forward. Pads (tail of the last page) write garbage
         KV into this row's own pages at positions >= prompt_len — never
         attended (lengths bound reads) and overwritten by decode."""
-        rp = self._begin_region(
-            pp, req, plan, arrays, px, row_ids, m, chunk=self._chunk
-        )
-        while not self._advance_region(rp):
-            pass
-        return rp.logits
-
-    def _begin_region(self, pp, req, plan, arrays, px, row_ids, m, *,
-                      chunk):
-        """Set up a resumable paged prefill of positions
-        [m*page, len(row_ids)*page): one vision-encode dispatch up front
-        when the region holds vision positions, then `_advance_region`
-        runs one `chunk`-token verify forward per call. Shared by the
-        prefix-cache suffix path (drained in a tight loop) and chunked
-        admission (one chunk per engine step)."""
         page = self.page_size
-        n_used = len(row_ids)
-        start = m * page
-        region = (n_used - m) * page
-        # req.slot isn't assigned until admission completes; derive the
-        # shard from the pages themselves (all row pages live in one
-        # shard's id range).
-        shard = row_ids[0] // self.pages_per_shard
-        table = np.full((1, self.p_max), shard * self.pages_per_shard,
-                        np.int32)
-        table[0, :n_used] = row_ids
-        table_dev = jnp.asarray(table)
-
-        # Region embeddings: skip the vision encode when every region
-        # position is text (the multi-turn hot path — images sit in the
-        # cached prefix).
-        T_pad = plan.safe_ids.shape[1]
-        end = min(start + region, T_pad)
-        text_only = bool(plan.is_text[0, start:end].all())
-        use_vemb = plan.use_vcoder_emb and self.cfg.use_vcoder_lm_emb
-        full_embeds = None
-        if not text_only:
-            with self._mesh_ctx():
-                full_embeds = _plan_embeds(
-                    pp,
-                    self.cfg,
-                    arrays,
-                    px(req.images),
-                    px(req.segs),
-                    px(req.depths),
-                    use_vcoder_emb=use_vemb,
-                    has_images=req.images is not None,
-                    has_segs=req.segs is not None,
-                    has_depths=req.depths is not None,
-                    attn_impl=self.attn_impl,
-                )
-        return _RegionPrefill(
+        rp = _RegionRow(
             req=req,
-            params=pp,
-            arrays=arrays,
             row_ids=row_ids,
             m=m,
-            table_dev=table_dev,
-            full_embeds=full_embeds,
+            start=m * page,
+            region=(len(row_ids) - m) * page,
+            last_idx=req.prompt_len - 1 - m * page,
+        )
+        g = self._form_groups(
+            [(rp, plan, pp, req)], chunk=self._chunk, admit=False
+        )[0]
+        while not g.done:
+            self._advance_group(g)
+        return rp.logits
+
+    def _form_groups(self, staged, *, chunk: int,
+                     admit: bool) -> List["_PrefillGroup"]:
+        """Partition staged admissions into lockstep-batchable groups.
+
+        A group shares one compiled `[G, kc]` chunk graph, so rows must
+        agree on everything that shapes it: padded plan length, the
+        modality signature (which pixel stacks exist and their shapes —
+        they stack into ONE batched vision encode), the text-embedding
+        route, and the LoRA adapter (chunks run under the adapter's
+        params view). Homogeneous traffic (the production shape) collapses
+        into one group; mixed traffic degrades to smaller groups, worst
+        case singletons — never an error."""
+        by_key = {}
+        for st in staged:
+            rp, plan, pp, req = st
+            T_pad = plan.safe_ids.shape[1]
+            end = min(rp.start + rp.region, T_pad)
+            # Skip the vision encode when every region position is text
+            # (the multi-turn hot path — images sit in the cached prefix).
+            text_only = bool(plan.is_text[0, rp.start:end].all())
+            use_vemb = plan.use_vcoder_emb and self.cfg.use_vcoder_lm_emb
+            mods = (
+                None
+                if text_only
+                else tuple(
+                    np.asarray(x).shape if x is not None else None
+                    for x in (req.images, req.segs, req.depths)
+                )
+            )
+            key = (text_only, T_pad, use_vemb, req.lora, mods)
+            by_key.setdefault(key, []).append(st)
+        groups = []
+        cap = _G_BUCKETS[-1]
+        for (text_only, T_pad, use_vemb, _lora, _mods), items in (
+            by_key.items()
+        ):
+            for i0 in range(0, len(items), cap):
+                part = items[i0 : i0 + cap]
+                if admit:
+                    self.admit_group_sizes.append(len(part))
+                groups.append(
+                    self._build_group(
+                        part,
+                        text_only=text_only,
+                        T_pad=T_pad,
+                        use_vemb=use_vemb,
+                        chunk=chunk,
+                        admit=admit,
+                    )
+                )
+        return groups
+
+    def _build_group(self, items, *, text_only: bool, T_pad: int,
+                     use_vemb: bool, chunk: int,
+                     admit: bool) -> "_PrefillGroup":
+        page = self.page_size
+        G = len(items)
+        gb = _g_bucket(G)  # pad to a bucket: few compiled batch shapes
+        # A row's final chunk may overhang its region by up to
+        # chunk - page positions. Widen the source so the lockstep slice
+        # never clamps into valid data (dynamic_slice clamps the START,
+        # which would silently SHIFT the chunk), and widen the tables so
+        # overhang positions index real (sentinel) entries instead of
+        # running the kernel's scalar reads out of bounds.
+        T_r = T_pad + chunk
+        p_max = self.p_max + chunk // page
+        pp = items[0][2]
+        tables = np.zeros((gb, p_max), np.int32)
+        starts = np.zeros((gb,), np.int32)
+        rows: List[_RegionRow] = []
+        for i, (rp, plan, _pp, req) in enumerate(items):
+            # All of a row's pages live in one shard's id range; its
+            # shard's sentinel (local-first page) fills unused entries.
+            shard = rp.row_ids[0] // self.pages_per_shard
+            tables[i, :] = shard * self.pages_per_shard
+            tables[i, : len(rp.row_ids)] = rp.row_ids
+            starts[i] = rp.start
+            rows.append(rp)
+
+        if text_only:
+            src = np.zeros((gb, T_r), np.int32)
+            for i, (_rp, plan, _pp, _req) in enumerate(items):
+                src[i, :T_pad] = plan.safe_ids[0]
+            source = jnp.asarray(src)
+        else:
+            # ONE batched vision encode + splice for the whole group:
+            # the tower takes the stacked [G*modalities, H, W, C] batch
+            # in one dispatch (the round-4 per-admission encodes were a
+            # visible slice of concurrent-admission TTFT).
+            def stack_plan(field, fill):
+                first = getattr(items[0][1], field)[0]
+                out = np.full((gb, T_r), fill, dtype=first.dtype)
+                for i, (_rp, plan, _pp, _req) in enumerate(items):
+                    out[i, :T_pad] = getattr(plan, field)[0]
+                return jnp.asarray(out)
+
+            plan_arrays = {
+                "safe_ids": stack_plan("safe_ids", 0),
+                "is_text": stack_plan("is_text", True),
+                "vis_idx": stack_plan("vis_idx", 0),
+            }
+            dtype = self.params["lm"]["embed_tokens"].dtype
+            dummy = jnp.zeros((0,), jnp.float32)
+
+            def stack_px(getter):
+                xs = [getter(req) for (_rp, _plan, _pp, req) in items]
+                if xs[0] is None:
+                    return None
+                base = np.asarray(xs[0])
+                out = np.zeros((gb,) + base.shape[1:], np.float32)
+                for i, x in enumerate(xs):
+                    out[i] = np.asarray(x)[0]
+                return jnp.asarray(out, dtype)
+
+            images = stack_px(lambda r: r.images)
+            segs = stack_px(lambda r: r.segs)
+            depths = stack_px(lambda r: r.depths)
+            with self._mesh_ctx():
+                source = _plan_embeds(
+                    pp,
+                    self.cfg,
+                    plan_arrays,
+                    images if images is not None else dummy,
+                    segs if segs is not None else dummy,
+                    depths if depths is not None else dummy,
+                    use_vcoder_emb=use_vemb,
+                    has_images=images is not None,
+                    has_segs=segs is not None,
+                    has_depths=depths is not None,
+                    attn_impl=self.attn_impl,
+                )
+        return _PrefillGroup(
+            rows=rows,
+            params=pp,
+            source=source,
+            text_mode=text_only,
             use_vemb=use_vemb,
-            start=start,
-            region=region,
-            last_idx=req.prompt_len - 1 - start,  # region-local last valid
+            tables=jnp.asarray(tables),
+            starts=jnp.asarray(starts),
             chunk=chunk,
+            admit=admit,
         )
 
-    def _advance_region(self, rp: "_RegionPrefill") -> bool:
-        """Run ONE chunk of a region prefill; returns True when the
-        region is complete (rp.logits then holds the last prompt
-        position's logits)."""
-        kc = min(rp.chunk, rp.region - rp.off)
-        s = rp.start + rp.off
-        if rp.full_embeds is not None:
-            emb = jax.lax.dynamic_slice_in_dim(rp.full_embeds, s, kc, 1)
-        else:
-            emb = _embed_chunk(
-                rp.params,
-                jax.lax.dynamic_slice_in_dim(
-                    rp.arrays["safe_ids"], s, kc, 1
-                ),
-                use_vcoder_emb=rp.use_vemb,
+    def _advance_group(self, g: "_PrefillGroup") -> List[Tuple[int, int, bool]]:
+        """Run ONE lockstep chunk for every live row of a group; rows
+        whose region completes are finished into decode slots (admit
+        groups) or left holding their first-token logits (the dense-path
+        suffix prefill)."""
+        kc = g.chunk
+        with self._mesh_ctx():
+            (
+                hidden,
+                self.k_pages,
+                self.v_pages,
+                self.k_scale,
+                self.v_scale,
+            ) = _group_chunk(
+                g.params,
+                self.cfg,
+                g.source,
+                self.k_pages,
+                self.v_pages,
+                self.k_scale,
+                self.v_scale,
+                g.tables,
+                g.starts,
+                jnp.asarray(g.off, jnp.int32),
+                g.active_dev(),
+                kc=kc,
+                text_mode=g.text_mode,
+                use_vemb=g.use_vemb,
             )
-        out = _suffix_chunk(
-            rp.params,
-            self.cfg,
-            emb,
-            self.k_pages,
-            self.v_pages,
-            self.k_scale,
-            self.v_scale,
-            rp.table_dev,
-            jnp.asarray(s, jnp.int32),
-        )
-        (hidden, self.k_pages, self.v_pages,
-         self.k_scale, self.v_scale) = out
-        if rp.off <= rp.last_idx < rp.off + kc:
-            rp.logits = _hidden_logits(
-                rp.params, hidden,
-                jnp.asarray(rp.last_idx - rp.off, jnp.int32),
-            )
-        rp.off += kc
-        if rp.off >= rp.region:
-            rp.full_embeds = None  # free the [1, T_pad, D] buffer
-            return True
-        return False
+            finishing: List[_RegionRow] = []
+            for i, rp in enumerate(g.rows):
+                if rp.done:
+                    continue
+                if g.off <= rp.last_idx < g.off + kc:
+                    rp.logits = _hidden_logits(
+                        g.params,
+                        hidden,
+                        jnp.asarray(i, jnp.int32),
+                        jnp.asarray(rp.last_idx - g.off, jnp.int32),
+                    )
+                if g.off + kc >= rp.region:
+                    rp.done = True
+                    g._active_dirty = True
+                    finishing.append(rp)
+            if finishing and g.admit:
+                # ONE fetch for every row finishing this step (each
+                # separate first-token argmax would pay a tunnel RTT).
+                fetched = jax.device_get(
+                    tuple(rp.logits for rp in finishing)
+                )
+                for rp, lg in zip(finishing, fetched):
+                    rp.logits = lg
+        g.off += kc
+        events: List[Tuple[int, int, bool]] = []
+        if g.admit:
+            for rp in finishing:
+                self.timer.record("ttft", time.perf_counter() - rp.t0)
+                events += self._finish_admission(rp)
+        return events
 
     def _ensure_pages(self, events) -> None:
         """Give every active row pages covering its write horizon (one
@@ -1332,3 +1621,9 @@ class PagedServingEngine(ServingEngine):
 
 class PoolExhausted(RuntimeError):
     pass
+
+
+class _WaitForPublish(Exception):
+    """Staging bailout: most of this prompt's pages are being prefetched
+    by an in-flight admission — wait for their publication instead of
+    redundantly re-prefilling them in parallel."""
