@@ -426,3 +426,95 @@ def test_modality_lengths_double_negation():
         {"conversations": [{"value": "a b c"}]},
     ]
     assert ds.modality_lengths == [3, -3, 3]
+
+
+def test_threaded_loader_matches_inline(tmp_path, fake_tokenizer):
+    """dataloader_workers>0 must yield bit-identical batches in the same
+    order as inline loading (pool.map preserves order), so the threaded
+    input pipeline cannot perturb resume determinism."""
+    cfg = VCoderConfig.tiny("vcoder_ds_llava")
+    ds = _tiny_dataset(tmp_path / "data", fake_tokenizer, cfg)
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+
+    def batches(workers):
+        args = TrainArgs(
+            output_dir=str(tmp_path / f"out{workers}"),
+            stage="vcoder_ds",
+            per_device_train_batch_size=2,
+            dataloader_workers=workers,
+            prefetch_batches=0,
+            attn_impl="xla",
+            remat=False,
+        )
+        tr = Trainer(cfg, params, ds, args)
+        return list(tr._epoch_batches(epoch=0, skip=0))
+
+    inline, threaded = batches(0), batches(4)
+    assert len(inline) == len(threaded) > 0
+    for a, b in zip(inline, threaded):
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+
+def test_prefetch_overlaps_and_preserves_stream(tmp_path, fake_tokenizer):
+    """_prefetched must (a) yield the generator's items unchanged and in
+    order, and (b) actually run the producer AHEAD of the consumer —
+    while the consumer holds batch 0, the background thread should have
+    assembled further batches (the overlap that hides host decode +
+    collate behind the device step)."""
+    import time as _time
+
+    cfg = VCoderConfig.tiny("vcoder_ds_llava")
+    ds = _tiny_dataset(tmp_path / "data", fake_tokenizer, cfg)
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+    args = TrainArgs(
+        output_dir=str(tmp_path / "out"),
+        stage="vcoder_ds",
+        per_device_train_batch_size=2,
+        prefetch_batches=2,
+        attn_impl="xla",
+        remat=False,
+    )
+    tr = Trainer(cfg, params, ds, args)
+
+    produced = []
+
+    def gen():
+        for i in range(5):
+            produced.append(i)
+            yield {"i": np.asarray(i)}
+
+    it = tr._prefetched(gen())
+    first = next(it)
+    assert int(first["i"]) == 0
+    # Producer runs ahead: batch 0 consumed + 2 staged in the queue + 1
+    # blocked in put() => all 5 tiny batches produced while we sit here.
+    deadline = _time.time() + 5.0
+    while len(produced) < 4 and _time.time() < deadline:
+        _time.sleep(0.01)
+    assert len(produced) >= 4, produced
+    rest = [int(b["i"]) for b in it]
+    assert rest == [1, 2, 3, 4]
+
+
+def test_prefetch_propagates_producer_error(tmp_path, fake_tokenizer):
+    cfg = VCoderConfig.tiny("vcoder_ds_llava")
+    ds = _tiny_dataset(tmp_path / "data", fake_tokenizer, cfg)
+    params = model_mod.init_vcoder_params(jax.random.PRNGKey(0), cfg)
+    args = TrainArgs(
+        output_dir=str(tmp_path / "out"),
+        stage="vcoder_ds",
+        per_device_train_batch_size=2,
+        prefetch_batches=1,
+        attn_impl="xla",
+        remat=False,
+    )
+    tr = Trainer(cfg, params, ds, args)
+
+    def gen():
+        yield {"i": np.asarray(0)}
+        raise RuntimeError("decode failed")
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(tr._prefetched(gen()))

@@ -438,9 +438,21 @@ class VCoderDataset:
 
     def _load_pixels(self, path: str) -> np.ndarray:
         # Native C++ decode+pad+resize when built (GIL-free, threadable);
-        # PIL fallback otherwise. Normalization always runs on device.
+        # PIL fallback otherwise. EVERYTHING stays on the host: the old
+        # per-image device `resize_normalize` round trip cost ~55 ms
+        # each through the axon tunnel (dispatch + fetch), capping the
+        # input pipeline at ~18 img/s per thread — far below the train
+        # step's demand (scripts/bench_input_pipeline.py). Normalization
+        # is a trivial elementwise op on a [S, S, 3] array.
         from vcoder_tpu.native import io as nio
+        from vcoder_tpu.preprocess import (
+            BACKGROUND_COLOR,
+            CLIP_IMAGE_MEAN,
+            CLIP_IMAGE_STD,
+            expand2square,
+        )
 
+        u8 = None
         if nio.is_available():
             try:
                 u8 = nio.load_preprocessed(
@@ -448,23 +460,31 @@ class VCoderDataset:
                     size=self.image_size,
                     pad=self.image_aspect_ratio == "pad",
                 )
-                from vcoder_tpu.preprocess import resize_normalize
-
-                return np.asarray(
-                    resize_normalize(u8[None], size=self.image_size)
-                )[0]
             except Exception:
-                pass
-        from PIL import Image
+                u8 = None
+        if u8 is None:
+            from PIL import Image
 
-        img = Image.open(path).convert("RGB")
-        return np.asarray(
-            process_images(
-                [img],
-                image_aspect_ratio=self.image_aspect_ratio,
-                size=self.image_size,
-            )
-        )[0]
+            img = Image.open(path).convert("RGB")
+            arr = np.asarray(img)
+            if self.image_aspect_ratio == "pad":
+                arr = expand2square(arr, BACKGROUND_COLOR)
+            else:
+                side = min(arr.shape[:2])
+                top = (arr.shape[0] - side) // 2
+                left = (arr.shape[1] - side) // 2
+                arr = arr[top : top + side, left : left + side]
+            S = self.image_size
+            if arr.shape[0] != S:
+                resample = getattr(Image, "Resampling", Image).BICUBIC
+                arr = np.asarray(
+                    Image.fromarray(arr).resize((S, S), resample)
+                )
+            u8 = arr
+        x = u8.astype(np.float32) / 255.0
+        mean = np.asarray(CLIP_IMAGE_MEAN, np.float32)
+        std = np.asarray(CLIP_IMAGE_STD, np.float32)
+        return (x - mean) / std
 
     def __getitem__(self, i: int) -> dict:
         entry = self.entries[i]

@@ -80,6 +80,12 @@ class TrainArgs:
     # Adam moments are ~54 GB: ~6.75 GB/chip back on a v5e-8 fsdp mesh).
     # Requires a mesh (wrap a single chip in a 1-device mesh).
     offload_opt_state: bool = False
+    # Host input pipeline: threads decoding samples in parallel (the
+    # native IO decoder drops the GIL, so threads scale) and how many
+    # assembled batches to stage ahead of the device step. 0 workers =
+    # inline loading (tests/debug).
+    dataloader_workers: int = 8
+    prefetch_batches: int = 2
 
 
 class Trainer:
@@ -171,10 +177,31 @@ class Trainer:
         )
         sampler.set_epoch(epoch)
         order = list(iter(sampler))
+        pool = None
+        if args.dataloader_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # Threads, not processes: the native decoder (native/
+            # vcoder_io.cpp) releases the GIL around decode+pad+resize,
+            # so threads scale to real parallelism with zero pickling
+            # (the reference pays a per-rank PIL DataLoader instead —
+            # vcoder_llava/train/train.py:774-859).
+            pool = ThreadPoolExecutor(args.dataloader_workers)
+        try:
+            yield from self._assemble(order, skip, pool)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False, cancel_futures=True)
+
+    def _assemble(self, order, skip, pool) -> Iterator[dict]:
         for i in range(skip * self.global_batch,
                        len(order) - self.global_batch + 1,
                        self.global_batch):
-            samples = [self.dataset[j] for j in order[i:i + self.global_batch]]
+            idxs = order[i:i + self.global_batch]
+            if pool is not None:
+                samples = list(pool.map(self.dataset.__getitem__, idxs))
+            else:
+                samples = [self.dataset[j] for j in idxs]
             max_ids = max(len(s["input_ids"]) for s in samples)
             n_mod = 1 + int(self.cfg.use_seg) + int(self.cfg.use_depth)
             expanded = max_ids + n_mod * self.cfg.vision.num_patches
@@ -194,6 +221,60 @@ class Trainer:
 
                 batch = shard_batch(batch, self.mesh)
             yield batch
+
+    def _prefetched(self, gen: Iterator[dict]) -> Iterator[dict]:
+        """Stage up to ``args.prefetch_batches`` assembled batches ahead
+        of the consumer in a background thread, so host decode/collate/
+        H2D of the NEXT batches overlaps the device step even across the
+        blocking metric fetches at logging steps."""
+        n = self.args.prefetch_batches
+        if n <= 0:
+            yield from gen
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=n)
+        DONE = object()
+        stop = [False]
+        err: list = []
+
+        def work():
+            try:
+                for b in gen:
+                    while not stop[0]:
+                        try:
+                            q.put(b, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop[0]:
+                        return
+            except BaseException as e:  # surface in the consumer
+                err.append(e)
+            finally:
+                # Blocking put with the same stop-polling loop as above:
+                # put_nowait could drop DONE when the queue is full (the
+                # error path with n staged batches), hanging the consumer.
+                while not stop[0]:
+                    try:
+                        q.put(DONE, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(target=work, daemon=True, name="prefetch")
+        t.start()
+        try:
+            while True:
+                b = q.get()
+                if b is DONE:
+                    break
+                yield b
+        finally:
+            stop[0] = True
+        if err:
+            raise err[0]
 
     # ---- checkpointing ----
 
@@ -289,7 +370,9 @@ class Trainer:
         skip_in_epoch = self.step % steps_per_epoch
         for epoch in range(start_epoch, self.args.num_train_epochs):
             to_skip = skip_in_epoch if epoch == start_epoch else 0
-            for batch in self._epoch_batches(epoch, skip=to_skip):
+            for batch in self._prefetched(
+                self._epoch_batches(epoch, skip=to_skip)
+            ):
                 if self.step >= budget:
                     break
                 t0 = time.time()
