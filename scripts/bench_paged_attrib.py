@@ -179,10 +179,24 @@ def _attend_only_fn(cfg, table, lengths0, active, *, with_kernel=True):
 
 
 def main():
+    import argparse
+
     import jax
     import jax.numpy as jnp
 
     from vcoder_tpu.config import VCoderConfig  # noqa: F401 (cfg via ctx)
+    from vcoder_tpu.ops import paged_attention as pa
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--no-fused", action="store_true",
+        help="force the scatter+attend path (FUSED_APPEND=False) so two"
+        " runs A/B the fused append+attend kernel on hardware",
+    )
+    args = ap.parse_args()
+    if args.no_fused:
+        pa.FUSED_APPEND = False
+    print(f"FUSED_APPEND={pa.FUSED_APPEND}", flush=True)
 
     _wait_for_healthy_tunnel()
     ctx = Ctx()

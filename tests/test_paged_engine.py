@@ -894,3 +894,87 @@ def test_fused_append_attend_matches_scatter_oracle(quantized, window):
 def test_fused_append_attend_inactive_rows_park_on_scratch():
     _fused_case(False, 1, [True, False, True])
     _fused_case(True, 4, [False, True, True])
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_sharded_fused_append_attend_matches_single(quantized):
+    """sharded_carry_paged_attention_fused (global->local page-id
+    rebasing, per-shard scratch parking, new_k/new_ks row/model specs)
+    must equal the single-pool fused kernel on active rows — pools
+    byte-exact on every table-referenced page. Row 3 rides inactive: its
+    pages must come through untouched (its parked writes land on its
+    SHARD's scratch page, not the global one — excluded from compare)."""
+    from vcoder_tpu.models.llama import _kv_quantize
+    from vcoder_tpu.ops.paged_attention import (
+        carry_paged_attention_fused,
+        sharded_carry_paged_attention_fused,
+    )
+    from vcoder_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, model=2)
+    row_shards = 4
+    L, KH, page, D, B, H, k = 2, 4, 8, 16, 4, 8, 4
+    per = 4  # pages per shard; local 0 = sentinel, local last = scratch
+    n_pages = per * row_shards
+    rng = np.random.default_rng(7 + quantized)
+    kp_f = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    vp_f = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    lengths0 = jnp.asarray([page - 1, page + 3, 2, 5], jnp.int32)
+    active = jnp.asarray([True, True, True, False], bool)
+    positions = lengths0
+    attn_lengths = lengths0 + k * active.astype(jnp.int32)
+    # Row r lives on shard r; pages in [r*per+1, r*per+per-1) (scratch
+    # excluded so the single/sharded parking difference stays isolated).
+    table = np.zeros((B, 3), np.int32)
+    for r in range(B):
+        table[r, :] = r * per
+        table[r, :2] = r * per + 1 + np.arange(2)
+    table = jnp.asarray(table)
+    q = jnp.asarray(rng.standard_normal((B, k, H, D)), jnp.float32)
+    new_k = jnp.asarray(rng.standard_normal((B, k, KH, D)), jnp.float32)
+    new_v = jnp.asarray(rng.standard_normal((B, k, KH, D)), jnp.float32)
+    l = jnp.int32(1)
+
+    if quantized:
+        kq, ks = _kv_quantize(kp_f)
+        vq, vs = _kv_quantize(vp_f)
+        ks, vs = ks[..., 0], vs[..., 0]
+        nkq, nks = _kv_quantize(new_k)
+        nvq, nvs = _kv_quantize(new_v)
+        nks, nvs = nks[..., 0], nvs[..., 0]
+        ref = carry_paged_attention_fused(
+            q, nkq, nvq, kq, vq, table, attn_lengths, positions, active,
+            l, window=k, interpret=True,
+            k_scale=ks, v_scale=vs, new_ks=nks, new_vs=nvs,
+        )
+        got = sharded_carry_paged_attention_fused(
+            q, nkq, nvq, kq, vq, table, attn_lengths, positions, active,
+            l, mesh, window=k, interpret=True,
+            k_scale=ks, v_scale=vs, new_ks=nks, new_vs=nvs,
+        )
+    else:
+        ref = carry_paged_attention_fused(
+            q, new_k, new_v, kp_f, vp_f, table, attn_lengths, positions,
+            active, l, window=k, interpret=True,
+        )
+        got = sharded_carry_paged_attention_fused(
+            q, new_k, new_v, kp_f, vp_f, table, attn_lengths, positions,
+            active, l, mesh, interpret=True, window=k,
+        )
+    act = np.asarray(active)
+    np.testing.assert_allclose(
+        np.asarray(got[0])[act], np.asarray(ref[0])[act],
+        atol=2e-5, rtol=2e-5,
+    )
+    # Table-referenced pages byte-exact (incl. the INACTIVE row's pages:
+    # both paths must leave them untouched).
+    pages_used = sorted({int(p) for row in np.asarray(table) for p in row})
+    for got_pool, ref_pool in zip(got[1:], ref[1:]):
+        np.testing.assert_array_equal(
+            np.asarray(got_pool)[:, pages_used],
+            np.asarray(ref_pool)[:, pages_used],
+        )

@@ -413,13 +413,16 @@ def llama_paged_decode(
     per-token-per-head scales, the dense cache's ``quantized`` scheme).
     """
     from vcoder_tpu.ops.paged_attention import (
+        FUSED_APPEND,
         append_scale_layer,
         append_token_layer,
         carry_paged_attention,
+        carry_paged_attention_fused,
         carry_paged_attention_q8,
         sharded_append_scale_layer,
         sharded_append_token_layer,
         sharded_carry_paged_attention,
+        sharded_carry_paged_attention_fused,
         sharded_carry_paged_attention_q8,
     )
     from vcoder_tpu.parallel.mesh import current_mesh
@@ -451,6 +454,12 @@ def llama_paged_decode(
                 interpret=interpret,
             )
         )
+        _fused = lambda q, nk, nv, pk, pv, ln, l, **kw: (
+            sharded_carry_paged_attention_fused(
+                q, nk, nv, pk, pv, page_table, ln, positions, active, l,
+                mesh, window=1, interpret=interpret, **kw
+            )
+        )
     else:
         _append = append_token_layer
         _append_s = append_scale_layer
@@ -459,6 +468,12 @@ def llama_paged_decode(
         )
         _attend_q8 = lambda q, pk, pv, ks, vs, ln, l: carry_paged_attention_q8(
             q, pk, pv, ks, vs, page_table, ln, l, interpret=interpret
+        )
+        _fused = lambda q, nk, nv, pk, pv, ln, l, **kw: (
+            carry_paged_attention_fused(
+                q, nk, nv, pk, pv, page_table, ln, positions, active, l,
+                window=1, interpret=interpret, **kw
+            )
         )
 
     cos, sin = rope_cos_sin(positions[:, None], HD, cfg.rope_theta)
@@ -489,21 +504,50 @@ def llama_paged_decode(
             pk_all, pv_all, ks_all, vs_all = pools
             kq, ks = _kv_quantize(k[:, 0])  # [B, KH, HD], [B, KH, 1]
             vq, vs = _kv_quantize(v[:, 0])
-            pk_all = _append(pk_all, l, kq, row_pages, offsets, active)
-            pv_all = _append(pv_all, l, vq, row_pages, offsets, active)
-            ks_all = _append_s(ks_all, l, ks, row_pages, offsets, active)
-            vs_all = _append_s(vs_all, l, vs, row_pages, offsets, active)
-            attn, pk_all, pv_all, ks_all, vs_all = _attend_q8(
-                q[:, 0], pk_all, pv_all, ks_all, vs_all, attn_lengths, l
-            )  # [B, H, HD]
+            if FUSED_APPEND:
+                # Append+attend in ONE kernel: the token's KV enters as a
+                # VMEM operand (attended as a virtual page) and streams
+                # out to its page slot with fire-and-forget DMAs — no
+                # scatter + page re-read round trip through HBM.
+                attn, pk_all, pv_all, ks_all, vs_all = _fused(
+                    q, kq[:, None], vq[:, None], pk_all, pv_all,
+                    attn_lengths, l,
+                    k_scale=ks_all, v_scale=vs_all,
+                    new_ks=ks[..., 0][:, None], new_vs=vs[..., 0][:, None],
+                )
+                attn = attn[:, 0]
+            else:
+                pk_all = _append(pk_all, l, kq, row_pages, offsets, active)
+                pv_all = _append(pv_all, l, vq, row_pages, offsets, active)
+                ks_all = _append_s(
+                    ks_all, l, ks, row_pages, offsets, active
+                )
+                vs_all = _append_s(
+                    vs_all, l, vs, row_pages, offsets, active
+                )
+                attn, pk_all, pv_all, ks_all, vs_all = _attend_q8(
+                    q[:, 0], pk_all, pv_all, ks_all, vs_all,
+                    attn_lengths, l,
+                )  # [B, H, HD]
             pools = (pk_all, pv_all, ks_all, vs_all)
         else:
             pk_all, pv_all = pools
-            pk_all = _append(pk_all, l, k[:, 0], row_pages, offsets, active)
-            pv_all = _append(pv_all, l, v[:, 0], row_pages, offsets, active)
-            attn, pk_all, pv_all = _attend(
-                q[:, 0], pk_all, pv_all, attn_lengths, l
-            )  # [B, H, HD]
+            if FUSED_APPEND:
+                attn, pk_all, pv_all = _fused(
+                    q, k.astype(pk_all.dtype), v.astype(pv_all.dtype),
+                    pk_all, pv_all, attn_lengths, l,
+                )
+                attn = attn[:, 0]
+            else:
+                pk_all = _append(
+                    pk_all, l, k[:, 0], row_pages, offsets, active
+                )
+                pv_all = _append(
+                    pv_all, l, v[:, 0], row_pages, offsets, active
+                )
+                attn, pk_all, pv_all = _attend(
+                    q[:, 0], pk_all, pv_all, attn_lengths, l
+                )  # [B, H, HD]
             pools = (pk_all, pv_all)
         x = residual + qm(attn.reshape(B, 1, H * HD), lp["o_proj"])
         residual = x
@@ -553,12 +597,15 @@ def llama_paged_verify(
     Returns (hidden [B, k, D], k_pages, v_pages[, k_scale, v_scale]).
     """
     from vcoder_tpu.ops.paged_attention import (
+        FUSED_APPEND,
         append_token_scales_layer,
         append_tokens_layer,
+        carry_paged_attention_fused,
         carry_paged_attention_multi,
         carry_paged_attention_multi_q8,
         sharded_append_token_scales_layer,
         sharded_append_tokens_layer,
+        sharded_carry_paged_attention_fused,
         sharded_carry_paged_attention_multi,
         sharded_carry_paged_attention_multi_q8,
     )
@@ -568,6 +615,12 @@ def llama_paged_verify(
     H, KH, HD = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     eps = cfg.rms_norm_eps
     quantized = k_scale is not None
+    # Fused append+attend holds the whole window in VMEM and unrolls one
+    # write DMA per window token — right for speculative-verify windows
+    # (k <= ~8), wrong for chunk-prefill windows (k = 128+): gate on k.
+    # The window must be position-CONTIGUOUS per row (the kernel writes
+    # to positions[:, 0] + t), which both callers guarantee.
+    use_fused = FUSED_APPEND and k <= 16
 
     mesh = current_mesh()
     if mesh is not None and mesh.size > 1:
@@ -589,6 +642,12 @@ def llama_paged_verify(
                 interpret=interpret,
             )
         )
+        _fused = lambda q, nk, nv, pk, pv, ln, l, **kw: (
+            sharded_carry_paged_attention_fused(
+                q, nk, nv, pk, pv, page_table, ln, positions[:, 0],
+                active, l, mesh, window=k, interpret=interpret, **kw
+            )
+        )
     else:
         _append = lambda pk, l, kv: append_tokens_layer(
             pk, l, kv, positions, page_table, active
@@ -603,6 +662,12 @@ def llama_paged_verify(
             carry_paged_attention_multi_q8(
                 q, pk, pv, ks, vs, page_table, ln, l, window=k,
                 interpret=interpret,
+            )
+        )
+        _fused = lambda q, nk, nv, pk, pv, ln, l, **kw: (
+            carry_paged_attention_fused(
+                q, nk, nv, pk, pv, page_table, ln, positions[:, 0],
+                active, l, window=k, interpret=interpret, **kw
             )
         )
 
@@ -625,21 +690,34 @@ def llama_paged_verify(
             pk_all, pv_all, ks_all, vs_all = pools
             kq, ks = _kv_quantize(kk)  # [B, k, KH, HD], [B, k, KH, 1]
             vq, vs = _kv_quantize(v)
-            pk_all = _append(pk_all, l, kq)
-            pv_all = _append(pv_all, l, vq)
-            ks_all = _append_s(ks_all, l, ks)
-            vs_all = _append_s(vs_all, l, vs)
-            attn, pk_all, pv_all, ks_all, vs_all = _attend_q8(
-                q, pk_all, pv_all, ks_all, vs_all, attn_lengths, l
-            )  # [B, k, H, HD]
+            if use_fused:
+                attn, pk_all, pv_all, ks_all, vs_all = _fused(
+                    q, kq, vq, pk_all, pv_all, attn_lengths, l,
+                    k_scale=ks_all, v_scale=vs_all,
+                    new_ks=ks[..., 0], new_vs=vs[..., 0],
+                )
+            else:
+                pk_all = _append(pk_all, l, kq)
+                pv_all = _append(pv_all, l, vq)
+                ks_all = _append_s(ks_all, l, ks)
+                vs_all = _append_s(vs_all, l, vs)
+                attn, pk_all, pv_all, ks_all, vs_all = _attend_q8(
+                    q, pk_all, pv_all, ks_all, vs_all, attn_lengths, l
+                )  # [B, k, H, HD]
             pools = (pk_all, pv_all, ks_all, vs_all)
         else:
             pk_all, pv_all = pools
-            pk_all = _append(pk_all, l, kk)
-            pv_all = _append(pv_all, l, v)
-            attn, pk_all, pv_all = _attend(
-                q, pk_all, pv_all, attn_lengths, l
-            )
+            if use_fused:
+                attn, pk_all, pv_all = _fused(
+                    q, kk.astype(pk_all.dtype), v.astype(pv_all.dtype),
+                    pk_all, pv_all, attn_lengths, l,
+                )
+            else:
+                pk_all = _append(pk_all, l, kk)
+                pv_all = _append(pv_all, l, v)
+                attn, pk_all, pv_all = _attend(
+                    q, pk_all, pv_all, attn_lengths, l
+                )
             pools = (pk_all, pv_all)
         x = residual + qm(attn.reshape(B, k, H * HD), lp["o_proj"])
         residual = x

@@ -34,8 +34,12 @@ NEG_INF = -1e30
 # kernels fold the per-token scales into the LOGITS (after the QK dot)
 # and the PROBS (before PV) — the dense decode path's trick — instead of
 # dequantizing the full [KH, page, D] K/V tiles elementwise in VMEM.
-# Same math (scales are per token, the dots are over D), ~page_size x
-# fewer VPU multiplies per tile.
+# Same math (scales are per token, the dots are over D). Measured effect
+# on hardware: NEUTRAL (B=32 q8 full step 31.31 vs 31.24 ms, attend-only
+# 21.56 vs 21.18 ms — docs/bench_logs/r4_paged_attrib_{fold,prefold}.txt):
+# the kernel is DMA-bound, not VPU-bound, so the saved multiplies don't
+# show. Kept at True for the lower VPU occupancy headroom; flip only
+# with a new measurement.
 FOLD_SCALES = True
 
 # Scoped-VMEM ceiling for the multi-query (window>1) carry kernels. At
@@ -1109,10 +1113,23 @@ def write_prompt_pages(
 # slots with fire-and-forget DMAs that are only waited at program end, so
 # new tokens never round-trip through HBM before being attended and the
 # kernel reads one page less whenever the window opens a fresh page.
-# Toggle: FUSED_APPEND (trace-time; llama_paged_decode/verify honor it).
+# Toggle: FUSED_APPEND (trace-time). llama_paged_decode honors it
+# (window=1); llama_paged_verify honors it for windows <= 16 (speculative
+# verify and small chunk prefills) — larger windows keep the scatter +
+# multi-query kernels, since this kernel unrolls one write DMA per window
+# token and holds the whole window as a VMEM operand.
+#
+# DEFAULT False: the kernels are parity-validated in interpret mode (and
+# against the scatter oracle), but Mosaic CANNOT lower the per-token
+# write DMAs on real v5e — a 1-token slice on the page (second-minor)
+# dim of a tiled pool fails "Slice shape along dimension 2 must be
+# aligned to tiling (4), but is 1" (hardware compile captured 2026-08-20,
+# docs/ROADMAP.md). Recovering the measured 10.9 ms/step scatter cost
+# needs a tile-aligned write strategy (e.g. a token-minor tail buffer),
+# not this slice shape. Flip only after a hardware compile succeeds.
 # ---------------------------------------------------------------------------
 
-FUSED_APPEND = True
+FUSED_APPEND = False
 
 
 def _carry_kernel_fused(
@@ -1185,6 +1202,16 @@ def _carry_kernel_fused(
     # Writes target the OUTPUT refs (the alias makes them the same HBM
     # buffer as the inputs on hardware; interpret mode copies in->out
     # before the body, so writes land on top either way).
+    #
+    # INVARIANT (hardware-only overlap): when ``old % page_size != 0``
+    # these fire-and-forget writes land in the SAME HBM page the final
+    # page-read DMA below fetches (aliased buffer), so that page's read
+    # may observe pre- or post-write bytes for the window's slots. That
+    # is benign ONLY because those slots sit at positions >= old and the
+    # page-loop mask (`tok < old`) discards them — the window is attended
+    # exclusively from its VMEM operand. Interpret mode reads the
+    # pre-copy input and cannot exercise this; keep the mask split intact
+    # under refactors.
     wstreams = [(nk_ref, kp_out, wksem, False), (nv_ref, vp_out, wvsem, False)]
     if quantized:
         wstreams += [
