@@ -250,6 +250,9 @@ def _phases_ab(args, out, cfg, params, px, turn1_ids, rng, page, max_len,
     worker = EngineWorker.from_engine(
         eng, model_name="bench-vcoder-ds", eos_id=eos
     )
+    # Compile every group-chunk bucket before the timed phases (the
+    # HTTP-server path does the same at startup).
+    eng.warmup_chunks()
 
     # Warmup: compile prefill buckets/chunk graphs/decode windows outside
     # the timed phases — including one long TEXT-ONLY prompt so phase B's

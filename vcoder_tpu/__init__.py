@@ -18,6 +18,30 @@ if _os.environ.get("VCODER_TPU_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["VCODER_TPU_PLATFORM"])
 
+_cache_dir = _os.environ.get(
+    "VCODER_TPU_COMPILE_CACHE",
+    _os.path.expanduser("~/.cache/vcoder_jax"),
+)
+if (
+    _cache_dir
+    and _cache_dir != "0"
+    and _os.environ.get("VCODER_TPU_PLATFORM") != "cpu"
+):
+    # Persistent XLA compilation cache: 7B-scale serving/train graphs
+    # take 20-40 s each to compile and a cold server otherwise re-pays
+    # every one of them per process (measured 214 s -> 2.6 s on a cached
+    # large-matmul probe). VCODER_TPU_COMPILE_CACHE=0 disables; set it
+    # to a path to relocate. CPU runs skip it — XLA:CPU AOT reload
+    # warns about machine-feature mismatches (SIGILL risk) and tiny CPU
+    # compiles don't need caching.
+    import jax as _jax
+
+    if "cpu" not in str(_jax.config.jax_platforms or ""):
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 1.0
+        )
+
 from vcoder_tpu.constants import (  # noqa: F401
     DEFAULT_DEPTH_TOKEN,
     DEFAULT_IMAGE_TOKEN,

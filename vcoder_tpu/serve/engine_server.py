@@ -110,6 +110,12 @@ class EngineWorker:
             raise ValueError(f"unknown engine {engine!r}")
         self.model_name = self.chat.model_name
         self.eos_id = model.config.text.eos_token_id
+        if hasattr(self.engine, "warmup_chunks"):
+            # Compile every group-chunk shape before serving traffic —
+            # a cold concurrent burst otherwise stalls tens of seconds
+            # behind per-bucket XLA compiles (persistent-cached runs pay
+            # this once per machine).
+            self.engine.warmup_chunks()
         self._start_loop()
 
     @classmethod

@@ -190,7 +190,7 @@ def _plan_embeds(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "kc", "text_mode", "use_vemb"),
+    static_argnames=("cfg", "kc", "text_mode"),
     donate_argnums=(3, 4, 5, 6),
 )
 def _group_chunk(
@@ -205,10 +205,11 @@ def _group_chunk(
     starts,  # [G] int32: absolute position of each row's region start
     off,  # [] int32: group cursor (uniform — rows advance in lockstep)
     active,  # [G] bool: rows still inside their region
+    use_vemb,  # [] bool: TRACED (vemb/plain traffic shares one graph —
+    #             every extra static here is a 20-40 s cold compile)
     *,
     kc: int,
     text_mode: bool,
-    use_vemb: bool,
 ):
     """One BATCHED chunk of region prefill over paged KV: the speculative
     verify forward doubles as a chunked prefill for G admissions at once
@@ -228,12 +229,14 @@ def _group_chunk(
     slice_row = lambda row, st: jax.lax.dynamic_slice_in_dim(row, st, kc, 0)
     if text_mode:
         ids = jax.vmap(slice_row)(source, s)  # [G, kc]
-        table = (
-            params["vcoder_lm_emb"]
-            if (use_vemb and "vcoder_lm_emb" in params)
-            else params["lm"]["embed_tokens"]
-        )
-        embeds = jnp.take(table, ids, axis=0)
+        if "vcoder_lm_emb" in params:
+            embeds = jax.lax.cond(
+                use_vemb,
+                lambda: jnp.take(params["vcoder_lm_emb"], ids, axis=0),
+                lambda: jnp.take(params["lm"]["embed_tokens"], ids, axis=0),
+            )
+        else:
+            embeds = jnp.take(params["lm"]["embed_tokens"], ids, axis=0)
     else:
         embeds = jax.vmap(slice_row)(source, s)  # [G, kc, D]
     positions = s[:, None] + jnp.arange(kc, dtype=jnp.int32)[None, :]
@@ -733,6 +736,12 @@ class PagedServingEngine(ServingEngine):
         # Batched-admission observability: size of every admit group
         # formed (tests assert concurrent traffic actually batches).
         self.admit_group_sizes: List[int] = []
+        # Engine-constant group-buffer caps (see _build_group SHAPE
+        # STABILITY): sources/tables pad to these so the compiled group
+        # chunk graphs key only on (bucket, chunk size).
+        max_chunk = max(self._chunk, self._cp_chunk)
+        self._src_cap = self.p_max * page_size + max_chunk
+        self._tbl_cap = self.p_max + max_chunk // page_size
 
 
     def _device_table(self):
@@ -810,6 +819,94 @@ class PagedServingEngine(ServingEngine):
         self.lengths[slot] = 0
         self.table[slot, :] = shard * self.pages_per_shard
         self._table_dirty = True
+
+    def warmup_chunks(self, vision: bool = True) -> None:
+        """Pre-compile the lockstep group-chunk graphs — one per (group
+        bucket, chunk size, mode) shape the engine can form — so the
+        first burst of concurrent admissions doesn't stall 20-40 s behind
+        one XLA compile per new group size mid-traffic (the cold-start
+        mode the round-5 wire bench caught: turn-1 p50 43.9 s). Sources
+        pad to engine-constant caps (_build_group SHAPE STABILITY), so
+        this covers EVERY prompt length.
+
+        Runs each shape once with ALL rows inactive: kernel writes park
+        on the scratch page and the pools pass through bit-unchanged, so
+        this is safe on a live engine between steps. ``vision`` also
+        warms the vision-mode group graphs (batched tower encode +
+        embeds-source verify) — the production hot path, since a turn-1
+        region after a prefix hit usually straddles the vision span's
+        tail. Cold this is minutes of XLA compiles; the persistent
+        compilation cache (vcoder_tpu/__init__) makes it near-free on
+        every later process.
+        """
+        shapes = []
+        if self._cp_chunk:
+            shapes += [(gb, self._cp_chunk) for gb in _G_BUCKETS]
+        if not any(kc == self._chunk for _, kc in shapes):
+            # The prefix-cache suffix path always forms singletons.
+            shapes.append((1, self._chunk))
+
+        def run(gb, kc, source, *, text_mode):
+            tables = jnp.zeros((gb, self._tbl_cap), jnp.int32)
+            starts = jnp.zeros((gb,), jnp.int32)
+            with self._mesh_ctx():
+                out = _group_chunk(
+                    self.params,
+                    self.cfg,
+                    source,
+                    self.k_pages,
+                    self.v_pages,
+                    self.k_scale,
+                    self.v_scale,
+                    tables,
+                    starts,
+                    jnp.asarray(0, jnp.int32),
+                    jnp.zeros((gb,), bool),
+                    jnp.asarray(False, bool),
+                    kc=kc,
+                    text_mode=text_mode,
+                )
+            (_, self.k_pages, self.v_pages,
+             self.k_scale, self.v_scale) = out
+
+        for gb, kc in shapes:
+            run(gb, kc, jnp.zeros((gb, self._src_cap), jnp.int32),
+                text_mode=True)
+        if vision:
+            vshapes = (
+                [(gb, self._cp_chunk) for gb in _G_BUCKETS]
+                if self._cp_chunk
+                else []
+            )
+            if not any(kc == self._chunk for _, kc in vshapes):
+                vshapes.append((1, self._chunk))
+            hw = self.cfg.vision.image_size
+            dtype = self.params["lm"]["embed_tokens"].dtype
+            use_vemb = self.cfg.use_vcoder_lm_emb
+            for gb, vkc in vshapes:
+                plan_arrays = {
+                    "safe_ids": jnp.zeros((gb, self._src_cap), jnp.int32),
+                    "is_text": jnp.ones((gb, self._src_cap), bool),
+                    "vis_idx": jnp.zeros((gb, self._src_cap), jnp.int32),
+                }
+                px = jnp.zeros((gb, hw, hw, 3), dtype)
+                dummy = jnp.zeros((0,), jnp.float32)
+                with self._mesh_ctx():
+                    source = _plan_embeds(
+                        self.params,
+                        self.cfg,
+                        plan_arrays,
+                        px,
+                        px if self.cfg.use_seg else dummy,
+                        px if self.cfg.use_depth else dummy,
+                        use_vcoder_emb=use_vemb,
+                        has_images=True,
+                        has_segs=self.cfg.use_seg,
+                        has_depths=self.cfg.use_depth,
+                        attn_impl=self.attn_impl,
+                    )
+                run(gb, vkc, source, text_mode=False)
+        jax.block_until_ready(self.k_pages)
 
     def prefix_stats(self) -> dict:
         """Aggregate prefix-cache counters across shards (zeros when the
@@ -1316,8 +1413,20 @@ class PagedServingEngine(ServingEngine):
         # which would silently SHIFT the chunk), and widen the tables so
         # overhang positions index real (sentinel) entries instead of
         # running the kernel's scalar reads out of bounds.
-        T_r = T_pad + chunk
-        p_max = self.p_max + chunk // page
+        #
+        # SHAPE STABILITY: the jit key includes source/table shapes, and
+        # a 7B chunk graph costs 15-40 s to compile — one compile per
+        # prompt-length bucket stalled concurrent turn-1 admissions 33 s
+        # p50 on the round-5 wire bench. Sources therefore pad to the
+        # ENGINE-constant cap so group graphs key only on (gb, kc):
+        # trivial for text ids ([G, cap] int32); for vision sources
+        # ([G, cap, D] embeds) it costs a transient ~160 MB at gb=8 —
+        # accepted, because a turn-1 region after a prefix hit usually
+        # STRADDLES the vision span's tail (page granularity), so vision
+        # groups are the production hot path and per-T_pad tower+verify
+        # compiles (~30 s each) would stall live traffic.
+        T_r = self._src_cap
+        p_max = self._tbl_cap
         pp = items[0][2]
         tables = np.zeros((gb, p_max), np.int32)
         starts = np.zeros((gb,), np.int32)
@@ -1420,9 +1529,9 @@ class PagedServingEngine(ServingEngine):
                 g.starts,
                 jnp.asarray(g.off, jnp.int32),
                 g.active_dev(),
+                jnp.asarray(g.use_vemb, bool),
                 kc=kc,
                 text_mode=g.text_mode,
-                use_vemb=g.use_vemb,
             )
             finishing: List[_RegionRow] = []
             for i, rp in enumerate(g.rows):
