@@ -37,3 +37,22 @@ def test_paged_worker_bench_tiny():
     assert rec["preemptions"] >= 1
     assert rec["aggregate_tok_per_s"] > 0
     assert rec["chunked_admission_ttft_ms"] > 0
+
+
+@pytest.mark.slow
+def test_spec_accept_probe_script():
+    """scripts/spec_accept_probe.py emits the accept/projection JSON for
+    all four COST prompt variants; realistic answers must land inside
+    the measured hardware bracket (>= 1.0 accept, < 4.0)."""
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "scripts", "spec_accept_probe.py"),
+         "--samples", "20", "--json"],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = json.loads(proc.stdout.strip().splitlines()[-1])
+    for task in ("panoptic", "panoptic_nosg", "depth", "depth_noinp"):
+        for k in (4, 8, 16):
+            row = rec[f"{task}_k{k}"]
+            assert 1.0 <= row["accept_per_dispatch"] < 4.0, (task, k, row)
