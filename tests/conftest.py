@@ -102,9 +102,51 @@ SMOKE_MODULES = {
 
 
 def pytest_collection_modifyitems(config, items):
+    run_weekly = os.environ.get("VCODER_TEST_WEEKLY", "") not in ("", "0")
+    skip_weekly = pytest.mark.skip(
+        reason="weekly-tier redundancy (set VCODER_TEST_WEEKLY=1 to run)"
+    )
     for item in items:
         if (
             item.module.__name__.rsplit(".", 1)[-1] in SMOKE_MODULES
             and item.get_closest_marker("slow") is None
         ):
             item.add_marker(pytest.mark.smoke)
+        # `weekly`: end-to-end permutations whose coverage duplicates a
+        # cheaper in-suite test plus a driver-run artifact (the full-tier
+        # wall-time budget is ~25 min — VERDICT r4 #8). Skipped unless
+        # VCODER_TEST_WEEKLY=1 or an explicit `-m weekly` selection.
+        if (
+            not run_weekly
+            and item.get_closest_marker("weekly") is not None
+            and "weekly" not in config.getoption("-m", "")
+        ):
+            item.add_marker(skip_weekly)
+
+
+_module_times: dict = {}
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_protocol(item, nextitem):
+    """Record cumulative wall time per test module so full-tier creep is
+    visible in every run's tail (-q included), not just with --durations."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    yield
+    mod = item.module.__name__.rsplit(".", 1)[-1]
+    _module_times[mod] = _module_times.get(mod, 0.0) + (
+        _time.perf_counter() - t0
+    )
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    if not _module_times:
+        return
+    top = sorted(_module_times.items(), key=lambda kv: -kv[1])[:12]
+    total = sum(_module_times.values())
+    terminalreporter.write_line(
+        f"module wall times (total {total/60:.1f} min): "
+        + "  ".join(f"{m}={s:.0f}s" for m, s in top)
+    )

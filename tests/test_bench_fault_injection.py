@@ -87,6 +87,9 @@ def test_bench_survives_section_failures(tiny_bench, capfd):
 
 
 @pytest.mark.slow
+@pytest.mark.weekly  # the driver runs bench.py on hardware every round,
+# and the fault-injection test above exercises the same tiny sections —
+# ~110 s of duplicate coverage in the full tier (VERDICT r4 #8)
 def test_bench_clean_run_tiny(tiny_bench, capfd):
     """No injected faults: every section must produce a number."""
     bench = tiny_bench

@@ -168,6 +168,8 @@ def test_finetune_sh(tiny_base, mix_json, tmp_path):
     )
 
 
+@pytest.mark.weekly  # driver-level it/lora semantics are covered
+# in test_weight_surgery_driver; this rehearses only the bash layer
 def test_finetune_lora_sh(tiny_base, mix_json, tmp_path):
     data, imgs = mix_json
     _run(
@@ -229,6 +231,8 @@ def test_vcoder_ds_train_sh(tiny_base, cost_root, tmp_path):
     )
 
 
+@pytest.mark.weekly  # driver-level it/lora semantics are covered
+# in test_weight_surgery_driver; this rehearses only the bash layer
 def test_vcoder_it_sh(tiny_base, cost_root, tmp_path):
     _run(
         "vcoder_it.sh",
@@ -241,6 +245,8 @@ def test_vcoder_it_sh(tiny_base, cost_root, tmp_path):
     )
 
 
+@pytest.mark.weekly  # driver-level it/lora semantics are covered
+# in test_weight_surgery_driver; this rehearses only the bash layer
 def test_vcoder_it_lora_sh(tiny_base, cost_root, tmp_path):
     _run(
         "vcoder_it_lora.sh",

@@ -106,6 +106,9 @@ def _run_runbook(tmp_path, ckpt, root, out, tasks):
     )
 
 
+@pytest.mark.weekly  # test_validate_parity_runbook covers the flow on
+# one task; the 3-task x 2-run byte-stability sweep is ~54 s of
+# permutation coverage (VERDICT r4 #8)
 def test_validate_parity_all_tasks_byte_stable(tmp_path):
     """The FULL runbook flow — all three seg tasks, greedy, plus the
     --use-depth pass and both scorers — run twice must produce byte-
