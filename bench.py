@@ -839,6 +839,39 @@ def sec_decode_13b_b2(ctx):
     return out
 
 
+def sec_decode_13b_int4(ctx):
+    """13B packed-int4 decode (VERDICT r4 #3): int4 is 13B's capacity
+    story (6.7 GB weights) — its B=2 decode rate belongs next to the
+    int8 number. Runs LAST of the 13B sections: the int4 tree replaces
+    the 13 GB int8 tree (they cannot coexist in 15.5 GB)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vcoder_tpu.quant import init_quantized_params
+
+    cfg = ctx.get("cfg7")
+    cfg13 = ctx.get("cfg13")
+    _reset_hbm()
+    ctx.invalidate()
+    ctx.cache["cfg7"], ctx.cache["cfg13"] = cfg, cfg13
+    params4 = init_quantized_params(jax.random.PRNGKey(4), cfg13, bits=4)
+    decode_n = _make_decode_n(cfg13)
+    cache = _populated_cache(cfg13, B13, quantized=True)
+    tok = jnp.zeros((B13,), jnp.int32)
+    pos = jnp.full((B13,), T, jnp.int32)
+    tok, cache = decode_n(params4, tok, pos, cache)
+    jax_block(tok)
+    st = [tok, cache]
+
+    def _run():
+        st[0], st[1] = decode_n(params4, st[0], pos, st[1])
+        jax_block(st[0])
+
+    out = {"decode13_int4_b2_tok_s": _best_window(_run, B13 * N_STEPS)}
+    del cache, st, params4
+    return out
+
+
 def sec_paged13_q8_b4(ctx):
     # The stated motivation for kv_quant: 13B serving capacity on one
     # 16 GB chip (docs/PERFORMANCE.md #11). B=4 x 640 ctx: ~13 GB weights
@@ -912,6 +945,7 @@ SECTIONS = [
     ("ttft_13b", sec_ttft_13b),
     ("decode_13b_b2", sec_decode_13b_b2),
     ("paged13_q8_b4", sec_paged13_q8_b4),
+    ("decode_13b_int4", sec_decode_13b_int4),
     ("train", sec_train),
 ]
 
@@ -1043,7 +1077,9 @@ def main() -> int:
         f"13b_decode_B2={_fmt(results, 'decode13_b2_tok_s')} tok/s aggregate "
         f"(int8, int8 KV)  "
         f"13b_paged_q8_B4={_fmt(results, 'paged13_q8_b4_tok_s')} tok/s "
-        f"aggregate (int8 weights + int8 pages, page={PAGE_Q})",
+        f"aggregate (int8 weights + int8 pages, page={PAGE_Q})  "
+        f"13b_decode_int4_B2={_fmt(results, 'decode13_int4_b2_tok_s')} "
+        f"tok/s aggregate (packed int4, int8 KV)",
         file=sys.stderr,
         flush=True,
     )
