@@ -978,3 +978,92 @@ def test_sharded_fused_append_attend_matches_single(quantized):
             np.asarray(got_pool)[:, pages_used],
             np.asarray(ref_pool)[:, pages_used],
         )
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_append_pages_matches_token_scatter(quantized):
+    """append_pages_layer (page-granular chunk append) must produce a
+    pool byte-identical to the token scatter on page-aligned windows —
+    including an inactive row (scratch-page parking) and a final-chunk
+    overhang mapping to sentinel table entries."""
+    from vcoder_tpu.ops.paged_attention import (
+        append_page_scales_layer,
+        append_pages_layer,
+        append_token_scales_layer,
+        append_tokens_layer,
+    )
+
+    L, n_pages, KH, page, D = 2, 9, 4, 8, 16
+    B, k = 3, 16  # 2 pages per window
+    rng = np.random.default_rng(11 + quantized)
+    dt = jnp.int8 if quantized else jnp.float32
+    pool0 = jnp.asarray(
+        rng.integers(-100, 100, (L, n_pages, KH, page, D)), dt
+    )
+    kv = jnp.asarray(rng.integers(-100, 100, (B, k, KH, D)), dt)
+    # Row 0: start page-aligned mid-table; row 1: overhang (second page
+    # of the window maps to a sentinel entry 0); row 2: inactive.
+    table = jnp.asarray(
+        [[1, 2, 0], [3, 0, 0], [4, 5, 0]], jnp.int32
+    )
+    starts = jnp.asarray([0, 8, 0], jnp.int32)
+    positions = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    active = jnp.asarray([True, True, False])
+    for l in range(L):
+        a = append_tokens_layer(pool0, l, kv, positions, table, active)
+        b = append_pages_layer(pool0, l, kv, positions, table, active)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    if quantized:
+        sc0 = jnp.asarray(
+            rng.standard_normal((L, n_pages, KH, page)), jnp.float32
+        )
+        s = jnp.asarray(
+            rng.standard_normal((B, k, KH, 1)), jnp.float32
+        )
+        a = append_token_scales_layer(sc0, 1, s, positions, table, active)
+        b = append_page_scales_layer(sc0, 1, s, positions, table, active)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_append_pages_matches_single():
+    """sharded_append_pages_layer must equal the single-pool version on
+    every table-referenced page (global->local rebasing; the inactive
+    row's parked writes land on its shard's scratch, not the global
+    one — excluded)."""
+    from vcoder_tpu.ops.paged_attention import (
+        append_pages_layer,
+        sharded_append_pages_layer,
+    )
+    from vcoder_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(jax.devices()[:8], data=2, fsdp=2, model=2)
+    row_shards = 4
+    L, KH, page, D = 2, 4, 8, 16
+    B, k = 4, 16
+    per = 4
+    n_pages = per * row_shards
+    rng = np.random.default_rng(3)
+    pool0 = jnp.asarray(
+        rng.standard_normal((L, n_pages, KH, page, D)), jnp.float32
+    )
+    kv = jnp.asarray(rng.standard_normal((B, k, KH, D)), jnp.float32)
+    table = np.zeros((B, 3), np.int32)
+    for r in range(B):
+        table[r, :] = r * per
+        table[r, :2] = r * per + 1 + np.arange(2)
+    table = jnp.asarray(table)
+    starts = jnp.zeros((B,), jnp.int32)
+    positions = starts[:, None] + jnp.arange(k, dtype=jnp.int32)[None, :]
+    active = jnp.asarray([True, True, True, False])
+    want = append_pages_layer(pool0, 1, kv, positions, table, active)
+    with mesh:
+        got = sharded_append_pages_layer(
+            pool0, 1, kv, positions, table, active, mesh
+        )
+    ref_pages = sorted(
+        {int(p) for r in range(3) for p in np.asarray(table)[r, :2]}
+    )
+    np.testing.assert_allclose(
+        np.asarray(got)[:, ref_pages], np.asarray(want)[:, ref_pages],
+        rtol=0, atol=0,
+    )

@@ -587,6 +587,7 @@ def llama_paged_verify(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     interpret: bool = False,
+    page_aligned: bool = False,
 ):
     """Speculative-verify forward over paged KV: append the window's k
     tokens (which may straddle a page boundary — the engine pre-allocates
@@ -598,11 +599,15 @@ def llama_paged_verify(
     """
     from vcoder_tpu.ops.paged_attention import (
         FUSED_APPEND,
+        append_page_scales_layer,
+        append_pages_layer,
         append_token_scales_layer,
         append_tokens_layer,
         carry_paged_attention_fused,
         carry_paged_attention_multi,
         carry_paged_attention_multi_q8,
+        sharded_append_page_scales_layer,
+        sharded_append_pages_layer,
         sharded_append_token_scales_layer,
         sharded_append_tokens_layer,
         sharded_carry_paged_attention_fused,
@@ -621,15 +626,33 @@ def llama_paged_verify(
     # The window must be position-CONTIGUOUS per row (the kernel writes
     # to positions[:, 0] + t), which both callers guarantee.
     use_fused = FUSED_APPEND and k <= 16
+    # Page-granular append for page-aligned chunk windows: the token
+    # scatter's cost is its ~B*k*KH advanced indices (~179 ms per int8
+    # pool per G=8/kc=256 chunk on v5e), not its bytes. ``page_aligned``
+    # is the CALLER'S guarantee that positions[:, 0] % page == 0 (the
+    # chunk-prefill path: region starts are m*page and off advances by
+    # kc); k % page == 0 completes page coverage.
+    page_size = k_pages.shape[3]
+    use_pages = page_aligned and not use_fused and k % page_size == 0
 
     mesh = current_mesh()
     if mesh is not None and mesh.size > 1:
-        _append = lambda pk, l, kv: sharded_append_tokens_layer(
-            pk, l, kv, positions, page_table, active, mesh
-        )
-        _append_s = lambda ps, l, s: sharded_append_token_scales_layer(
-            ps, l, s, positions, page_table, active, mesh
-        )
+        if use_pages:
+            _append = lambda pk, l, kv: sharded_append_pages_layer(
+                pk, l, kv, positions, page_table, active, mesh
+            )
+            _append_s = lambda ps, l, s: sharded_append_page_scales_layer(
+                ps, l, s, positions, page_table, active, mesh
+            )
+        else:
+            _append = lambda pk, l, kv: sharded_append_tokens_layer(
+                pk, l, kv, positions, page_table, active, mesh
+            )
+            _append_s = lambda ps, l, s: (
+                sharded_append_token_scales_layer(
+                    ps, l, s, positions, page_table, active, mesh
+                )
+            )
         _attend = lambda q, pk, pv, ln, l: (
             sharded_carry_paged_attention_multi(
                 q, pk, pv, page_table, ln, l, mesh, window=k,
@@ -649,12 +672,20 @@ def llama_paged_verify(
             )
         )
     else:
-        _append = lambda pk, l, kv: append_tokens_layer(
-            pk, l, kv, positions, page_table, active
-        )
-        _append_s = lambda ps, l, s: append_token_scales_layer(
-            ps, l, s, positions, page_table, active
-        )
+        if use_pages:
+            _append = lambda pk, l, kv: append_pages_layer(
+                pk, l, kv, positions, page_table, active
+            )
+            _append_s = lambda ps, l, s: append_page_scales_layer(
+                ps, l, s, positions, page_table, active
+            )
+        else:
+            _append = lambda pk, l, kv: append_tokens_layer(
+                pk, l, kv, positions, page_table, active
+            )
+            _append_s = lambda ps, l, s: append_token_scales_layer(
+                ps, l, s, positions, page_table, active
+            )
         _attend = lambda q, pk, pv, ln, l: carry_paged_attention_multi(
             q, pk, pv, page_table, ln, l, window=k, interpret=interpret
         )

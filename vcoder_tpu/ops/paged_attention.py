@@ -533,6 +533,134 @@ def sharded_append_tokens_layer(
     )(pages_all, l, token_kv, positions, page_table, active)
 
 
+def append_pages_layer(
+    pages_all: jnp.ndarray,  # [L, n_pages, KH, page, D]
+    l: jnp.ndarray,
+    token_kv: jnp.ndarray,  # [B, k, KH, D], k % page == 0
+    positions: jnp.ndarray,  # [B, k]; positions[:, 0] % page == 0
+    page_table: jnp.ndarray,  # [B, P_max]
+    active: jnp.ndarray,  # [B] bool
+) -> jnp.ndarray:
+    """PAGE-granular window append for page-ALIGNED chunk windows.
+
+    :func:`append_tokens_layer` lowers to one scattered [D]-row write per
+    (token, head) — ~65k advanced indices for a G=8, kc=256 chunk,
+    measured **179 ms per int8 pool per chunk** on v5e
+    (scripts/bench_group_chunk.py, round 5) and ~independent of G: the
+    scatter row count, not the bytes, is the cost. When the window is
+    page-aligned (positions[:, 0] % page == 0 and k % page == 0 — the
+    lockstep chunk-prefill case: region starts are ``m * page`` and the
+    chunk size is a page multiple), the same write is k//page whole
+    pages per row: ONE scatter of B*(k//page) contiguous [KH*page, D]
+    rows on the page-major flat view (single leading advanced index,
+    the fast pattern). Caller must guarantee the alignment; overhang
+    positions land on table sentinel entries exactly like the token
+    scatter, and inactive rows write their (duplicate) blocks to the
+    scratch page."""
+    L, n_pages, KH, page, D = pages_all.shape
+    B, k = positions.shape
+    npg = k // page
+    pg_of = jnp.take_along_axis(
+        page_table, positions[:, ::page] // page, axis=1
+    )  # [B, npg]
+    safe = jnp.where(active[:, None], pg_of, n_pages - 1)
+    blocks = (
+        token_kv.reshape(B, npg, page, KH, D)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(B * npg, KH * page, D)
+    )
+    flat = pages_all.reshape(L * n_pages, KH * page, D)
+    idx = (l * n_pages + safe).reshape(-1)
+    out = flat.at[idx].set(blocks.astype(pages_all.dtype))
+    return out.reshape(pages_all.shape)
+
+
+def append_page_scales_layer(
+    scales_all: jnp.ndarray,  # [L, n_pages, KH, page] f32
+    l: jnp.ndarray,
+    token_scales: jnp.ndarray,  # [B, k, KH] or [B, k, KH, 1]
+    positions: jnp.ndarray,
+    page_table: jnp.ndarray,
+    active: jnp.ndarray,
+) -> jnp.ndarray:
+    """Page-granular variant of :func:`append_token_scales_layer`."""
+    L, n_pages, KH, page = scales_all.shape
+    B, k = positions.shape
+    out = append_pages_layer(
+        scales_all.reshape(L, n_pages, KH, page, 1),
+        l,
+        token_scales.reshape(B, k, KH, 1),
+        positions,
+        page_table,
+        active,
+    )
+    return out.reshape(scales_all.shape)
+
+
+def sharded_append_pages_layer(
+    pages_all, l, token_kv, positions, page_table, active, mesh
+):
+    """shard_map'd :func:`append_pages_layer` (global ids rebased)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+    pool = P(None, ROW_AXES, "model", None, None)
+
+    def local(pages_all, l, token_kv, positions, table, active):
+        local_table = table - _row_offset(pages_all.shape[1])
+        local_table = jnp.clip(local_table, 0, pages_all.shape[1] - 1)
+        return append_pages_layer(
+            pages_all, l, token_kv, positions, local_table, active
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            pool, P(), P(ROW_AXES, None, "model", None), row, row, row,
+        ),
+        out_specs=pool,
+        check_vma=False,
+    )(pages_all, l, token_kv, positions, page_table, active)
+
+
+def sharded_append_page_scales_layer(
+    scales_all, l, token_scales, positions, page_table, active, mesh
+):
+    """shard_map'd :func:`append_page_scales_layer`."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    row = P(ROW_AXES)
+    spool = P(None, ROW_AXES, "model", None)
+
+    def local(scales_all, l, token_scales, positions, table, active):
+        local_table = table - _row_offset(scales_all.shape[1])
+        local_table = jnp.clip(local_table, 0, scales_all.shape[1] - 1)
+        return append_page_scales_layer(
+            scales_all, l, token_scales, positions, local_table, active
+        )
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            spool, P(), P(ROW_AXES, None, "model"), row, row, row,
+        ),
+        out_specs=spool,
+        check_vma=False,
+    )(
+        scales_all,
+        l,
+        token_scales.reshape(token_scales.shape[0],
+                             token_scales.shape[1], -1),
+        positions,
+        page_table,
+        active,
+    )
+
+
 def _carry_kernel_multi_q8(
     # scalar prefetch
     table_ref,

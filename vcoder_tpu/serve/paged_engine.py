@@ -253,6 +253,11 @@ def _group_chunk(
         k_scale=k_scale if quantized else None,
         v_scale=v_scale if quantized else None,
         interpret=jax.default_backend() != "tpu",
+        # Region starts are m*page and off advances by kc, so every
+        # chunk window is page-aligned whenever kc is a page multiple —
+        # the page-granular append (measured 179 -> ~6 ms per int8 pool
+        # per G=8 chunk, scripts/bench_group_chunk.py).
+        page_aligned=kc % k_pages.shape[3] == 0,
     )
     if quantized:
         return out
@@ -269,6 +274,20 @@ def _hidden_logits(params, hidden, row, idx):
         hidden, (row, idx, jnp.int32(0)), (1, 1, hidden.shape[-1])
     )
     return llama_mod.lm_head(params["lm"], h)[0, 0]
+
+
+@jax.jit
+def _hidden_logits_group(params, hidden, idxs):
+    """lm_head at one (clipped) position of EVERY row of a chunk's
+    hidden states -> [G, V]: one dispatch + one fetch for all rows
+    finishing in the same chunk, instead of a tunnel round trip per row
+    (the round-5 probe measured the per-row path at ~1.2 s of the
+    lockstep group's final step). Rows not finishing this chunk get
+    garbage (clipped) positions — callers read only finishing rows."""
+    G, kc, D = hidden.shape
+    idxs = jnp.clip(idxs, 0, kc - 1)
+    h = jnp.take_along_axis(hidden, idxs[:, None, None], axis=1)  # [G,1,D]
+    return llama_mod.lm_head(params["lm"], h)[:, 0]
 
 
 @partial(
@@ -1465,19 +1484,36 @@ class PagedServingEngine(ServingEngine):
             dtype = self.params["lm"]["embed_tokens"].dtype
             dummy = jnp.zeros((0,), jnp.float32)
 
-            def stack_px(getter):
-                xs = [getter(req) for (_rp, _plan, _pp, req) in items]
-                if xs[0] is None:
-                    return None
-                base = np.asarray(xs[0])
-                out = np.zeros((gb,) + base.shape[1:], np.float32)
-                for i, x in enumerate(xs):
-                    out[i] = np.asarray(x)[0]
-                return jnp.asarray(out, dtype)
-
-            images = stack_px(lambda r: r.images)
-            segs = stack_px(lambda r: r.segs)
-            depths = stack_px(lambda r: r.depths)
+            # ONE fused H2D for every present modality: the tunnel
+            # charges ~215 ms PER transfer call nearly independent of
+            # size (scripts/probe_build_group.py, round 5 — 3 separate
+            # modality uploads cost ~650 ms), so all pixel planes ride a
+            # single [n_mod, G, H, W, C] array pre-cast on the host to
+            # the embed dtype, and the modalities are sliced back out on
+            # device (free).
+            getters = [
+                ("images", lambda r: r.images),
+                ("segs", lambda r: r.segs),
+                ("depths", lambda r: r.depths),
+            ]
+            present = [
+                (name, g)
+                for name, g in getters
+                if g(items[0][3]) is not None
+            ]
+            px = {"images": None, "segs": None, "depths": None}
+            if present:
+                first = np.asarray(present[0][1](items[0][3]))
+                stacked = np.zeros(
+                    (len(present), gb) + first.shape[1:], dtype
+                )
+                for m, (_name, getter) in enumerate(present):
+                    for i, (_rp, _plan, _pp, req) in enumerate(items):
+                        stacked[m, i] = np.asarray(getter(req))[0]
+                dev = jnp.asarray(stacked)
+                for m, (name, _getter) in enumerate(present):
+                    px[name] = dev[m]
+            images, segs, depths = px["images"], px["segs"], px["depths"]
             with self._mesh_ctx():
                 source = _plan_embeds(
                     pp,
@@ -1534,20 +1570,29 @@ class PagedServingEngine(ServingEngine):
                 text_mode=g.text_mode,
             )
             finishing: List[_RegionRow] = []
+            landing = []  # rows whose last prompt token sits in this chunk
             for i, rp in enumerate(g.rows):
                 if rp.done:
                     continue
                 if g.off <= rp.last_idx < g.off + kc:
-                    rp.logits = _hidden_logits(
-                        g.params,
-                        hidden,
-                        jnp.asarray(i, jnp.int32),
-                        jnp.asarray(rp.last_idx - g.off, jnp.int32),
-                    )
+                    landing.append((i, rp))
                 if g.off + kc >= rp.region:
                     rp.done = True
                     g._active_dirty = True
                     finishing.append(rp)
+            if landing:
+                # ONE batched lm_head over every landing row (idxs padded
+                # to the group width so the graph keys only on the
+                # bucket): the per-row dynamic-slice jits each paid a
+                # tunnel dispatch (~1.2 s for 8 rows, round-5 probe).
+                idxs = np.zeros((hidden.shape[0],), np.int32)
+                for i, rp in landing:
+                    idxs[i] = rp.last_idx - g.off
+                logits = _hidden_logits_group(
+                    g.params, hidden, jnp.asarray(idxs)
+                )
+                for i, rp in landing:
+                    rp.logits = logits[i]
             if finishing and g.admit:
                 # ONE fetch for every row finishing this step (each
                 # separate first-token argmax would pay a tunnel RTT).
