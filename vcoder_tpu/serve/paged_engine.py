@@ -166,7 +166,15 @@ def _plan_embeds(
 ):
     """Spliced embedding sequence [1, T_pad, D] of a planned request —
     the embedding half of the prefill graph, for suffix prefill over
-    cached prefix pages whose suffix contains vision positions."""
+    cached prefix pages whose suffix contains vision positions.
+
+    Pixels are cast to the embed dtype HERE (free, fuses into the tower):
+    casting f32->bf16 on the host via numpy/ml_dtypes is an elementwise
+    C loop that cost >1 s for a gb=8 three-modality stack (round-5
+    _build_group attribution), so callers ship raw f32."""
+    dtype = params["lm"]["embed_tokens"].dtype
+    cast = lambda x: None if x is None else x.astype(dtype)
+    images, segs, depths = cast(images), cast(segs), cast(depths)
     vis_table = None
     if has_images:
         vis_table = model_mod.encode_vision(
@@ -900,7 +908,6 @@ class PagedServingEngine(ServingEngine):
             if not any(kc == self._chunk for _, kc in vshapes):
                 vshapes.append((1, self._chunk))
             hw = self.cfg.vision.image_size
-            dtype = self.params["lm"]["embed_tokens"].dtype
             use_vemb = self.cfg.use_vcoder_lm_emb
             for gb, vkc in vshapes:
                 plan_arrays = {
@@ -908,7 +915,9 @@ class PagedServingEngine(ServingEngine):
                     "is_text": jnp.ones((gb, self._src_cap), bool),
                     "vis_idx": jnp.zeros((gb, self._src_cap), jnp.int32),
                 }
-                px = jnp.zeros((gb, hw, hw, 3), dtype)
+                # f32 to match the group path's jit key (_build_group
+                # ships raw f32; _plan_embeds casts on device).
+                px = jnp.zeros((gb, hw, hw, 3), jnp.float32)
                 dummy = jnp.zeros((0,), jnp.float32)
                 with self._mesh_ctx():
                     source = _plan_embeds(
@@ -1481,15 +1490,15 @@ class PagedServingEngine(ServingEngine):
                 "is_text": stack_plan("is_text", True),
                 "vis_idx": stack_plan("vis_idx", 0),
             }
-            dtype = self.params["lm"]["embed_tokens"].dtype
             dummy = jnp.zeros((0,), jnp.float32)
 
             # ONE fused H2D for every present modality: the tunnel
             # charges ~215 ms PER transfer call nearly independent of
             # size (scripts/probe_build_group.py, round 5 — 3 separate
             # modality uploads cost ~650 ms), so all pixel planes ride a
-            # single [n_mod, G, H, W, C] array pre-cast on the host to
-            # the embed dtype, and the modalities are sliced back out on
+            # single [n_mod, G, H, W, C] array, RAW f32 (the host-side
+            # numpy/ml_dtypes bf16 cast cost >1 s; _plan_embeds casts on
+            # device instead), and the modalities are sliced back out on
             # device (free).
             getters = [
                 ("images", lambda r: r.images),
@@ -1505,7 +1514,7 @@ class PagedServingEngine(ServingEngine):
             if present:
                 first = np.asarray(present[0][1](items[0][3]))
                 stacked = np.zeros(
-                    (len(present), gb) + first.shape[1:], dtype
+                    (len(present), gb) + first.shape[1:], np.float32
                 )
                 for m, (_name, getter) in enumerate(present):
                     for i, (_rp, _plan, _pp, req) in enumerate(items):
