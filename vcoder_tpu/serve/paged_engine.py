@@ -763,6 +763,9 @@ class PagedServingEngine(ServingEngine):
         # Batched-admission observability: size of every admit group
         # formed (tests assert concurrent traffic actually batches).
         self.admit_group_sizes: List[int] = []
+        # Deferred first-token device writes (slot, token, request); see
+        # _finish_admission/_flush_tokens.
+        self._tok_writes: List[Tuple[int, int, "Request"]] = []
         # Engine-constant group-buffer caps (see _build_group SHAPE
         # STABILITY): sources/tables pad to these so the compiled group
         # chunk graphs key only on (bucket, chunk size).
@@ -1216,7 +1219,12 @@ class PagedServingEngine(ServingEngine):
         self.temps[slot] = req.temperature
         self.top_ps[slot] = req.top_p
         self._flags_dirty = True
-        self.tokens = self.tokens.at[slot].set(first_tok)
+        # Defer the device token write: each .at[slot].set is a tunnel
+        # dispatch, so a lockstep group finishing G rows paid G round
+        # trips. _flush_tokens applies the whole set as ONE scatter
+        # before the next decode dispatch (request identity re-checked —
+        # a released-and-reused slot drops its stale write).
+        self._tok_writes.append((slot, first_tok, req))
         done = (
             first_tok == self.eos_id
             or len(req.generated) >= req.max_new_tokens
@@ -1600,16 +1608,30 @@ class PagedServingEngine(ServingEngine):
                 logits = _hidden_logits_group(
                     g.params, hidden, jnp.asarray(idxs)
                 )
-                for i, rp in landing:
-                    rp.logits = logits[i]
+                if finishing and g.admit:
+                    # Every finisher that landed THIS chunk reads from
+                    # one whole-array fetch (a per-row slice fetch pays
+                    # a tunnel RTT each).
+                    np_log = jax.device_get(logits)
+                    for i, rp in landing:
+                        rp.logits = np_log[i]
+                else:
+                    for i, rp in landing:
+                        rp.logits = logits[i]
             if finishing and g.admit:
-                # ONE fetch for every row finishing this step (each
-                # separate first-token argmax would pay a tunnel RTT).
-                fetched = jax.device_get(
-                    tuple(rp.logits for rp in finishing)
-                )
-                for rp, lg in zip(finishing, fetched):
-                    rp.logits = lg
+                # ONE fetch for every row finishing this step whose
+                # logits still live on device (landed in an earlier
+                # chunk).
+                on_dev = [
+                    rp for rp in finishing
+                    if not isinstance(rp.logits, np.ndarray)
+                ]
+                if on_dev:
+                    fetched = jax.device_get(
+                        tuple(rp.logits for rp in on_dev)
+                    )
+                    for rp, lg in zip(on_dev, fetched):
+                        rp.logits = lg
         g.off += kc
         events: List[Tuple[int, int, bool]] = []
         if g.admit:
@@ -1658,6 +1680,22 @@ class PagedServingEngine(ServingEngine):
                 self.table[slot, idx] = pid
                 self._table_dirty = True
 
+    def _flush_tokens(self) -> None:
+        """Apply deferred first-token writes as one batched scatter (see
+        _finish_admission). Writes whose slot has since been released or
+        reused by a different request are dropped — the new occupant's
+        token was set by its own admission path."""
+        if not self._tok_writes:
+            return
+        live = [
+            (s, t) for s, t, r in self._tok_writes if self.slots[s] is r
+        ]
+        self._tok_writes.clear()
+        if live:
+            idx = jnp.asarray([s for s, _ in live], jnp.int32)
+            val = jnp.asarray([t for _, t in live], jnp.int32)
+            self.tokens = self.tokens.at[idx].set(val)
+
     def step(self) -> List[Tuple[int, int, bool]]:
         events = self._admit()
         if not any(self.active):
@@ -1666,6 +1704,7 @@ class PagedServingEngine(ServingEngine):
         self._ensure_pages(events)
         if not any(self.active):
             return events
+        self._flush_tokens()
         if self.spec_k:
             return events + self._step_speculative_paged()
 
