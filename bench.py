@@ -186,33 +186,57 @@ def _wait_for_clean_startup(max_wait_s: float = 420.0) -> None:
             time.sleep(30.0)
 
 
-def _wait_for_healthy_tunnel(max_wait_s: float = 1500.0) -> None:
-    """The tunneled TPU platform has multi-hour degraded windows (trivial
-    ops taking 30-60 s). Benchmarks taken then are meaningless, so probe
-    warm-op latency and wait (bounded) for a healthy window."""
+def _tunnel_markers() -> dict:
+    """Current tunnel condition: warm-op RTT and H2D throughput. The two
+    degrade INDEPENDENTLY (round 5 caught compute ops at 0.04 s while a
+    3.4 MB H2D took 2.5 s — ~1.4 MB/s vs the healthy ~50 MB/s), so
+    serving numbers must record both."""
+    import numpy as np
+
+    import jax
     import jax.numpy as jnp
 
+    x = jnp.ones((1024, 1024), jnp.bfloat16)
+    y = (x @ x).sum()
+    jax_block(y)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        y = (x @ x).sum()
+    jax_block(y)
+    warm = (time.perf_counter() - t0) / 5
+    host = np.ones((4 * 1024 * 1024,), np.uint8)
+    z = jnp.asarray(host)  # warm the transfer path once
+    jax_block(z)
+    t0 = time.perf_counter()
+    z = jnp.asarray(host)
+    jax_block(z)
+    h2d = time.perf_counter() - t0
+    return {
+        "warm_op_s": round(warm, 3),
+        "h2d_mb_s": round(4.0 / max(h2d, 1e-9), 1),
+    }
+
+
+def _wait_for_healthy_tunnel(max_wait_s: float = 1500.0) -> dict:
+    """The tunneled TPU platform has multi-hour degraded windows (trivial
+    ops taking 30-60 s, or H2D collapsing to ~1 MB/s while compute stays
+    fine). Benchmarks taken then are meaningless, so probe both and wait
+    (bounded) for a healthy window. Returns the final markers so callers
+    can record the conditions alongside their numbers."""
     deadline = time.monotonic() + max_wait_s
     while True:
-        x = jnp.ones((1024, 1024), jnp.bfloat16)
-        y = (x @ x).sum()
-        jax_block(y)
-        t0 = time.perf_counter()
-        for _ in range(5):
-            y = (x @ x).sum()
-        jax_block(y)
-        warm = time.perf_counter() - t0
-        if warm < 1.0:
-            return
+        m = _tunnel_markers()
+        if m["warm_op_s"] < 0.2 and m["h2d_mb_s"] > 10.0:
+            return m
         if time.monotonic() > deadline:
             print(
-                f"bench: tunnel still degraded ({warm:.1f}s warm probe) "
-                "after max wait; numbers may be unrepresentative",
+                f"bench: tunnel still degraded ({m}) after max wait; "
+                "numbers may be unrepresentative",
                 file=sys.stderr,
             )
-            return
+            return m
         print(
-            f"bench: tunnel degraded ({warm:.1f}s warm probe), waiting...",
+            f"bench: tunnel degraded ({m}), waiting...",
             file=sys.stderr,
         )
         time.sleep(60)

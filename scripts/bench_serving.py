@@ -181,6 +181,14 @@ def paged_worker_bench(args):
         )
 
     out = {}
+    if not args.tiny:
+        # Gate on BOTH tunnel-health axes (compute RTT and H2D rate
+        # degrade independently; a 22 s phase-A p50 was once pure H2D
+        # collapse) and record the conditions next to the numbers.
+        from bench import _wait_for_healthy_tunnel
+
+        out["tunnel"] = _wait_for_healthy_tunnel()
+        print(f"tunnel: {out['tunnel']}", file=sys.stderr, flush=True)
     bg_new = args.max_new * 4
 
     if "A" in args.phases or "B" in args.phases:
