@@ -596,6 +596,10 @@ def main():
         # Tiny max_len is 256: keep prompts + 4x background decodes inside.
         args.max_new = min(args.max_new, 8)
         args.batch = min(args.batch, 4)
+        # Tiny is the CPU smoke tier; standalone runs must not let the
+        # sitecustomize-forced TPU platform grab the tiny shapes (the q8
+        # kernels require page % 128 on real hardware).
+        os.environ.setdefault("VCODER_TPU_PLATFORM", "cpu")
 
     if args.engine == "slot":
         slot_engine_bench(args)
