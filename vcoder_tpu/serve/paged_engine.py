@@ -896,6 +896,13 @@ class PagedServingEngine(ServingEngine):
                     kc=kc,
                     text_mode=text_mode,
                 )
+                # Warm the finish-path lm_head for this (gb, kc) too —
+                # it otherwise compiles mid-traffic at the FIRST group
+                # finish (caught as a >10 s phase-A stall, round 5).
+                _hidden_logits_group(
+                    self.params, out[0],
+                    jnp.zeros((gb,), jnp.int32),
+                )
             (_, self.k_pages, self.v_pages,
              self.k_scale, self.v_scale) = out
 
@@ -1692,9 +1699,15 @@ class PagedServingEngine(ServingEngine):
         ]
         self._tok_writes.clear()
         if live:
-            idx = jnp.asarray([s for s, _ in live], jnp.int32)
-            val = jnp.asarray([t for _, t in live], jnp.int32)
-            self.tokens = self.tokens.at[idx].set(val)
+            # Fixed-shape masked update: a variable-length scatter would
+            # compile one graph per distinct finisher count.
+            mask = np.zeros((self.max_batch,), bool)
+            vals = np.zeros((self.max_batch,), np.int32)
+            for s, t in live:
+                mask[s], vals[s] = True, t
+            self.tokens = jnp.where(
+                jnp.asarray(mask), jnp.asarray(vals), self.tokens
+            )
 
     def step(self) -> List[Tuple[int, int, bool]]:
         events = self._admit()
