@@ -333,6 +333,9 @@ def _phases_ab(args, out, cfg, params, px, turn1_ids, rng, page, max_len,
         - pc0.get("reused_pages", 0),
     }
     print(f"phaseA: {json.dumps(out['phaseA'])}", file=sys.stderr, flush=True)
+    print(f"phaseA timers: {json.dumps(eng.timer.summary())}",
+          file=sys.stderr, flush=True)
+    eng.timer.samples.clear()
 
     # --- Phase B: chunked prefill under decode load ---
     # Background decoders hold rows; a long text-only prompt admits in

@@ -274,6 +274,53 @@ def _group_chunk(
     return out + (k_scale, v_scale)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "has_images", "has_segs", "has_depths",
+                     "attn_impl"),
+)
+def _encode_vision_group(
+    params, cfg: VCoderConfig, images, segs, depths, *,
+    has_images: bool, has_segs: bool, has_depths: bool, attn_impl: str,
+):
+    """Tower-only half of the group source build -> vision table
+    [G, N_vis, D]. Split from the splice so per-request tables can be
+    CACHED by pixel digest (turn-2+ and shared-media traffic skips both
+    the pixel H2D and the tower forward). Pixels arrive raw f32; cast
+    here (fuses into the tower)."""
+    dtype = params["lm"]["embed_tokens"].dtype
+    cast = lambda x: None if x is None else x.astype(dtype)
+    return model_mod.encode_vision(
+        params,
+        cfg,
+        cast(images) if has_images else None,
+        cast(segs) if has_segs else None,
+        cast(depths) if has_depths else None,
+        attn_impl=attn_impl,
+    )
+
+
+@jax.jit
+def _assemble_group(params, plan_arrays, vis_table, use_vemb):
+    """Splice half: text/vision gathers over a (possibly cached) vision
+    table. use_vemb is TRACED (both embed routes share one graph, like
+    _group_chunk)."""
+    safe_ids = plan_arrays["safe_ids"]
+    if "vcoder_lm_emb" in params:
+        table = jax.lax.cond(
+            use_vemb,
+            lambda: params["vcoder_lm_emb"],
+            lambda: params["lm"]["embed_tokens"],
+        )
+    else:
+        table = params["lm"]["embed_tokens"]
+    text_e = jnp.take(table, safe_ids, axis=0)
+    vis_e = jnp.take_along_axis(
+        vis_table, plan_arrays["vis_idx"][:, :, None], axis=1
+    ).astype(text_e.dtype)
+    return jnp.where(plan_arrays["is_text"][:, :, None], text_e, vis_e)
+
+
 @jax.jit
 def _hidden_logits(params, hidden, row, idx):
     """lm_head at one position of one row of a chunk's hidden states
@@ -766,6 +813,12 @@ class PagedServingEngine(ServingEngine):
         # Deferred first-token device writes (slot, token, request); see
         # _finish_admission/_flush_tokens.
         self._tok_writes: List[Tuple[int, int, "Request"]] = []
+        # Device-resident vision-table LRU (pixel digest + adapter ->
+        # [N_vis, D]); see _group_vis_tables. ~14 MB/entry at 7B.
+        from collections import OrderedDict
+
+        self._vis_cache: "OrderedDict" = OrderedDict()
+        self._vis_cache_cap = max(16, max_batch)
         # Engine-constant group-buffer caps (see _build_group SHAPE
         # STABILITY): sources/tables pad to these so the compiled group
         # chunk graphs key only on (bucket, chunk size).
@@ -919,29 +972,36 @@ class PagedServingEngine(ServingEngine):
                 vshapes.append((1, self._chunk))
             hw = self.cfg.vision.image_size
             use_vemb = self.cfg.use_vcoder_lm_emb
+            # Encode buckets (cache-miss batches) and the assemble/chunk
+            # buckets compile independently.
+            tbl = None
+            for mb in sorted({gbk for gbk, _ in vshapes}):
+                px = jnp.zeros((mb, hw, hw, 3), jnp.float32)
+                with self._mesh_ctx():
+                    tbl = _encode_vision_group(
+                        self.params,
+                        self.cfg,
+                        px,
+                        px if self.cfg.use_seg else None,
+                        px if self.cfg.use_depth else None,
+                        has_images=True,
+                        has_segs=self.cfg.use_seg,
+                        has_depths=self.cfg.use_depth,
+                        attn_impl=self.attn_impl,
+                    )
+            n_vis = tbl.shape[1]
             for gb, vkc in vshapes:
                 plan_arrays = {
                     "safe_ids": jnp.zeros((gb, self._src_cap), jnp.int32),
                     "is_text": jnp.ones((gb, self._src_cap), bool),
                     "vis_idx": jnp.zeros((gb, self._src_cap), jnp.int32),
                 }
-                # f32 to match the group path's jit key (_build_group
-                # ships raw f32; _plan_embeds casts on device).
-                px = jnp.zeros((gb, hw, hw, 3), jnp.float32)
-                dummy = jnp.zeros((0,), jnp.float32)
                 with self._mesh_ctx():
-                    source = _plan_embeds(
+                    source = _assemble_group(
                         self.params,
-                        self.cfg,
                         plan_arrays,
-                        px,
-                        px if self.cfg.use_seg else dummy,
-                        px if self.cfg.use_depth else dummy,
-                        use_vcoder_emb=use_vemb,
-                        has_images=True,
-                        has_segs=self.cfg.use_seg,
-                        has_depths=self.cfg.use_depth,
-                        attn_impl=self.attn_impl,
+                        jnp.zeros((gb, n_vis, tbl.shape[2]), tbl.dtype),
+                        jnp.asarray(use_vemb, bool),
                     )
                 run(gb, vkc, source, text_mode=False)
         jax.block_until_ready(self.k_pages)
@@ -1050,11 +1110,13 @@ class PagedServingEngine(ServingEngine):
         fix."""
         events: List[Tuple[int, int, bool]] = []
         while True:
-            events += self._fill_pending()
+            with self.timer.measure("admit_stage"):
+                events += self._fill_pending()
             if not self._pending_groups:
                 break
             g = self._pending_groups[0]  # FIFO: drain the oldest first
-            events += self._advance_group(g)
+            with self.timer.measure("admit_chunk"):
+                events += self._advance_group(g)
             if g.done:
                 self._pending_groups.pop(0)
             if any(self.active):
@@ -1409,9 +1471,16 @@ class PagedServingEngine(ServingEngine):
             rp, plan, pp, req = st
             T_pad = plan.safe_ids.shape[1]
             end = min(rp.start + rp.region, T_pad)
-            # Skip the vision encode when every region position is text
-            # (the multi-turn hot path — images sit in the cached prefix).
-            text_only = bool(plan.is_text[0, rp.start:end].all())
+            # Skip the vision encode when every VALID region position is
+            # text (the multi-turn hot path — images sit in the cached
+            # prefix). Pad positions (>= seq_len) are is_text=False in
+            # the plan but carry no content: including them routed pure-
+            # text prompts with page-rounded tails into the vision-mode
+            # graph (with no pixels to encode).
+            end_valid = min(end, int(plan.seq_lens[0]))
+            text_only = bool(
+                plan.is_text[0, rp.start:end_valid].all()
+            )
             use_vemb = plan.use_vcoder_emb and self.cfg.use_vcoder_lm_emb
             mods = (
                 None
@@ -1443,6 +1512,79 @@ class PagedServingEngine(ServingEngine):
                     )
                 )
         return groups
+
+    def _group_vis_tables(self, items, gb: int, pp) -> jnp.ndarray:
+        """Per-row vision tables [gb, N_vis, D] for a vision-mode group,
+        through a device-resident LRU keyed by pixel digest (+ adapter).
+
+        A full-prefix-hit turn paid the FULL three-modality tower encode
+        plus the pixel H2D (~215 ms fixed per tunnel transfer) for a one-
+        or-two-page suffix; repeated media (multi-turn, shared images)
+        now reuses the cached table and ships nothing. Misses batch into
+        one bucketed encode dispatch + ONE fused [n_mod, mb, H, W, C]
+        raw-f32 transfer (host-side ml_dtypes casts cost >1 s; the jit
+        casts on device). Pad rows repeat row 0 — their positions are
+        is_text and never select vision values."""
+        import hashlib
+
+        keys = []
+        for (_rp, _plan, _pp, req) in items:
+            h = hashlib.sha256()
+            for arr in (req.images, req.segs, req.depths):
+                if arr is not None:
+                    a = np.ascontiguousarray(arr)
+                    h.update(str(a.shape).encode())
+                    h.update(a.tobytes())
+            keys.append((h.digest(), req.lora))
+
+        getters = [
+            ("images", lambda r: r.images),
+            ("segs", lambda r: r.segs),
+            ("depths", lambda r: r.depths),
+        ]
+        req0 = items[0][3]
+        present = [
+            (name, g) for name, g in getters if g(req0) is not None
+        ]
+        miss = [
+            i for i, k in enumerate(keys) if k not in self._vis_cache
+        ]
+        if miss:
+            mb = _g_bucket(len(miss))
+            first = np.asarray(present[0][1](req0))
+            stacked = np.zeros(
+                (len(present), mb) + first.shape[1:], np.float32
+            )
+            for m, (_name, getter) in enumerate(present):
+                for j, i in enumerate(miss):
+                    stacked[m, j] = np.asarray(getter(items[i][3]))[0]
+            dev = jnp.asarray(stacked)
+            mod = {name: dev[m] for m, (name, _g) in enumerate(present)}
+            with self._mesh_ctx():
+                tbl = _encode_vision_group(
+                    pp,
+                    self.cfg,
+                    mod.get("images"),
+                    mod.get("segs"),
+                    mod.get("depths"),
+                    has_images="images" in mod,
+                    has_segs="segs" in mod,
+                    has_depths="depths" in mod,
+                    attn_impl=self.attn_impl,
+                )
+            for j, i in enumerate(miss):
+                self._vis_cache[keys[i]] = tbl[j]
+        rows = []
+        for k in keys:
+            rows.append(self._vis_cache[k])
+            self._vis_cache.move_to_end(k)
+        # Evict AFTER touching the group's keys (cap >= max group size,
+        # so the rows just gathered can never be evicted here).
+        while len(self._vis_cache) > self._vis_cache_cap:
+            self._vis_cache.popitem(last=False)
+        while len(rows) < gb:
+            rows.append(rows[0])
+        return jnp.stack(rows)
 
     def _build_group(self, items, *, text_only: bool, T_pad: int,
                      use_vemb: bool, chunk: int,
@@ -1505,52 +1647,11 @@ class PagedServingEngine(ServingEngine):
                 "is_text": stack_plan("is_text", True),
                 "vis_idx": stack_plan("vis_idx", 0),
             }
-            dummy = jnp.zeros((0,), jnp.float32)
-
-            # ONE fused H2D for every present modality: the tunnel
-            # charges ~215 ms PER transfer call nearly independent of
-            # size (scripts/probe_build_group.py, round 5 — 3 separate
-            # modality uploads cost ~650 ms), so all pixel planes ride a
-            # single [n_mod, G, H, W, C] array, RAW f32 (the host-side
-            # numpy/ml_dtypes bf16 cast cost >1 s; _plan_embeds casts on
-            # device instead), and the modalities are sliced back out on
-            # device (free).
-            getters = [
-                ("images", lambda r: r.images),
-                ("segs", lambda r: r.segs),
-                ("depths", lambda r: r.depths),
-            ]
-            present = [
-                (name, g)
-                for name, g in getters
-                if g(items[0][3]) is not None
-            ]
-            px = {"images": None, "segs": None, "depths": None}
-            if present:
-                first = np.asarray(present[0][1](items[0][3]))
-                stacked = np.zeros(
-                    (len(present), gb) + first.shape[1:], np.float32
-                )
-                for m, (_name, getter) in enumerate(present):
-                    for i, (_rp, _plan, _pp, req) in enumerate(items):
-                        stacked[m, i] = np.asarray(getter(req))[0]
-                dev = jnp.asarray(stacked)
-                for m, (name, _getter) in enumerate(present):
-                    px[name] = dev[m]
-            images, segs, depths = px["images"], px["segs"], px["depths"]
+            vis_table = self._group_vis_tables(items, gb, pp)
             with self._mesh_ctx():
-                source = _plan_embeds(
-                    pp,
-                    self.cfg,
-                    plan_arrays,
-                    images if images is not None else dummy,
-                    segs if segs is not None else dummy,
-                    depths if depths is not None else dummy,
-                    use_vcoder_emb=use_vemb,
-                    has_images=images is not None,
-                    has_segs=segs is not None,
-                    has_depths=depths is not None,
-                    attn_impl=self.attn_impl,
+                source = _assemble_group(
+                    pp, plan_arrays, vis_table,
+                    jnp.asarray(use_vemb, bool),
                 )
         return _PrefillGroup(
             rows=rows,
