@@ -1825,6 +1825,14 @@ class PagedServingEngine(ServingEngine):
         self.rng, sub = jax.random.split(self.rng)
         table_dev = self._device_table()
         active_dev, temps_dev, top_ps_dev = self._device_flags()
+        # Adaptive window: while admissions are queued or mid-chunk,
+        # decode ONE step per engine step so the waiting request sees
+        # ~20 ms scheduling granularity instead of a full sync window
+        # (~165 ms at sync_every=8/B=8 on v5e) between its chunks. Idle
+        # queues keep the full fused window (fetch-amortized decode).
+        steps = (
+            1 if (self.queue or self._pending_groups) else self.sync_every
+        )
         with self.timer.measure("decode_step"), self._mesh_ctx():
             (
                 toks,
@@ -1847,12 +1855,12 @@ class PagedServingEngine(ServingEngine):
                 temps_dev,
                 top_ps_dev,
                 sub,
-                steps=self.sync_every,
+                steps=steps,
                 nucleus=self._nucleus(),
                 sharded=self.mesh is not None,
             )
             toks_host = jax.device_get(toks)  # [N, B], ONE round trip
-        self.lengths += self.sync_every * self.active.astype(np.int32)
+        self.lengths += steps * self.active.astype(np.int32)
         return events + self._emit_step_events(toks_host)
 
     def _release_slot(self, slot: int) -> None:
