@@ -58,7 +58,7 @@ def main():
 
     # LM params for the 6N convention (matmul-dominated leaves).
     n_lm = (
-        tc.num_hidden_layers
+        tc.num_layers
         * (4 * tc.hidden_size * tc.hidden_size
            + 3 * tc.hidden_size * tc.intermediate_size)
         + tc.vocab_size * tc.hidden_size
