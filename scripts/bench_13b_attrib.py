@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--b", type=int, default=2)
     ap.add_argument("--int4", action="store_true",
                     help="nibble-packed int4 weights instead of int8")
+    ap.add_argument("--w8a8-min", type=int, default=None,
+                    help="override ops.quant.W8A8_MIN_TOKENS (e.g. 1 to"
+                    " force the s8s8 dot at decode token counts)")
     args = ap.parse_args()
 
     import jax
@@ -47,6 +50,11 @@ def main():
     from vcoder_tpu.ops.quant import QuantizedTensor, qmatmul
     from vcoder_tpu.quant import init_quantized_params
 
+    if args.w8a8_min is not None:
+        from vcoder_tpu.ops import quant as quant_mod
+
+        quant_mod.W8A8_MIN_TOKENS = args.w8a8_min
+        print(f"W8A8_MIN_TOKENS={args.w8a8_min}", flush=True)
     cfg = VCoderConfig.standard("vcoder_ds_llava", args.model)
     bits = 4 if args.int4 else 8
     params = init_quantized_params(jax.random.PRNGKey(0), cfg, bits=bits)
